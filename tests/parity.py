@@ -1,0 +1,71 @@
+"""Local emulation of the driver's DuckDB-oracle compare:
+row count + column names + order-insensitive exact value multiset.
+Run it at sf0.001 in the dev loop to catch hash drift before the driver
+does at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+from pathlib import Path
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(con, sf_dir: str) -> None:
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat(timespec="microseconds"))
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_norm(x) for x in v))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
+
+
+def _multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(row[i]) for i in order) for row in rows),
+        key=lambda t: tuple((str(x),) for x in t),
+    )
+
+
+def compare(spark_df, con, sql: str, name: str = "?") -> None:
+    srows = [tuple(r) for r in spark_df.collect()]
+    scols = spark_df.columns
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), (
+        f"[{name}] column mismatch: spark={sorted(scols)} duckdb={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"[{name}] row count mismatch: spark={len(srows)} duckdb={len(drows)}"
+    )
+    ms, md = _multiset(srows, scols), _multiset(drows, dcols)
+    if ms != md:
+        diffs = [(a, b) for a, b in zip(ms, md) if a != b][:5]
+        raise AssertionError(f"[{name}] value mismatch; first diffs (spark vs duckdb): {diffs}")
