@@ -27,9 +27,12 @@ def main() -> None:
     spark = get_spark(app_name="stonkwhisperer-bench", cpus=cpus)
 
     qmap = query_map()
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not session startup.
-    next(iter(qmap.values()))(spark, sf_dir).count()
+    # Warm the JVM and every table's parquet footers/IO once so per-query
+    # times measure the plan, not session startup or first-touch reads.
+    from stonkwhisperer_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qmap.items()):

@@ -35,16 +35,26 @@ DEC = "decimal(18,6)"  # exact carrier for double-valued measures
 # --------------------------------------------------------------------------
 @register(
     "ohlcv_1min",
+    # DuckDB has no arg_min over a composite ordering key, so the oracle
+    # materializes the (ts, event_id) tie-break with row_number windows.
     oracle=f"""
-    SELECT date_trunc('minute', ts)                           AS bucket_ts,
+    WITH e AS (
+      SELECT date_trunc('minute', ts) AS bucket_ts, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('minute', ts), event_type
+                                ORDER BY ts, event_id)           AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('minute', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT bucket_ts,
            event_type,
-           arg_min(value, ts)                                 AS open,
-           max(value)                                         AS high,
-           min(value)                                         AS low,
-           arg_max(value, ts)                                 AS close,
-           cast(sum(cast(value AS {DEC})) AS double)          AS volume,
-           count(*)                                           AS n_events
-    FROM events
+           max(CASE WHEN rn_a = 1 THEN value END)              AS open,
+           max(value)                                          AS high,
+           min(value)                                          AS low,
+           max(CASE WHEN rn_d = 1 THEN value END)              AS close,
+           cast(sum(cast(value AS {DEC})) AS double)           AS volume,
+           count(*)                                            AS n_events
+    FROM e
     GROUP BY 1, 2
     """,
 )
@@ -65,10 +75,12 @@ def q_ohlcv_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(
-            F.min_by("value", "ts").alias("open"),
+            # Composite ordering key (ts, event_id) makes the open/close
+            # pick deterministic even when two events share a timestamp.
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
             F.count("*").alias("n_events"),
         )
@@ -180,6 +192,13 @@ def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A1/A2: dedup keep-first with deterministic victim selection (reference
 # transformation.py:47-49 — pandas keep="first" in arrival order; here the
 # stable key doc_id stands in for arrival order, per SURVEY §7.4).
+#
+# The dedup key is md5(text) — a HIGH-cardinality content hash, the same
+# shape as the reference's natural keys (url at transformation.py:47-49,
+# reddit_id at :108-112). A high-cardinality key is what makes the
+# window-per-key plan scale: each key's partition holds a handful of rows,
+# so the shuffle is uniform. (Low-cardinality keys go through
+# dedup_low_card below — agg + semi-join, no per-key window.)
 # --------------------------------------------------------------------------
 @register(
     "dedup_keep_first",
@@ -187,22 +206,51 @@ def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source, n_chars
     FROM (
       SELECT doc_id, lang, source, n_chars,
-             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       FROM documents
     )
     WHERE rn = 1
     """,
 )
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-first dedup on (lang, source) via row_number — the exact
-    emulation of pandas drop_duplicates(keep='first') (A1/A2).
-    Scale: one hash shuffle on the dedup key; window sorts only within
-    each key partition (no global sort)."""
+    """Keep-first exact-content dedup on md5(text) via row_number — the
+    emulation of pandas drop_duplicates(keep='first') (A1/A2) and the
+    exact-dedup stage of an LLM data pipeline.
+    Scale: one hash shuffle on the content-hash key; high cardinality
+    keeps the shuffle uniform and each window partition tiny."""
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     return (
-        docs.select("doc_id", "lang", "source", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
+        docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Low-cardinality dedup variant: when the key has few distinct values
+# (e.g. (lang, source) — dozens of groups), a window would sort each
+# whole group on a single task. min()-aggregate + semi-join instead:
+# map-side partial min makes the shuffle tiny, and the join back is a
+# broadcast (the aggregated side is as small as the key space).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_low_card",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang, source) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def q_dedup_low_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on the low-cardinality (lang, source) key via
+    min(doc_id)-per-group + broadcast semi-join — avoids the
+    single-task-per-group window sort a low-card window key would cause.
+    Scale: partial-agg shuffle of ~|key space| rows, then a broadcast
+    semi-join; no skewed window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = docs.groupBy("lang", "source").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(
+        F.broadcast(keepers.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -1,0 +1,204 @@
+"""Join-family registered queries (SURVEY.md §2.4 J2–J6).
+
+Each query exercises one reference join pattern over the driver's
+testdata tables and carries an exactly-equivalent DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.operators.joins import (
+    broadcast_enrich,
+    fk_backfill,
+    lookup_or_create,
+    new_rows_anti,
+)
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+_D122 = "decimal(12,2)"
+
+
+# --------------------------------------------------------------------------
+# J2: broadcast dimension lookup. The reference resolves ticker→company_id
+# by shipping a dict to every worker (loading.py:93-115,
+# services/company_service.py:23-33) and silently skips rows whose ticker
+# is unknown (loading.py:330-333). Here: events stand in for bars, nation
+# (25 rows) for the companies dim; user_id % 30 leaves ids 25-29 unmatched
+# so the inner join exercises the skip-unknown path.
+# --------------------------------------------------------------------------
+@register(
+    "bars_enrich",
+    oracle="""
+    SELECT e.event_id, e.ts, e.value, n.n_name AS company
+    FROM events e
+    JOIN nation n ON e.user_id % 30 = n.n_nationkey
+    """,
+)
+def q_bars_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim enrich (J2): fact rows pick up the dimension name;
+    unknown keys are dropped (inner), mirroring loading.py:330-333.
+    Scale: BroadcastHashJoin — the dim ships once per executor, the fact
+    side never shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    facts = events.withColumn("dim_key", (F.col("user_id") % 30).cast("int"))
+    enriched = broadcast_enrich(
+        facts, nation, facts["dim_key"] == nation["n_nationkey"], "inner"
+    )
+    return enriched.select(
+        "event_id", "ts", "value", F.col("n_name").alias("company")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3/J4: left-anti dedup vs target — "which incoming keys are new?"
+# (reference loading.py:150-161 on url, :213-224 on reddit_id). The
+# incoming batch synthesizes duplicate urls from documents; the existing
+# target is the subset with doc_id % 3 = 0.
+# --------------------------------------------------------------------------
+@register(
+    "new_urls_anti",
+    oracle="""
+    WITH incoming AS (
+      SELECT DISTINCT 'https://news.example.com/' || (doc_id % 400) AS url
+      FROM documents
+    ),
+    existing AS (
+      SELECT 'https://news.example.com/' || (doc_id % 400) AS url
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT i.url
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.url = i.url)
+    """,
+)
+def q_new_urls_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti merge predicate (J3/J4): batch-dedup incoming urls, then
+    keep only those absent from the target — the insert set of the
+    reference's idempotent article sink (loading.py:150-161).
+    Scale: both sides shuffle on the high-cardinality url key; the anti
+    join's build side carries keys only (column-pruned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://news.example.com/"), (F.col("doc_id") % 400)).alias("url")
+    incoming = docs.select(url).dropDuplicates(["url"])
+    existing = docs.filter(F.col("doc_id") % 3 == 0).select(url)
+    return new_rows_anti(incoming, existing, ["url"])
+
+
+# --------------------------------------------------------------------------
+# J5: lookup-or-create + FK backfill. Reference: link posts probe a
+# url→Article cache, create articles on miss, then set post.article_id
+# (loading.py:226-292). Posts = documents (text posts get null url);
+# existing articles = urls seen before with a stable id; created articles
+# get a deterministic sha256 surrogate id (SURVEY §7.4 — no uuid()).
+# --------------------------------------------------------------------------
+@register(
+    "posts_link_articles",
+    oracle="""
+    WITH posts AS (
+      SELECT doc_id AS post_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE 'https://ext.example.com/' || (doc_id % 120) END AS url
+      FROM documents
+    ),
+    existing AS (
+      SELECT DISTINCT 'https://ext.example.com/' || (doc_id % 120) AS url,
+             sha256('old:' || 'https://ext.example.com/' || (doc_id % 120)) AS id
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+    ),
+    wanted AS (SELECT DISTINCT url FROM posts WHERE url IS NOT NULL),
+    created AS (
+      SELECT w.url, sha256('new:' || w.url) AS id
+      FROM wanted w
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.url = w.url)
+    ),
+    articles AS (SELECT * FROM existing UNION ALL SELECT * FROM created)
+    SELECT p.post_id, p.url, a.id AS article_id
+    FROM posts p LEFT JOIN articles a ON p.url = a.url
+    """,
+)
+def q_posts_link_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-or-create articles by url, then FK-backfill posts (J5):
+    dropDuplicates = the reference's intra-batch cache, anti-join = the
+    DB probe, union = the create, left join = article_id assignment.
+    Scale: the articles dim stays proportional to distinct batch urls —
+    broadcastable; posts never shuffle for the final backfill."""
+    docs = load_table(spark, sf_dir, "documents")
+    url_expr = F.concat(F.lit("https://ext.example.com/"), (F.col("doc_id") % 120))
+    posts = docs.select(
+        F.col("doc_id").alias("post_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(url_expr).alias("url"),
+    )
+    existing = (
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 != 0))
+        .select(url_expr.alias("url"))
+        .dropDuplicates(["url"])
+        .select("url", F.sha2(F.concat(F.lit("old:"), F.col("url")), 256).alias("id"))
+    )
+    articles = lookup_or_create(
+        posts,
+        existing,
+        "url",
+        {"id": F.sha2(F.concat(F.lit("new:"), F.col("url")), 256)},
+    )
+    return fk_backfill(posts, articles, on="url", fk_col="article_id").select(
+        "post_id", "url", "article_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# J6: analytic FK joins — the reference declares posts→articles and
+# bars→companies FKs for downstream analytics (models/reddit_post.py:26-28,
+# models/stock_bar.py:28-33); the TPC-H-shaped equivalent is the
+# lineitem→orders→customer→nation→region chain (Q5 shape).
+# --------------------------------------------------------------------------
+@register(
+    "region_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           cast(sum(cast(l.l_extendedprice AS {_D122})
+                    * cast(1 - l.l_discount AS {_D122})) AS double) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o.o_orderdate <  timestamp '1998-01-01 00:00:00'
+    GROUP BY r.r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region over the FK chain (J6, TPC-H Q5 shape) with
+    decimal-exact money math.
+    Scale: lineitem⋈orders is the one fact⋈fact shuffle (equi-key
+    l_orderkey, AQE handles skew); customer⋈nation⋈region collapse into
+    a broadcast chain so the orders side never reshuffles for dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    revenue = (F.col("l_extendedprice").cast(_D122) * (F.lit(1) - F.col("l_discount")).cast(_D122))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(dims, F.col("o_custkey") == dims["c_custkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

@@ -53,4 +53,8 @@ def oracle_map() -> dict[str, str]:
 
 def _load() -> None:
     # Import for side effect: module-level @register calls populate QUERIES.
-    from stonkwhisperer_spark.plans import queries  # noqa: F401
+    from stonkwhisperer_spark.plans import (  # noqa: F401
+        queries,
+        queries_joins,
+        queries_timeseries,
+    )

@@ -25,8 +25,13 @@ def _pin_session_confs(spark: SparkSession) -> None:
     #   (transformation.py:59-60) and the DuckDB oracle is naive-UTC.
     # * nanosAsLong — events.parquet carries TIMESTAMP(NANOS) which
     #   Spark 4 otherwise refuses; we downcast ns→µs ourselves.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NOTE: these mutate the hosting session globally (any later parquet
+    # read in the same session sees nanosAsLong). Guarded so we set them
+    # once and never fight a session that already has the right values.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
