@@ -56,5 +56,6 @@ def _load() -> None:
     from stonkwhisperer_spark.plans import (  # noqa: F401
         queries,
         queries_joins,
+        queries_pipelines,
         queries_timeseries,
     )
