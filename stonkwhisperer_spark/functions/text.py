@@ -70,27 +70,79 @@ def token_count_sql(expr: str) -> str:
     return f"cast(case when {c} = '' then 0 else len(regexp_split_to_array({c}, '\\s+')) end as bigint)"
 
 
+# Language-ID normalization keeps CJK (U+4E00-U+9FFF) alongside ASCII
+# word chars: clean_text_for_nlp's [^\w\s.!?] strips CJK entirely (Java
+# \w is ASCII), which made zh markers unreachable. Replacement is ' '
+# (not '') so stripped punctuation never glues adjacent words together.
+_LANGID_STRIP = r"[^\w\s\x{4e00}-\x{9fff}]"
+
+
+def _langid_parts(col: Column | str) -> tuple[Column, Column]:
+    raw = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    norm = F.regexp_replace(F.lower(raw), _LANGID_STRIP, " ")
+    toks = F.split(F.trim(norm), r"\s+")
+    return norm, toks
+
+
 def language_id(col: Column | str) -> Column:
     """Marker-word language heuristic: argmax over per-language hit
-    counts of a tiny stopword list; 'und' when nothing matches.
+    counts; 'und' when nothing matches. Latin languages score by
+    whole-token match; zh scores by CJK marker-character occurrences
+    (whitespace tokenization doesn't apply to Chinese). Ties resolve to
+    the lexicographically-largest language code (struct-max semantics).
 
     Scale note: pure codegen'd expressions over a split() array — no
     shuffle, no UDF; at 100 TB this is a map-only pass.
     """
-    c = clean_text_for_nlp(col)
-    toks = F.split(c, " ")
+    norm, toks = _langid_parts(col)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))  # noqa: B023
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        if lang == "zh":
+            # Occurrence count of single CJK marker chars via
+            # length-delta under replace (portable to the SQL twin).
+            hits: Column = F.lit(0)
+            for m in markers:
+                hits = hits + (F.length(norm) - F.length(F.replace(norm, F.lit(m), F.lit(""))))
+        else:
+            arr = F.array(*[F.lit(m) for m in markers])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))  # noqa: B023
+        scores.append(F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def language_id_sql(expr: str) -> str:
+    """DuckDB twin of language_id. Tie-break parity: Spark's struct-max
+    picks the largest (hits, lang) pair, so among tied hit counts the
+    lexicographically-largest code wins — the CASE tests codes in
+    descending lexicographic order."""
+    raw = f"coalesce({expr}, '')"
+    norm = f"regexp_replace(lower({raw}), '{_LANGID_STRIP}', ' ', 'g')"
+    toks = f"regexp_split_to_array(trim({norm}), '\\s+')"
+    hit_exprs: dict[str, str] = {}
+    for lang, markers in _LANG_MARKERS.items():
+        if lang == "zh":
+            parts = [
+                f"(len({norm}) - len(replace({norm}, '{m}', '')))" for m in markers
+            ]
+            hit_exprs[lang] = "(" + " + ".join(parts) + ")"
+        else:
+            lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+            hit_exprs[lang] = f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    ordered = sorted(hit_exprs, reverse=True)  # desc lexicographic
+    cases = " ".join(f"WHEN {hit_exprs[lang]} = {best} THEN '{lang}'" for lang in ordered)
+    return f"(CASE WHEN {best} = 0 THEN 'und' {cases} END)"
+
+
 def quality_signals(col: Column | str) -> dict[str, Column]:
     """Document quality scoring signals (length, punctuation ratio,
-    stopword ratio, mean word length) as a dict of named columns."""
+    stopword ratio, mean word length) as a dict of named columns.
+
+    Ratios are raw IEEE-double divisions of integer counts — no
+    rounding — so they reproduce bit-exactly on any engine that
+    computes the same counts (oracle parity, SURVEY §7.4).
+    """
     raw = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     n_chars = F.length(raw)
     toks = F.split(F.trim(raw), r"\s+")
@@ -102,9 +154,26 @@ def quality_signals(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
-        "stopword_ratio": F.round(n_stop.cast("double") / safe_tokens, 6),
-        "mean_token_len": F.round(
-            (F.length(F.regexp_replace(raw, r"\s+", ""))).cast("double") / safe_tokens, 6
-        ),
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+        "mean_token_len": F.length(F.regexp_replace(raw, r"\s+", "")).cast("double")
+        / safe_tokens,
+    }
+
+
+def quality_signals_sql(expr: str) -> dict[str, str]:
+    """DuckDB twin of quality_signals, keyed by the same output names."""
+    raw = f"coalesce({expr}, '')"
+    toks = f"regexp_split_to_array(trim({raw}), '\\s+')"
+    n_tokens = f"(CASE WHEN trim({raw}) = '' THEN 0 ELSE len({toks}) END)"
+    n_punct = f"(len({raw}) - len(regexp_replace({raw}, '[.!?,;:]', '', 'g')))"
+    stop_lst = "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS["en"]) + "]"
+    n_stop = f"len(list_filter({toks}, t -> list_contains({stop_lst}, lower(t))))"
+    safe = f"cast(greatest({n_tokens}, 1) AS double)"
+    return {
+        "n_chars": f"cast(len({raw}) AS bigint)",
+        "n_tokens": f"cast({n_tokens} AS bigint)",
+        "punct_ratio": f"cast({n_punct} AS double) / cast(greatest(len({raw}), 1) AS double)",
+        "stopword_ratio": f"cast({n_stop} AS double) / {safe}",
+        "mean_token_len": f"cast(len(regexp_replace({raw}, '\\s+', '', 'g')) AS double) / {safe}",
     }

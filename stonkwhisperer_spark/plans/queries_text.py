@@ -1,0 +1,159 @@
+"""Text-analysis, profiling, and multimodal-column registered queries.
+
+Covers the LLM-training-data extensions (language-ID, quality scoring)
+plus SURVEY §2.5 A3/A6–A8, §2.7 U1, and the multimodal binary-column
+plumbing pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.functions.text import (
+    language_id,
+    language_id_sql,
+    quality_signals,
+    quality_signals_sql,
+)
+from stonkwhisperer_spark.operators.profile import profile
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Language-ID + quality scoring over documents (training-data pipeline
+# text-analysis stage; extends reference C1's cleaning with scoring).
+# --------------------------------------------------------------------------
+
+_QS = quality_signals_sql("text")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           lang,
+           {language_id_sql("text")}     AS lang_pred,
+           {_QS["n_chars"]}              AS n_chars,
+           {_QS["n_tokens"]}             AS n_tokens,
+           {_QS["punct_ratio"]}          AS punct_ratio,
+           {_QS["stopword_ratio"]}       AS stopword_ratio,
+           {_QS["mean_token_len"]}       AS mean_token_len
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality signals per document. Map-only
+    codegen pass — no shuffle, no UDF; ratios are raw integer-count
+    divisions so they hash identically cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_signals("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        language_id("text").alias("lang_pred"),
+        *[c.alias(n) for n, c in qs.items()],
+    )
+
+
+# --------------------------------------------------------------------------
+# A6–A8 profiler over documents.
+# --------------------------------------------------------------------------
+
+_DOC_COLS = [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+             ("source", "string"), ("n_chars", "bigint")]
+
+_PROFILE_PARTS = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, '{t}' AS dtype,
+        (count(CASE WHEN {c} IS NULL THEN 1 END) * 100.0) / count(*) AS null_pct,
+        cast(count(DISTINCT {c}) AS bigint) AS n_distinct
+        FROM documents"""
+    for c, t in _DOC_COLS
+)
+
+
+@register(
+    "profile_documents",
+    oracle=f"""
+    {_PROFILE_PARTS}
+    UNION ALL
+    SELECT '__row__' AS col_name, 'row' AS dtype,
+           cast(NULL AS double) AS null_pct,
+           cast(count(*) AS bigint) AS n_distinct
+    FROM (SELECT DISTINCT * FROM documents)
+    """,
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (null %, exact distinct counts, dtypes) + the
+    distinct-full-row count (dup-row profile A7) — reference
+    data_analysis (transformation.py:240-260) as one aggregate pass.
+    Scale: single agg; exact count(distinct) implies an Expand — switch
+    profile(approx=True) for HLL at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs)
+
+
+# --------------------------------------------------------------------------
+# A3 distinct-value collection + U1 union of batches.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "distinct_event_types",
+    oracle="""
+    SELECT DISTINCT event_type FROM (
+      SELECT event_type FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_type FROM events WHERE event_id % 2 = 1
+    )
+    """,
+)
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values over a union of two batch halves — the
+    reference's ticker-list collection (A3, transformation.py:229) over
+    its Celery batch-flatten union (U1, extraction.py:90).
+    Scale: partial distinct runs map-side before the single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0).select("event_type")
+    half_b = ev.filter(F.col("event_id") % 2 == 1).select("event_type")
+    return half_a.unionByName(half_b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Multimodal-column plumbing: opaque binary payload + typed metadata.
+# The decode/feature-extract stage lives in operators/multimodal.py
+# (Pandas-UDF plumbing with a stubbed decoder); this query is the
+# metadata/manifest pattern — schema, hashing, and header sniffing all
+# engine-side over a binary column.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_manifest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END                    AS media_type,
+           cast(octet_length(encode(text)) AS bigint)   AS n_bytes,
+           sha256(text)                                 AS content_sha256,
+           lower(hex(encode(substr(text, 1, 4))))       AS header_hex
+    FROM documents
+    """,
+)
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest over an opaque binary media column: typed metadata,
+    content hash, header-magic hex — the multimodal column pattern with
+    text bytes standing in for image/audio payloads. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.octet_length(media).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("header_hex"),
+    )

@@ -57,5 +57,6 @@ def _load() -> None:
         queries,
         queries_joins,
         queries_pipelines,
+        queries_text,
         queries_timeseries,
     )
