@@ -1,0 +1,153 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, in increasing tolerance for fuzz:
+  * exact (hash-groupBy / keep-first window) — see plans/queries.py
+    dedup_keep_first / dedup_low_card;
+  * n-gram Jaccard (exact set similarity over word shingles) —
+    ``jaccard_pairs``: pairs are generated only through co-occurring
+    shingles (an inverted-index join), never all-pairs;
+  * MinHash + LSH banding — ``minhash_signatures`` / ``band_keys``:
+    constant-size signatures, candidate pairs only within equal band
+    buckets; the 100 TB path;
+  * SimHash — ``simhash16``: one 16-bit signature per doc, equal-bucket
+    grouping for near-exact text.
+
+All of it is native column expressions + joins/aggregations — no UDFs,
+all shuffles are on hash-uniform keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+
+def explode_shingles(df: DataFrame, id_col: str, shingle_col: Column) -> DataFrame:
+    """(id, shingle) posting list — distinct shingles per doc."""
+    return df.select(F.col(id_col), F.explode(shingle_col).alias("shingle"))
+
+
+def jaccard_pairs(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity for every doc pair sharing ≥1 shingle.
+
+    postings: (id, shingle) with distinct shingles per doc.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    Scale: the self-join is an inverted-index join — cost is
+    Σ_shingle df(shingle)², so ubiquitous shingles are the hot spot.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs (stop-shingles carry no dedup signal but quadratic cost); at
+    100 TB prefer the MinHash/LSH path below.
+    """
+    if max_doc_freq is not None:
+        keep = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(keep, "shingle", "left_semi")
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = postings.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = postings.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature (array of n_hashes bigints) of a shingle array:
+    sig[i] = min over shingles of hash_i(shingle). Empty shingle set →
+    null signature (caller filters). Map-only codegen."""
+    mins = [
+        F.array_min(F.transform(shingle_arr, lambda s: portable_hash64(s, seed=i)))  # noqa: B023
+        for i in range(n_hashes)
+    ]
+    return F.when(F.size(shingle_arr) > 0, F.array(*mins))
+
+
+def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: array of n_bands md5 digests, each over one
+    signature band (rows_per_band values, comma-joined). Equal band key
+    ⇒ candidate pair."""
+    bands = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*bands)
+
+
+def lsh_candidates(
+    docs: DataFrame, id_col: str, sig_col: Column, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing at least one LSH
+    band bucket. Scale: shuffle on (band_idx, band_key) — bucket sizes
+    are the quadratic cost; tune n_bands/rows_per_band so buckets stay
+    small, and AQE skew-join splits the stragglers."""
+    banded = docs.select(
+        F.col(id_col),
+        F.posexplode(band_keys(sig_col, n_bands, rows_per_band)).alias("band_idx", "band_key"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash over distinct tokens: bit j is the sign of
+    Σ_tokens (±1 by bit j of the token hash). Near-identical docs share
+    the signature; group-by-signature gives near-exact dedup buckets.
+    Map-only codegen."""
+    dtoks = F.array_distinct(toks)
+    hashes = F.transform(dtoks, lambda t: portable_hash64(t))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc  # noqa: B023
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),  # noqa: B023
+        )
+        for j in range(16)
+    ]
+    out = F.lit(0)
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("int")

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  * ``knn_bruteforce`` — exact cosine top-k of every query vector
+    against all candidates. O(|Q|·|C|) scans; the correctness baseline
+    and fine when |Q| is small (queries broadcast).
+  * ``hyperplane_bucket`` — random-hyperplane LSH: each vector maps to
+    a small integer bucket (sign bits of dot products with n_planes
+    pseudo-random hyperplanes). Restricting search to equal (or
+    near-by) buckets is the 100 TB path: the candidate join becomes a
+    bucket-equi join instead of a cross join.
+
+Dot products fold left-to-right with ``F.aggregate`` over doubles —
+bit-identical to DuckDB's list_reduce, which the oracle uses. No UDFs;
+everything stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+import hashlib
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i], left-to-right double fold (IEEE-deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    """Euclidean norm, same fold order as dot()."""
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self-match
+    excluded when ids collide). Deterministic: cosine ties break on
+    candidate id.
+
+    Scale: queries are broadcast (small side); candidates stream
+    through a single narrow pass per partition; the top-k is a window
+    over q_id — with few queries, partitions are |C| rows each, so for
+    large |Q| switch to the LSH-bucketed path."""
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
+    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    md5-derived, computed once driver-side and inlined as a literal —
+    any engine (or oracle SQL) reproduces the exact double."""
+    h = int(hashlib.md5(f"p{plane}d{dim}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id (0..2^n_planes-1): bit p = sign of <vec, plane_p>.
+    Map-only; the plane components are literals, the per-plane dot is a
+    left-chained double sum (same order as an oracle SQL twin)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        s: Column = F.lit(0.0)
+        for d in range(dim):
+            s = s + F.element_at(vec, d + 1).cast("double") * F.lit(plane_component(p, d))
+        bucket = bucket + F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")

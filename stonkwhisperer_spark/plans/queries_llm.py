@@ -1,0 +1,259 @@
+"""LLM training-data pipeline queries: near-dup detection (exact
+Jaccard, MinHash+LSH, SimHash), document fingerprinting, and
+similarity search over embeddings (brute-force kNN + LSH buckets).
+
+Every query has an exact DuckDB oracle built on the portable md5-based
+hash (functions/hashing.py) so even the hash-driven ops verify
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.functions.hashing import (
+    portable_hash64_sql,
+    shingles,
+    shingles_sql,
+    tokens_of,
+)
+from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_for_nlp_sql
+from stonkwhisperer_spark.operators.dedup import (
+    explode_shingles,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signature,
+    simhash16,
+)
+from stonkwhisperer_spark.operators.similarity import (
+    hyperplane_bucket,
+    knn_bruteforce,
+    plane_component,
+)
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+# Shared CTE: documents → cleaned text → tokens → distinct 3-gram
+# shingle posting list, identical on both engines.
+_CLEAN = clean_text_for_nlp_sql("text")
+_TOKS = f"regexp_split_to_array({_CLEAN}, ' ')"
+_POSTINGS_SQL = f"""
+    SELECT doc_id, unnest({shingles_sql(_TOKS, 3)}) AS shingle
+    FROM documents
+"""
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens_of(clean_text_for_nlp("text")), 3)
+    return explode_shingles(docs, "doc_id", sh)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (inverted-index join, no all-pairs).
+# --------------------------------------------------------------------------
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH postings AS ({_POSTINGS_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM postings a JOIN postings b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           cast(inter AS double) / cast(sa.n + sb.n - inter AS double) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE cast(inter AS double) / cast(sa.n + sb.n - inter AS double) >= 0.8
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (threshold 0.8).
+    Scale: pairs come only from co-occurring shingles (inverted-index
+    self-join); quadratic only in per-shingle doc frequency — cap hot
+    shingles via jaccard_pairs(max_doc_freq=...) or use the MinHash
+    path at 100 TB."""
+    return jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# MinHash (16 hashes) + LSH banding (4 bands × 4 rows) candidate pairs.
+# --------------------------------------------------------------------------
+_MINHASH_SQL = f"""
+    WITH postings AS ({_POSTINGS_SQL}),
+    hashes AS (
+      SELECT doc_id, seed.s AS seed,
+             {portable_hash64_sql("(seed.s || '|' || shingle)")} AS h
+      FROM postings, (SELECT unnest(range(16)) AS s) seed
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashes GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band_idx,
+             md5(string_agg(cast(mh AS varchar), ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+"""
+
+
+@register(
+    "minhash_band_candidates",
+    oracle=_MINHASH_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band_idx, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: 16-hash signatures, 4
+    bands of 4 — a pair is a candidate iff some band matches exactly.
+    Scale: the 100 TB dedup path — constant-size signatures (map-only),
+    one shuffle on (band_idx, band_key), bucket-local pair generation;
+    verify candidates with exact Jaccard afterwards."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens_of(clean_text_for_nlp("text")), 3)
+    sigs = docs.select("doc_id", minhash_signature(sh, 16).alias("sig")).filter(
+        F.col("sig").isNotNull()
+    )
+    return lsh_candidates(sigs, "doc_id", F.col("sig"), n_bands=4, rows_per_band=4)
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: min-hash scalar + 4 smallest shingle hashes
+# (a winnowing-style content sketch).
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH postings AS ({_POSTINGS_SQL}),
+    hashed AS (SELECT doc_id, {portable_hash64_sql("shingle")} AS h FROM postings)
+    SELECT doc_id,
+           min(h)                                            AS fingerprint,
+           list_slice(list_sort(list(h)), 1, 4)              AS minhash_4,
+           cast(count(*) AS bigint)                          AS n_shingles
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc: global min shingle hash + the 4
+    smallest hashes (k-min sketch) + shingle count. Map-only then one
+    hash aggregation; sketches are constant-size."""
+    postings = _postings(spark, sf_dir)
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+    hashed = postings.select("doc_id", portable_hash64("shingle").alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.slice(F.array_sort(F.collect_list("h")), 1, 4).alias("minhash_4"),
+        F.count("*").cast("bigint").alias("n_shingles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (16-bit) per document.
+# --------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    toks = f"unnest(list_distinct({_TOKS}))"
+    h = portable_hash64_sql("tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS tok FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, cast({bits} AS int) AS simhash FROM sums
+    """
+
+
+@register("simhash_signatures", oracle=_simhash_sql())
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct cleaned tokens —
+    equal-signature grouping gives near-exact dedup buckets. Map-only
+    codegen (the fold runs over the in-row token array; no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(clean_text_for_nlp("text"))
+    return docs.select("doc_id", simhash16(toks).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k over embeddings (correctness baseline).
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> cast({a}[i] AS double) * cast({b}[i] AS double)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "knn_embeddings",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nq
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS cv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nc
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, c_id,
+             {_DOT.format(a='qv', b='cv')} / (nq * nc) AS cosine
+      FROM c, q WHERE q_id <> c_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, c_id, cosine FROM ranked WHERE rn <= 5
+    """,
+)
+def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 8 query vectors — the ANN
+    correctness baseline. Queries broadcast; one narrow scoring pass
+    over candidates; per-query top-k window. Ties break on c_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cands = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return knn_bruteforce(queries, cands, k=5)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH buckets over embeddings (the ANN scale path).
+# --------------------------------------------------------------------------
+_N_PLANES, _DIM = 8, 64
+
+
+def _lsh_sql() -> str:
+    plane_sums = []
+    for p in range(_N_PLANES):
+        terms = " + ".join(
+            f"cast(embedding[{d + 1}] AS double) * {plane_component(p, d)!r}"
+            for d in range(_DIM)
+        )
+        plane_sums.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_sums)
+    return f"SELECT vec_id, cast({bucket} AS int) AS bucket FROM embeddings"
+
+
+@register("embedding_lsh_buckets", oracle=_lsh_sql())
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (8 planes → 256
+    buckets): sign bits of dot products with deterministic md5-seeded
+    hyperplanes. Map-only; at 100 TB, ANN search joins query buckets
+    to candidate buckets instead of cross-joining vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket")
+    )

@@ -56,6 +56,7 @@ def _load() -> None:
     from stonkwhisperer_spark.plans import (  # noqa: F401
         queries,
         queries_joins,
+        queries_llm,
         queries_pipelines,
         queries_text,
         queries_timeseries,

@@ -1,0 +1,67 @@
+"""Sink property tests (SURVEY.md §5.4): partition layout and the
+idempotence invariant — re-running a batch inserts 0 rows
+(reference loading.py:150-161)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.sinks.writers import merge_append, upsert_bars, write_partitioned
+
+
+def _articles(spark, n=20, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.concat(F.lit("https://ex.com/"), F.col("id")).alias("url"),
+        F.concat(F.lit("title "), F.col("id")).alias("title"),
+    )
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "landing")
+    write_partitioned(_articles(spark), path)
+    parts = [d for d in os.listdir(path) if d.startswith("ingestion_date=")]
+    assert len(parts) == 1
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_merge_append_idempotent(spark, tmp_path):
+    path = str(tmp_path / "articles")
+    batch = _articles(spark)
+    assert merge_append(spark, path, batch, ["url"]) == 20
+    # the reference invariant: re-run => 0 new rows
+    assert merge_append(spark, path, batch, ["url"]) == 0
+    assert spark.read.parquet(path).count() == 20
+    # overlapping batch: only genuinely-new keys insert
+    assert merge_append(spark, path, _articles(spark, n=20, offset=10), ["url"]) == 10
+    assert spark.read.parquet(path).count() == 30
+
+
+def test_merge_append_dedups_batch(spark, tmp_path):
+    path = str(tmp_path / "dedup")
+    dup_batch = _articles(spark, n=5).unionByName(_articles(spark, n=5))
+    assert merge_append(spark, path, dup_batch, ["url"]) == 5
+
+
+def test_upsert_bars_resolves_fk_and_skips_unknown(spark, tmp_path):
+    path = str(tmp_path / "bars")
+    companies = spark.createDataFrame(
+        [("c1", "AAPL"), ("c2", "MSFT")], "id string, ticker string"
+    )
+    bars = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01-02 09:30:00", 190.0),
+            ("MSFT", "2024-01-02 09:30:00", 370.0),
+            ("NOPE", "2024-01-02 09:30:00", 1.0),  # unknown ticker -> skipped
+        ],
+        "ticker string, bar_ts string, close double",
+    ).withColumn("bar_ts", F.col("bar_ts").cast("timestamp_ntz"))
+    assert upsert_bars(spark, path, bars, companies) == 2
+    out = spark.read.parquet(path)
+    assert set(out.columns) >= {"company_id", "bar_ts", "close", "bar_date"}
+    assert out.count() == 2
+    # composite-key idempotence (company_id, bar_ts)
+    assert upsert_bars(spark, path, bars, companies) == 0
+    # partition layout: hypertable-style date partitions
+    assert any(d.startswith("bar_date=") for d in os.listdir(path))
