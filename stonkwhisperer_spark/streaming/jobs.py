@@ -1,0 +1,109 @@
+"""Structured Streaming jobs (SURVEY.md §2.9, build plan M4).
+
+The reference ingests by daily batch poll; its streaming-equivalent
+semantics map to:
+
+  * landing-zone file source with ``maxFilesPerTrigger`` — the
+    "newest-first, limit N" polling rate limit (extraction.py:116-119);
+  * event-time watermark + ``dropDuplicatesWithinWatermark`` — the
+    in-stream half of the url/reddit_id dedup (loading.py:150-161);
+    cross-run dedup stays in the ``foreachBatch`` merge (the
+    merge_append sink), exactly the split SURVEY §2.9 prescribes;
+  * tumbling-window minute bars over raw ticks — the aggregation the
+    reference outsources to its bar vendor (extraction.py:196-222),
+    with ``min_by``/``max_by`` open/close picks;
+  * ``foreachBatch`` merge-append — per-micro-batch idempotent insert,
+    so a replayed micro-batch (at-least-once delivery) lands 0 rows.
+
+State stays bounded: every stateful op (dedup, window agg) sits behind
+the watermark, so state for closed windows/expired keys is evicted —
+the property that keeps a 100 TB/day stream from accumulating unbounded
+executor state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from stonkwhisperer_spark.sinks.writers import merge_append
+
+
+def read_landing_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing zone of parquet drops.
+    ``max_files_per_trigger`` is the source-side rate limit (F3)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: Sequence[str], ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """In-stream dedup on the natural key, state bounded by the
+    watermark. Cross-run dupes are the merge sink's job."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def minute_bars(
+    ticks: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "symbol",
+    value_col: str = "price",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling 1-minute OHLCV per key over a tick stream (same shape
+    as the batch ohlcv_1min flagship; works on batch frames too when
+    ``watermark=None``). Late ticks beyond the watermark are dropped —
+    the documented late-data policy."""
+    src = ticks.withWatermark(ts_col, watermark) if watermark else ticks
+    v, t = F.col(value_col), F.col(ts_col)
+    return (
+        src.groupBy(F.window(t, "1 minute").alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(v, t).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, t).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bar_ts"), key_col, "open", "high", "low", "close", "n_ticks"
+        )
+    )
+
+
+def start_merge_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch merge-append sink: each micro-batch left-anti joins
+    the target on ``keys`` and appends only new rows — replayed batches
+    insert 0 (per-batch idempotence on top of checkpoint exactly-once).
+    ``available_now=True`` drains the backlog then stops (the batch-
+    shaped trigger used in tests and backfills)."""
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        merge_append(batch_df.sparkSession, target_path, batch_df, keys)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,121 @@
+"""Structured Streaming (M4): landing-zone file source → watermark
+dedup → foreachBatch merge, and windowed minute bars. availableNow
+triggers drain the backlog so tests are deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stonkwhisperer_spark.streaming.jobs import (
+    dedup_within_watermark,
+    minute_bars,
+    read_landing_stream,
+    start_merge_stream,
+)
+
+NEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("published_at", T.TimestampType()),
+    ]
+)
+
+
+def _drop(spark, path, rows):
+    spark.createDataFrame(rows, NEWS_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture
+def landing(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    path = str(tmp_path / "landing")
+    _drop(
+        spark,
+        path,
+        [
+            ("u/1", "a", t0),
+            ("u/2", "b", t0),
+            ("u/2", "b-dup-in-stream", t0),  # in-stream dup (same key)
+        ],
+    )
+    _drop(spark, path, [("u/3", "c", t0), ("u/1", "a-cross-file-dup", t0)])
+    return path
+
+
+def test_stream_dedup_and_merge(spark, landing, tmp_path):
+    target = str(tmp_path / "articles")
+    stream = read_landing_stream(spark, landing, NEWS_SCHEMA, max_files_per_trigger=1)
+    deduped = dedup_within_watermark(stream, ["url"], "published_at", "10 minutes")
+    q = start_merge_stream(deduped, target, ["url"], str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 3  # u/1, u/2, u/3 exactly once
+    assert out.select("url").distinct().count() == 3
+
+    # replaying the whole landing zone with a fresh checkpoint still
+    # inserts nothing: the merge sink is the cross-run dedup layer.
+    stream2 = read_landing_stream(spark, landing, NEWS_SCHEMA)
+    q2 = start_merge_stream(
+        dedup_within_watermark(stream2, ["url"], "published_at"),
+        target,
+        ["url"],
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_streaming_minute_bars_match_batch(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 30, 0)
+    rows = [
+        ("AAPL", t0 + dt.timedelta(seconds=s), 100.0 + i)
+        for i, s in enumerate([5, 20, 40, 65, 80, 125])
+    ] + [("MSFT", t0 + dt.timedelta(seconds=10), 370.0)]
+    ticks_path = str(tmp_path / "ticks")
+    schema = "symbol string, ts timestamp, price double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(ticks_path)
+    # Sentinel tick 1h later in a second file: advances the watermark so
+    # append mode closes (emits) every real window; its own window stays
+    # open and is excluded from the comparison below.
+    sentinel_ts = t0 + dt.timedelta(hours=1)
+    spark.createDataFrame([("ZZZ", sentinel_ts, 0.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ticks_path)
+
+    stream = (
+        spark.readStream.schema("symbol string, ts timestamp, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ticks_path)
+    )
+    out_path = str(tmp_path / "bars_out")
+    q = (
+        minute_bars(stream, key_col="symbol", value_col="price")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.symbol, r.bar_ts.minute): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch = {
+        (r.symbol, r.bar_ts.minute): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in minute_bars(
+            spark.read.parquet(ticks_path), key_col="symbol", value_col="price", watermark=None
+        ).collect()
+        if r.symbol != "ZZZ"  # sentinel's own window never closes in the stream
+    }
+    assert got == batch
+    assert got[("AAPL", 30)] == (100.0, 102.0, 100.0, 102.0, 3)
+    assert got[("MSFT", 30)][4] == 1
