@@ -83,12 +83,35 @@ def jaccard_pairs(
 def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
     """MinHash signature (array of n_hashes bigints) of a shingle array:
     sig[i] = min over shingles of hash_i(shingle). Empty shingle set →
-    null signature (caller filters). Map-only codegen."""
+    null signature (caller filters).
+
+    NOTE: higher-order array functions execute INTERPRETED (outside
+    whole-stage codegen) — fine for modest rows, but for bulk corpora
+    prefer ``minhash_signatures_exploded`` below, whose per-seed hashes
+    are plain codegen'd columns over the exploded posting list."""
     mins = [
         F.array_min(F.transform(shingle_arr, lambda s: portable_hash64(s, seed=i)))  # noqa: B023
         for i in range(n_hashes)
     ]
     return F.when(F.size(shingle_arr) > 0, F.array(*mins))
+
+
+def minhash_signatures_exploded(
+    postings: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures from a (id, shingle) posting list: n_hashes
+    md5 columns per posting row (whole-stage codegen) → map-side
+    partial min aggregation → one signature array per doc. The bulk
+    path: per-row work is codegen'd, the shuffle carries one
+    n_hashes-wide row per doc per mapper."""
+    aggs = [
+        F.min(portable_hash64("shingle", seed=i)).alias(f"_h{i}") for i in range(n_hashes)
+    ]
+    return (
+        postings.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"))
+    )
 
 
 def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
@@ -135,7 +158,9 @@ def simhash16(toks: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit j is the sign of
     Σ_tokens (±1 by bit j of the token hash). Near-identical docs share
     the signature; group-by-signature gives near-exact dedup buckets.
-    Map-only codegen."""
+
+    Array-fold form (interpreted HOFs) — for bulk corpora use
+    ``simhash16_exploded``, the codegen'd aggregate formulation."""
     dtoks = F.array_distinct(toks)
     hashes = F.transform(dtoks, lambda t: portable_hash64(t))
     bit_sums = [
@@ -151,3 +176,22 @@ def simhash16(toks: Column) -> Column:
     for j, s in enumerate(bit_sums):
         out = out + F.when(s >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("int")
+
+
+def simhash16_exploded(token_rows: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """SimHash from exploded (id, tok) rows (distinct per doc): ONE
+    codegen'd hash per row, 16 conditional sums map-side, bit-combine
+    after the aggregation. The bulk path — everything stays in
+    whole-stage codegen; the shuffle carries 16 ints per doc."""
+    h = portable_hash64("tok")
+    sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_s{j}")
+        for j in range(16)
+    ]
+    agg = token_rows.groupBy(id_col).agg(*sums)
+    out = F.lit(0)
+    for j in range(16):
+        out = out + F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(id_col, out.cast("int").alias("simhash"))

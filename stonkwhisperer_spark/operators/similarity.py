@@ -53,15 +53,20 @@ def knn_bruteforce(
     candidate id.
 
     Scale: queries are broadcast (small side); candidates stream
-    through a single narrow pass per partition; the top-k is a window
-    over q_id — with few queries, partitions are |C| rows each, so for
-    large |Q| switch to the LSH-bucketed path."""
-    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
-    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"))
+    through a single narrow pass per partition; norms are computed ONCE
+    per vector (not per pair), so each pair costs a single dot fold;
+    the top-k is a window over q_id — with few queries, partitions are
+    |C| rows each, so for large |Q| switch to the LSH-bucketed path."""
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), norm(F.col(vec)).alias("_qn"))
+    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"), norm(F.col(vec)).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+        .select(
+            q_id,
+            c_id,
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        )
     )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
     return (

@@ -14,17 +14,16 @@ from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.functions.hashing import (
     portable_hash64_sql,
-    shingles,
+    shingle_postings,
     shingles_sql,
     tokens_of,
 )
 from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_for_nlp_sql
 from stonkwhisperer_spark.operators.dedup import (
-    explode_shingles,
     jaccard_pairs,
     lsh_candidates,
-    minhash_signature,
-    simhash16,
+    minhash_signatures_exploded,
+    simhash16_exploded,
 )
 from stonkwhisperer_spark.operators.similarity import (
     hyperplane_bucket,
@@ -32,7 +31,7 @@ from stonkwhisperer_spark.operators.similarity import (
     plane_component,
 )
 from stonkwhisperer_spark.plans.registry import register
-from stonkwhisperer_spark.sources.tables import load_table
+from stonkwhisperer_spark.sources.tables import load_table, spread
 
 # Shared CTE: documents → cleaned text → tokens → distinct 3-gram
 # shingle posting list, identical on both engines.
@@ -45,9 +44,11 @@ _POSTINGS_SQL = f"""
 
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window-lead formulation: everything stays in codegen (the array
+    # HOF route evaluates interpreted and is ~16x slower), and the
+    # window shuffle on doc_id balances work regardless of file layout.
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens_of(clean_text_for_nlp("text")), 3)
-    return explode_shingles(docs, "doc_id", sh)
+    return shingle_postings(docs, "doc_id", clean_text_for_nlp("text"), 3)
 
 
 # --------------------------------------------------------------------------
@@ -112,14 +113,11 @@ _MINHASH_SQL = f"""
 def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: 16-hash signatures, 4
     bands of 4 — a pair is a candidate iff some band matches exactly.
-    Scale: the 100 TB dedup path — constant-size signatures (map-only),
-    one shuffle on (band_idx, band_key), bucket-local pair generation;
-    verify candidates with exact Jaccard afterwards."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens_of(clean_text_for_nlp("text")), 3)
-    sigs = docs.select("doc_id", minhash_signature(sh, 16).alias("sig")).filter(
-        F.col("sig").isNotNull()
-    )
+    Scale: the 100 TB dedup path — signatures via the exploded codegen
+    formulation (16 hash columns + map-side partial min; no interpreted
+    array lambdas), one shuffle on (band_idx, band_key), bucket-local
+    pair generation; verify candidates with exact Jaccard afterwards."""
+    sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
     return lsh_candidates(sigs, "doc_id", F.col("sig"), n_bands=4, rows_per_band=4)
 
 
@@ -175,11 +173,15 @@ def _simhash_sql() -> str:
 @register("simhash_signatures", oracle=_simhash_sql())
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct cleaned tokens —
-    equal-signature grouping gives near-exact dedup buckets. Map-only
-    codegen (the fold runs over the in-row token array; no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    equal-signature grouping gives near-exact dedup buckets. Exploded
+    codegen formulation: one hash column per token row, 16 conditional
+    sums map-side, bit-combine after the aggregation."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens_of(clean_text_for_nlp("text"))
-    return docs.select("doc_id", simhash16(toks).alias("simhash"))
+    token_rows = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("tok")
+    )
+    return simhash16_exploded(token_rows, "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -225,7 +227,7 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    cands = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    cands = spread(emb, "vec_id").select(F.col("vec_id").alias("c_id"), "embedding")
     return knn_bruteforce(queries, cands, k=5)
 
 
@@ -253,7 +255,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets): sign bits of dot products with deterministic md5-seeded
     hyperplanes. Map-only; at 100 TB, ANN search joins query buckets
     to candidate buckets instead of cross-joining vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return emb.select(
         "vec_id", hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket")
     )

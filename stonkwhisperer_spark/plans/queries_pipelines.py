@@ -334,6 +334,9 @@ def _bars_raw(events: DataFrame) -> DataFrame:
 def q_bars_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end bars transform flow (C9 try_cast, W1-W4 gap-fill, F10,
     F5) over a raw frame derived from events. Scale: one shuffle on
-    symbol for the shared gap-fill windows; coercion map-side."""
+    symbol for the shared gap-fill windows; coercion map-side. Local
+    wall time is bounded by the 15-symbol window parallelism — a
+    testdata-cardinality artifact; production symbol counts (thousands)
+    parallelize the same plan fully."""
     events = load_table(spark, sf_dir, "events")
     return clean_bars(_bars_raw(events), tiebreak_col="event_id")

@@ -18,7 +18,7 @@ from stonkwhisperer_spark.functions.text import (
 )
 from stonkwhisperer_spark.operators.profile import profile
 from stonkwhisperer_spark.plans.registry import register
-from stonkwhisperer_spark.sources.tables import load_table
+from stonkwhisperer_spark.sources.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # Language-ID + quality scoring over documents (training-data pipeline
@@ -44,9 +44,11 @@ _QS = quality_signals_sql("text")
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality signals per document. Map-only
-    codegen pass — no shuffle, no UDF; ratios are raw integer-count
-    divisions so they hash identically cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
+    pass — no shuffle, no UDF; ratios are raw integer-count divisions
+    so they hash identically cross-engine. The marker-hit filters are
+    interpreted higher-order fns, so the input is spread() across cores
+    first (no-op on already-split inputs)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     qs = quality_signals("text")
     return docs.select(
         "doc_id",

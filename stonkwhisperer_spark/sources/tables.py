@@ -48,3 +48,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def spread(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
+    """Hash-repartition the input before expression-heavy per-row work
+    (regex chains, higher-order array functions — which execute
+    interpreted, not codegen'd, and so dominate wall time).
+
+    Why unconditional: the scan's *split count* is a lie for small
+    inputs — Spark cuts a single parquet file into defaultParallelism
+    byte-range splits, but all rows live in one row group, so one task
+    reads everything and 31 read nothing. Only an explicit exchange
+    guarantees balanced work. The repartition is one linear pass over
+    the rows it feeds — negligible next to the quadratic/hash work
+    downstream — and doubles as the skew-spreader on real clusters.
+    Row values are unaffected; only layout changes.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
