@@ -24,7 +24,11 @@ _FILL_MAP = {
 _FILL_NUM = {"score": 0, "number_of_comments": 0, "upvote_ratio": 0.5}
 
 
-def clean_posts(raw: DataFrame, order_col: str = "_arrival_id") -> DataFrame:
+def clean_posts(
+    raw: DataFrame,
+    order_col: str = "_arrival_id",
+    flairs: list[str] | None = None,
+) -> DataFrame:
     """RAW_POSTS_SCHEMA (+ arrival-order column) → clean reddit_posts.
 
     * F5 renames: selftext→body_text, num_comments→number_of_comments,
@@ -36,9 +40,16 @@ def clean_posts(raw: DataFrame, order_col: str = "_arrival_id") -> DataFrame:
       C1 body text clean; C6 epoch-seconds parse (:166-172);
       C10 int casts (:174-178); C11 sha256 surrogate id.
 
+    ``flairs``: F1 — the reference pushes a ``flair:"A" OR flair:"B"``
+    predicate into the Reddit search query (extraction.py:114-119,
+    325-327); the in-engine equivalent is an isin filter, which
+    Catalyst pushes to the landing-zone scan.
+
     Scale: one shuffle (the dedup window on the high-cardinality
     reddit_id key); the rest is map-side.
     """
+    if flairs is not None:
+        raw = raw.filter(F.col("link_flair_text").isin(list(flairs)))
     renamed = raw.withColumnsRenamed(
         {
             "selftext": "body_text",

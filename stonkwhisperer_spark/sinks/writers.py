@@ -100,6 +100,21 @@ def merge_append(
     return n
 
 
+def conform(df: DataFrame, schema) -> DataFrame:
+    """K6: enforce a declared table contract before writing — the
+    parquet-path stand-in for DDL. The reference pins its layout with
+    ``create_hypertable('stock_bars','timestamp')`` + SQLAlchemy column
+    types (migration.py:30-36); on Delta/Iceberg that is ``CREATE TABLE
+    ... PARTITIONED BY (...)``. Plain parquet has no catalog, so the
+    contract is enforced at write time instead: every schema column
+    must exist, is cast to the declared type, and extras are dropped.
+    Raises on missing columns rather than writing a drifted table."""
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"schema contract violated, missing columns: {missing}")
+    return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+
 def upsert_bars(
     spark: SparkSession,
     target_path: str,

@@ -1,0 +1,165 @@
+"""Operator-level unit tests: F1 flair predicate, F12 empty-input
+short-circuit, K6 table DDL, dedup formulation equivalence, language-ID
+CJK reachability (ADVICE r1), gap-fill semantics, ANN bucket recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.functions.hashing import shingle_postings, shingles, tokens_of
+from stonkwhisperer_spark.functions.text import clean_text_for_nlp, language_id
+from stonkwhisperer_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_signature,
+    minhash_signatures_exploded,
+    simhash16,
+    simhash16_exploded,
+)
+from stonkwhisperer_spark.operators.gapfill import gap_fill
+from stonkwhisperer_spark.schemas import RAW_POSTS_SCHEMA, STOCK_BARS_SCHEMA
+from stonkwhisperer_spark.sinks.writers import conform, merge_append
+
+
+def _posts_raw(spark):
+    rows = [
+        ("t3_1", "r/stocks", "u1", "T", None, 1, 0, True, None, "DD", 0.9,
+         "https://r/1", 1700000000, None, None, None, None, None, None),
+        ("t3_2", "r/stocks", "u2", "T", None, 1, 0, True, None, "Meme", 0.9,
+         "https://r/2", 1700000060, None, None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, RAW_POSTS_SCHEMA).withColumn(
+        "_arrival_id", F.monotonically_increasing_id()
+    )
+
+
+def test_flair_predicate_f1(spark):
+    from stonkwhisperer_spark.pipelines import clean_posts
+
+    raw = _posts_raw(spark)
+    assert clean_posts(raw).count() == 2
+    only_dd = clean_posts(raw, flairs=["DD", "News"])
+    assert [r.reddit_id for r in only_dd.collect()] == ["t3_1"]
+
+
+def test_empty_input_short_circuit_f12(spark, tmp_path):
+    from stonkwhisperer_spark.pipelines import clean_news, clean_posts
+    from stonkwhisperer_spark.schemas import RAW_NEWS_SCHEMA
+
+    empty_news = spark.createDataFrame([], RAW_NEWS_SCHEMA).withColumn(
+        "_arrival_id", F.monotonically_increasing_id()
+    )
+    assert clean_news(empty_news).count() == 0
+    assert clean_posts(_posts_raw(spark).limit(0)).count() == 0
+    # empty batch through the merge sink writes nothing, returns 0
+    path = str(tmp_path / "t")
+    assert merge_append(spark, path, empty_news.select("url", "title"), ["url"]) == 0
+
+
+def test_conform_schema_contract_k6(spark, tmp_path):
+    import pytest
+
+    rows = spark.createDataFrame(
+        [("i1", "c1", "2024-01-02 09:30:00", "1.5", "2", "1", "1.2", 10, 2, "1.3", "extra")],
+        "id string, company_id string, timestamp string, open_price string,"
+        "high_price string, low_price string, close_price string, volume long,"
+        "trade_count long, vwap string, junk string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = conform(rows, STOCK_BARS_SCHEMA)
+    assert [f.name for f in out.schema.fields] == [f.name for f in STOCK_BARS_SCHEMA.fields]
+    assert "junk" not in out.columns
+    assert str(out.schema["open_price"].dataType) == "DecimalType(12,4)"
+    with pytest.raises(ValueError, match="missing columns"):
+        conform(rows.drop("vwap"), STOCK_BARS_SCHEMA)
+
+
+def test_minhash_formulations_agree(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    postings = shingle_postings(docs, "doc_id", clean_text_for_nlp("text"))
+    exploded = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_exploded(postings, "doc_id", 8).collect()
+    }
+    arr = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(shingles(tokens_of(clean_text_for_nlp("text")), 3), 8).alias("sig"),
+        ).collect()
+    }
+    assert exploded == arr
+
+
+def test_simhash_formulations_agree(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    toks = tokens_of(clean_text_for_nlp("text"))
+    arr = {r.doc_id: r.s for r in docs.select("doc_id", simhash16(toks).alias("s")).collect()}
+    token_rows = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+    expl = {r.doc_id: r.simhash for r in simhash16_exploded(token_rows).collect()}
+    assert arr == expl
+
+
+def test_language_id_zh_reachable(spark):
+    # ADVICE r1: zh markers must survive normalization (the NLP cleaner
+    # strips CJK; language_id's own normalizer keeps it).
+    df = spark.createDataFrame(
+        [(1, "的是不了在人有我的是"), (2, "the cat and the dog is in the house"),
+         (3, "le chat est sur la table et le chien"), (4, "zzz qqq xxx")],
+        "id long, text string",
+    )
+    got = {r.id: r.lang for r in df.select("id", language_id("text").alias("lang")).collect()}
+    assert got == {1: "zh", 2: "en", 3: "fr", 4: "und"}
+
+
+def test_jaccard_max_doc_freq_prunes_hot_shingles(spark):
+    docs = spark.createDataFrame(
+        [(i, "common shingle text here unique" + (" x" * i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    postings = shingle_postings(docs, "doc_id", clean_text_for_nlp("text"))
+    full = jaccard_pairs(postings, threshold=0.1).count()
+    pruned = jaccard_pairs(postings, threshold=0.1, max_doc_freq=2).count()
+    assert pruned <= full
+
+
+def test_gapfill_leading_and_interior(spark):
+    df = spark.createDataFrame(
+        [("A", 1, None), ("A", 2, 10.0), ("A", 3, None), ("A", 4, 12.0), ("B", 1, None)],
+        "k string, t long, v double",
+    )
+    out = {(r.k, r.t): r.v for r in gap_fill(df, ["k"], ["t"], ["v"]).collect()}
+    assert out[("A", 1)] == 10.0  # leading null -> bfill
+    assert out[("A", 3)] == 10.0  # interior null -> ffill
+    assert out[("B", 1)] is None  # all-null key stays null
+
+
+def test_hyperplane_bucket_recall(spark):
+    """LSH sanity: a vector and its tiny perturbation land in the same
+    bucket far more often than random pairs (the property that makes
+    bucket-restricted ANN search work)."""
+    import random
+
+    from stonkwhisperer_spark.operators.similarity import hyperplane_bucket
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i * 2, v))
+        rows.append((i * 2 + 1, [x + rng.uniform(-0.01, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {
+        r.vec_id: r.bucket
+        for r in df.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), 6, 16).alias("bucket")
+        ).collect()
+    }
+    same = sum(1 for i in range(40) if b[i * 2] == b[i * 2 + 1])
+    assert same >= 30  # near-duplicates overwhelmingly co-bucket
+    assert len(set(b.values())) > 5  # and buckets actually spread
