@@ -59,6 +59,7 @@ def _load() -> None:
         queries_joins,
         queries_llm,
         queries_pipelines,
+        queries_sessions,
         queries_text,
         queries_timeseries,
     )

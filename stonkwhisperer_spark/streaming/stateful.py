@@ -1,0 +1,85 @@
+"""Custom stateful streaming operators via applyInPandasWithState
+(SURVEY §2.9: late/out-of-order bars need per-key state for gap-fill
+across micro-batches — the one streaming semantic plain windows can't
+express).
+
+State discipline for 100 TB/day streams: state per key is ONE row (the
+last observed value), not history; a processing-time timeout evicts
+idle keys so state can't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def streaming_ffill(
+    ticks: DataFrame,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    value_col: str = "price",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key forward fill that carries the last non-null value ACROSS
+    micro-batches (batch gap-fill W2 can only see its own batch).
+
+    Within a micro-batch, rows fill in (ts) order; the final value per
+    key persists in group state and seeds the next batch. Rows before
+    any observed value stay null (bfill across batches would require
+    holding rows back — policy documented, not silently applied).
+
+    Scale: state = one scalar per key; with ``idle_timeout_ms`` set,
+    keys idle longer than the timeout are evicted (processing-time
+    timeout), bounding state by the active-key working set.
+    """
+    out_schema = StructType.fromDDL(
+        f"{key_col} string, {ts_col} timestamp, {value_col} double, filled boolean"
+    )
+    state_schema = StructType.fromDDL("last double")
+
+    def fill(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            filled_flags = []
+            values = []
+            for v in pdf[value_col]:
+                if pd.isna(v):
+                    values.append(last)
+                    filled_flags.append(last is not None)
+                else:
+                    last = float(v)
+                    values.append(last)
+                    filled_flags.append(False)
+            out = pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(pdf),
+                    ts_col: pdf[ts_col],
+                    value_col: values,
+                    "filled": filled_flags,
+                }
+            )
+            yield out
+        state.update((last,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return ticks.groupBy(key_col).applyInPandasWithState(
+        fill, out_schema, state_schema, "append", timeout
+    )

@@ -1,0 +1,52 @@
+"""Cross-micro-batch stateful gap-fill (applyInPandasWithState): the
+last value of batch N seeds batch N+1 — the semantic batch windows
+cannot express."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from stonkwhisperer_spark.streaming.stateful import streaming_ffill
+
+
+def test_streaming_ffill_carries_state_across_batches(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 9, 30, 0)
+    schema = "symbol string, ts timestamp, price double"
+    ticks = str(tmp_path / "ticks")
+    # batch 1: AAPL ends with 101.0 on the wire
+    spark.createDataFrame(
+        [("AAPL", t0, 100.0), ("AAPL", t0 + dt.timedelta(minutes=1), None),
+         ("AAPL", t0 + dt.timedelta(minutes=2), 101.0),
+         ("MSFT", t0, None)],  # MSFT has no observed value yet
+        schema,
+    ).coalesce(1).write.mode("append").parquet(ticks)
+    # batch 2: AAPL leads with a null -> must fill from batch 1's 101.0
+    spark.createDataFrame(
+        [("AAPL", t0 + dt.timedelta(minutes=10), None),
+         ("AAPL", t0 + dt.timedelta(minutes=11), 102.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(ticks)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ticks)
+    )
+    out_path = str(tmp_path / "filled")
+    q = (
+        streaming_ffill(stream, key_col="symbol", ts_col="ts", value_col="price")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {(r.symbol, r.ts.minute): r for r in spark.read.parquet(out_path).collect()}
+    assert len(rows) == 6
+    assert rows[("AAPL", 31)].price == 100.0 and rows[("AAPL", 31)].filled
+    # cross-batch carry: batch-2 leading null filled with batch-1 close
+    assert rows[("AAPL", 40)].price == 101.0 and rows[("AAPL", 40)].filled
+    assert rows[("AAPL", 41)].price == 102.0 and not rows[("AAPL", 41)].filled
+    # never-observed key stays null rather than inventing a value
+    assert rows[("MSFT", 30)].price is None and not rows[("MSFT", 30)].filled
