@@ -122,6 +122,41 @@ def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Constraint-check report (SURVEY §4: NOT NULL / VARCHAR(n) / unique
+# enforcement moves from Postgres DDL to an engine-side check pass).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_constraints",
+    oracle="""
+    SELECT 'not_null:text' AS constraint,
+           cast(count(CASE WHEN text IS NULL THEN 1 END) AS bigint) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'max_length:source<=4',
+           cast(count(CASE WHEN len(source) > 4 THEN 1 END) AS bigint)
+    FROM documents
+    UNION ALL
+    SELECT 'unique:(doc_id)',
+           cast(coalesce(sum(cnt - 1), 0) AS bigint)
+    FROM (SELECT count(*) AS cnt FROM documents GROUP BY doc_id)
+    """,
+)
+def q_doc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint report over documents (NOT NULL text,
+    VARCHAR(4)-style length on source — deliberately tight so real
+    violations appear — unique doc_id). One aggregate pass for
+    row-level checks + one groupBy per uniqueness key."""
+    from stonkwhisperer_spark.operators.quality import check_constraints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return check_constraints(
+        docs, not_null=["text"], max_length={"source": 4}, unique=[["doc_id"]]
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal-column plumbing: opaque binary payload + typed metadata.
 # The decode/feature-extract stage lives in operators/multimodal.py
 # (Pandas-UDF plumbing with a stubbed decoder); this query is the

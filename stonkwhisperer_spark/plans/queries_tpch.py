@@ -1,0 +1,147 @@
+"""Classic relational benchmark shapes (TPC-H Q3/Q6/Q18 analogues) over
+the driver's star schema — the grouped-agg / join / having surface the
+reference never had (SURVEY §2.5 "no grouped aggregation") but any
+analytics engine must serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+_D122 = "decimal(12,2)"
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: forecasting revenue change — tight filter + single agg.
+# The canonical pushdown showcase: every predicate reaches the scan.
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT cast(sum(cast(l_extendedprice AS {_D122})
+                    * cast(l_discount AS {_D122})) AS double) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all four predicates push to the parquet scan
+    (verify: PushedFilters lists shipdate/discount/quantity), single
+    global agg — map-side partials reduce the exchange to one row per
+    task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(f).agg(
+        F.sum(F.col("l_extendedprice").cast(_D122) * F.col("l_discount").cast(_D122))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 shape: shipping-priority top-k — join + group + order-limit.
+# --------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           cast(sum(cast(l.l_extendedprice AS {_D122})
+                    * cast(1 - l.l_discount AS {_D122})) AS double) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1997-03-15 00:00:00'
+      AND l.l_shipdate  > timestamp '1997-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers broadcast into
+    orders, one fact⋈fact shuffle on orderkey, grouped revenue,
+    TakeOrderedAndProject top-10 (no global sort). Deterministic
+    tie-break on l_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice").cast(_D122) * (F.lit(1) - F.col("l_discount")).cast(_D122)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-volume customers — agg + having + semi-join back.
+# --------------------------------------------------------------------------
+@register(
+    "large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity AS {_D122})) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           cast(sum(cast(l.l_quantity AS {_D122})) AS double) AS total_qty
+    FROM orders o
+    JOIN big      ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: decimal-exact HAVING aggregate selects big
+    orders, then a semi-style join back through orders/customer/
+    lineitem. Scale: the HAVING agg is map-side partial; its output
+    (few keys) broadcasts into the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("_l2_orderkey"), F.col("l_quantity").alias("_l2_qty")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D122)).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["_big_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li2, F.col("_l2_orderkey") == orders["o_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("_l2_qty").cast(_D122)).cast("double").alias("total_qty"))
+    )

@@ -62,4 +62,5 @@ def _load() -> None:
         queries_sessions,
         queries_text,
         queries_timeseries,
+        queries_tpch,
     )
