@@ -1,0 +1,30 @@
+import sys
+sys.path.insert(0, "/root/repo")
+from stonkwhisperer_spark.plans.registry import query_map
+from stonkwhisperer_spark.session import get_spark
+
+NOTES = {
+    "pricing_summary": "Filter reaches the scan (PushedFilters on l_shipdate); map-side partial aggregation; one exchange.",
+    "region_revenue": "Dim chain (customer x nation x region) collapses into broadcast exchanges; the only shuffle is the lineitem-orders equi-join key.",
+    "ohlcv_1min": "Single hash shuffle on (minute, event_type); min_by/max_by/sum all have partial merges so the exchange carries one row per group per mapper.",
+    "gapfill_events": "One hash partitioning on user_id; both fill directions are O(n) running frames (two in-partition sorts, no following-frame re-aggregation).",
+    "near_dup_jaccard": "Pairs generated only through the shingle inverted-index self-join; shingle construction is codegen (posexplode + lead windows), never interpreted lambdas.",
+    "minhash_band_candidates": "16 hash columns computed map-side with partial min aggregation; candidate join shuffles on (band_idx, band_key) only.",
+    "asof_sentiment_bars": "As-of join via union + running window: one shuffle on the key, no range-join explosion.",
+    "dedup_low_card": "Low-cardinality dedup avoids a per-key window: min-aggregate then broadcast semi-join.",
+}
+
+spark = get_spark(app_name="plans", cpus="8")
+sf = "/root/testdata/sf0.01"
+qmap = query_map()
+out = ["# Physical plan evidence (sf0.01, local[8])", "",
+       "Generated with `df.explain('formatted')`. Regenerate: `python docs/gen_plans.py`.", ""]
+for name, note in NOTES.items():
+    df = qmap[name](spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # keep the operator tree, drop the verbose per-node details
+    tree = plan.split("\n\n")[0]
+    out += [f"## {name}", "", note, "", "```", tree, "```", ""]
+spark.stop()
+open("/root/repo/docs/PLANS.md", "w").write("\n".join(out))
+print("written", len("\n".join(out)))
