@@ -101,6 +101,97 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ROLLUP: hierarchical subtotals region → nation → grand total (beyond
+# the reference's agg surface; grouping() flags disambiguate null keys).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_rollup",
+    oracle=f"""
+    SELECT coalesce(r.r_name, 'ALL')                            AS region,
+           coalesce(n.n_name, 'ALL')                            AS nation,
+           cast(grouping(r.r_name) AS int)                      AS region_total,
+           cast(grouping(n.n_name) AS int)                      AS nation_total,
+           cast(sum(cast(o.o_totalprice AS {_D122})) AS double) AS revenue,
+           count(*)                                             AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total) with
+    grouping() indicator columns and decimal-exact totals.
+    Scale: rollup expands each input row to its grouping levels before
+    ONE hash aggregation — partial aggs still apply, no extra shuffle
+    vs a plain groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("region_total"),
+            F.grouping("n_name").cast("int").alias("nation_total"),
+            F.sum(F.col("o_totalprice").cast(_D122)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "region_total",
+            "nation_total",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth: rank / dense_rank / lag deltas per group
+# (the ranking surface the reference lacks — SURVEY §2.6 "no rank/lag").
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_ranks",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           rank()       OVER w                       AS price_rank,
+           dense_rank() OVER w                       AS price_dense_rank,
+           o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                                                     AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order ranking (rank + dense_rank by price) and
+    order-over-order price delta (lag by date). Scale: one shuffle on
+    o_custkey shared by both windows; each sorts within its partition
+    only. Deterministic tie-breaks on o_orderkey."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w_date)).alias("delta_vs_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q18 shape: large-volume customers — agg + having + semi-join back.
 # --------------------------------------------------------------------------
 @register(
