@@ -1,0 +1,81 @@
+"""Scale-pattern proofs: bucketed co-located joins (no exchange) and
+salted skew handling (identical results, spread partitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.operators.skew import salted_agg, salted_join
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key by the same bucket count join
+    WITHOUT an exchange on either side — the co-located join layout for
+    repeated fact⋈fact joins at scale."""
+    facts = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    dims = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    for name, df in [("t_facts", facts), ("t_dims", dims)]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .saveAsTable(name)
+        )
+    a, b = spark.table("t_facts"), spark.table("t_dims")
+    joined = a.join(b.hint("merge"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    assert joined.count() == 10_000
+    spark.sql("DROP TABLE IF EXISTS t_facts")
+    spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_salted_agg_matches_direct(spark):
+    df = spark.range(20_000).select(
+        # one pathologically hot key + a long tail
+        F.when(F.col("id") % 2 == 0, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), F.col("id") % 50)
+        ).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    direct = {
+        (r.k): (r.total, r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("*").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.total, r.n, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("sum", F.sum("v")),
+                "n": ("sum", F.count("*")),
+                "mx": ("max", F.max("v")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_matches_plain(spark):
+    skewed = spark.range(5_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit("HOT")).otherwise(
+            F.concat(F.lit("d"), F.col("id") % 20)
+        ).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1)] + [(f"d{i}", i) for i in range(20)], "k string, dim long"
+    )
+    plain = {(r.rid, r.dim) for r in skewed.join(small, "k").collect()}
+    salted = {(r.rid, r.dim) for r in salted_join(skewed, small, "k", n_salts=8).collect()}
+    assert plain == salted
