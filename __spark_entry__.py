@@ -3,6 +3,14 @@
 Thin shim over stonkwhisperer_spark.plans.registry: every implemented
 operator from SURVEY.md §2 registers a (spark, sf_dir) -> DataFrame
 callable plus (when SQL-expressible) DuckDB oracle SQL.
+
+Session side effect (explicit driver contract): the first query run on
+a hosting session pins two runtime confs globally —
+``spark.sql.session.timeZone=UTC`` (oracle timestamps are naive-UTC)
+and ``spark.sql.legacy.parquet.nanosAsLong=true`` (events.parquet
+carries TIMESTAMP(NANOS); later parquet reads in the same session see
+ns columns as int64). Both are guarded set-once in
+stonkwhisperer_spark/sources/tables.py::_pin_session_confs.
 """
 
 from __future__ import annotations
