@@ -55,6 +55,7 @@ def _load() -> None:
     # Import for side effect: module-level @register calls populate QUERIES.
     from stonkwhisperer_spark.plans import (  # noqa: F401
         queries,
+        queries_agg,
         queries_extensions,
         queries_joins,
         queries_llm,
