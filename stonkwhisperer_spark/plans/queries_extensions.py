@@ -78,6 +78,61 @@ def q_asof_sentiment_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Range/interval join: count events inside promo windows (the join
+# family SURVEY §2.4 notes the reference lacks entirely).
+# --------------------------------------------------------------------------
+@register(
+    "events_in_promo_windows",
+    oracle="""
+    WITH windows AS (
+      SELECT event_id AS window_id, event_type,
+             ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+      FROM events WHERE event_id % 211 = 0
+    )
+    SELECT w.window_id, w.event_type,
+           count(e.event_id)                 AS n_events,
+           cast(sum(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+                                             AS n_matched
+    FROM windows w
+    LEFT JOIN events e
+      ON e.event_type = w.event_type
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id, w.event_type
+    """,
+)
+def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events falling inside 5-minute windows anchored
+    at a sampled event subset, grouped per window.
+    Scale: the window side is small (1/211 sample) and BROADCAST, so
+    the range predicate evaluates as a broadcast nested-loop prefiltered
+    by the event_type equi-key — no shuffle of the fact side. For two
+    LARGE interval sets, bucketize time into grid cells and equi-join
+    on (key, cell) first (the standard interval-grid decomposition)."""
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("event_type").alias("w_type"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    joined = F.broadcast(windows).join(
+        events,
+        (events["event_type"] == windows["w_type"])
+        & (events["ts"] >= windows["w_start"])
+        & (events["ts"] < windows["w_end"]),
+        "left",
+    )
+    return joined.groupBy(
+        "window_id", F.col("w_type").alias("event_type")
+    ).agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.when(F.col("event_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+    )
+
+
+# --------------------------------------------------------------------------
 # C14: JSON payload parsing (events.props carries a JSON object).
 # --------------------------------------------------------------------------
 @register(
