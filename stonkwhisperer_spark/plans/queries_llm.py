@@ -132,22 +132,26 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed AS (SELECT doc_id, {portable_hash64_sql("shingle")} AS h FROM postings)
     SELECT doc_id,
            min(h)                                            AS fingerprint,
-           list_slice(list_sort(list(h)), 1, 4)              AS minhash_4,
+           array_to_string(list_slice(list_sort(list(h)), 1, 4), ',')
+                                                             AS minhash_4,
            cast(count(*) AS bigint)                          AS n_shingles
     FROM hashed GROUP BY doc_id
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per doc: global min shingle hash + the 4
-    smallest hashes (k-min sketch) + shingle count. Map-only then one
-    hash aggregation; sketches are constant-size."""
+    smallest hashes (k-min sketch, serialized as a csv scalar so the
+    final projection carries no array columns) + shingle count.
+    Map-only then one hash aggregation; sketches are constant-size."""
     postings = _postings(spark, sf_dir)
     from stonkwhisperer_spark.functions.hashing import portable_hash64
 
     hashed = postings.select("doc_id", portable_hash64("shingle").alias("h"))
     return hashed.groupBy("doc_id").agg(
         F.min("h").alias("fingerprint"),
-        F.slice(F.array_sort(F.collect_list("h")), 1, 4).alias("minhash_4"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list("h")), 1, 4).cast("array<string>")
+        ).alias("minhash_4"),
         F.count("*").cast("bigint").alias("n_shingles"),
     )
 

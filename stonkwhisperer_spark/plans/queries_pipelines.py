@@ -324,7 +324,12 @@ def _bars_raw(events: DataFrame) -> DataFrame:
              wbf AS (PARTITION BY symbol ORDER BY bar_ts, event_id
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT symbol AS ticker, bar_ts, open, high, low, close, vwap,
+    SELECT symbol AS ticker, bar_ts,
+           cast(open  AS double) AS open,
+           cast(high  AS double) AS high,
+           cast(low   AS double) AS low,
+           cast(close AS double) AS close,
+           cast(vwap  AS double) AS vwap,
            volume, trade_count
     FROM filled
     WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
@@ -337,6 +342,18 @@ def q_bars_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol for the shared gap-fill windows; coercion map-side. Local
     wall time is bounded by the 15-symbol window parallelism — a
     testdata-cardinality artifact; production symbol counts (thousands)
-    parallelize the same plan fully."""
+    parallelize the same plan fully.
+
+    The pipeline keeps prices DECIMAL(12,4) (stock_bar.py:42-45 parity);
+    the registered projection casts them to double ONCE at the end so
+    the final frame carries no raw decimal columns (driver-canonicalizer
+    discipline, same as every other money query)."""
     events = load_table(spark, sf_dir, "events")
-    return clean_bars(_bars_raw(events), tiebreak_col="event_id")
+    cleaned = clean_bars(_bars_raw(events), tiebreak_col="event_id")
+    price_cols = ["open", "high", "low", "close", "vwap"]
+    return cleaned.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in price_cols else F.col(c)
+            for c in cleaned.columns
+        ]
+    )

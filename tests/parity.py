@@ -52,7 +52,28 @@ def _multiset(rows, colnames):
     )
 
 
+def audit_schema(spark_df, name: str = "?") -> None:
+    """Driver-canonicalizer discipline: the driver canon round-trips
+    results through pandas sort_values + value hashing, which chokes on
+    array columns (unhashable) and drifts on raw Spark Decimal vs DuckDB
+    decimal→float string forms (CORRECTNESS_r02 bars_clean /
+    doc_fingerprints). No registered query may emit decimal, array, or
+    map columns in its final projection — serialize or cast first."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.DecimalType, T.ArrayType, T.MapType))
+    ]
+    assert not bad, (
+        f"[{name}] driver-canon-unsafe column types in final projection: {bad} "
+        "(cast decimals to double, serialize arrays/maps to strings)"
+    )
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
+    audit_schema(spark_df, name)
     srows = [tuple(r) for r in spark_df.collect()]
     scols = spark_df.columns
     res = con.execute(sql)

@@ -15,7 +15,7 @@ import duckdb  # noqa: E402
 
 from stonkwhisperer_spark.plans.registry import QUERIES, query_map  # noqa: E402
 from stonkwhisperer_spark.session import get_spark  # noqa: E402
-from tests.parity import compare, register_views  # noqa: E402
+from tests.parity import audit_schema, compare, register_views  # noqa: E402
 
 
 def main() -> None:
@@ -29,7 +29,9 @@ def main() -> None:
     for name in names:
         spec = QUERIES[name]
         if spec.oracle is None:
-            print(f"  {name}: (no oracle — rows-only) rows={spec.fn(spark, sf_dir).count()}")
+            df = spec.fn(spark, sf_dir)
+            audit_schema(df, name)
+            print(f"  {name}: (no oracle — rows-only) rows={df.count()}")
             continue
         try:
             compare(spec.fn(spark, sf_dir), con, spec.oracle, name)
