@@ -11,8 +11,13 @@ Two tiers:
     bucket-equi join instead of a cross join.
 
 Dot products fold left-to-right with ``F.aggregate`` over doubles —
-bit-identical to DuckDB's list_reduce, which the oracle uses. No UDFs;
-everything stays in codegen.
+bit-identical to DuckDB's list_reduce, which the oracle uses. No UDFs,
+but note the array lambdas (``zip_with``/``aggregate``) execute
+INTERPRETED, not in whole-stage codegen — the fold is chosen
+deliberately for oracle bit-parity. For throughput-critical scoring use
+``dot_unrolled`` (literal-indexed codegen sum; needs a fixed dim and
+tolerates a different FP association) — see the ``codegen=`` option on
+``knn_bruteforce``.
 """
 
 from __future__ import annotations
@@ -40,6 +45,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ a[i]·b[i] as a literal-indexed expression tree: stays inside
+    whole-stage codegen (no interpreted array lambdas) — the throughput
+    path for fixed-dim embeddings. Association is the same
+    left-to-right (((0+p1)+p2)+...) as ``dot``'s fold, so results match
+    the oracle's list_reduce bit-for-bit on the same doubles."""
+    s: Column = F.lit(0.0)
+    for d in range(dim):
+        s = s + F.element_at(a, d + 1).cast("double") * F.element_at(b, d + 1).cast("double")
+    return s
+
+
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """Euclidean norm via the codegen'd unrolled sum (same fold order
+    as ``norm``)."""
+    s: Column = F.lit(0.0)
+    for d in range(dim):
+        x = F.element_at(a, d + 1).cast("double")
+        s = s + x * x
+    return F.sqrt(s)
+
+
 def knn_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -47,6 +74,7 @@ def knn_bruteforce(
     q_id: str = "q_id",
     c_id: str = "c_id",
     vec: str = "embedding",
+    codegen_dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-match
     excluded when ids collide). Deterministic: cosine ties break on
@@ -56,16 +84,25 @@ def knn_bruteforce(
     through a single narrow pass per partition; norms are computed ONCE
     per vector (not per pair), so each pair costs a single dot fold;
     the top-k is a window over q_id — with few queries, partitions are
-    |C| rows each, so for large |Q| switch to the LSH-bucketed path."""
-    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), norm(F.col(vec)).alias("_qn"))
-    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"), norm(F.col(vec)).alias("_cn"))
+    |C| rows each, so for large |Q| switch to the LSH-bucketed path.
+
+    ``codegen_dim``: when the embedding dim is fixed and known, pass it
+    to score with the unrolled codegen expressions instead of the
+    interpreted array folds (same fold order, JVM codegen throughput)."""
+    if codegen_dim is not None:
+        _norm = lambda col: norm_unrolled(col, codegen_dim)  # noqa: E731
+        _dot = lambda a, b: dot_unrolled(a, b, codegen_dim)  # noqa: E731
+    else:
+        _norm, _dot = norm, dot
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), _norm(F.col(vec)).alias("_qn"))
+    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"), _norm(F.col(vec)).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(q_id) != F.col(c_id))
         .select(
             q_id,
             c_id,
-            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
         )
     )
     w = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))

@@ -226,13 +226,17 @@ _DOT = (
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 8 query vectors — the ANN
     correctness baseline. Queries broadcast; one narrow scoring pass
-    over candidates; per-query top-k window. Ties break on c_id."""
+    over candidates; per-query top-k window. Ties break on c_id.
+    Scoring uses the dim-unrolled codegen dot (same left fold order as
+    the oracle's list_reduce — bit-identical, JVM throughput; local
+    wall time includes one-time janino compilation of the 64-term
+    expressions, amortized at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     cands = spread(emb, "vec_id").select(F.col("vec_id").alias("c_id"), "embedding")
-    return knn_bruteforce(queries, cands, k=5)
+    return knn_bruteforce(queries, cands, k=5, codegen_dim=_DIM)
 
 
 # --------------------------------------------------------------------------
@@ -298,15 +302,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic work shrinks from |V|² to Σ_bucket |bucket|², and the
     bucket join shuffles on a uniform hash-like key. Recall < 1 by
     construction (bucket-restricted); raise n_planes bands or probe
-    neighboring buckets for higher recall."""
+    neighboring buckets for higher recall. Scoring uses the
+    dim-unrolled codegen dot/norm (same left fold order as the
+    oracle's list_reduce — bit-identical, JVM throughput)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    from stonkwhisperer_spark.operators.similarity import norm
+    from stonkwhisperer_spark.operators.similarity import norm_unrolled
 
     vecs = emb.select(
         "vec_id",
         "embedding",
         hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
-        norm(F.col("embedding")).alias("nrm"),
+        norm_unrolled(F.col("embedding"), _DIM).alias("nrm"),
     )
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
@@ -320,7 +326,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("_eb"),
         F.col("nrm").alias("_nb"),
     )
-    from stonkwhisperer_spark.operators.similarity import dot
+    from stonkwhisperer_spark.operators.similarity import dot_unrolled
 
     return (
         a.join(b, "bucket")
@@ -328,7 +334,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            (
+                dot_unrolled(F.col("_ea"), F.col("_eb"), _DIM)
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )

@@ -50,19 +50,49 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
+def _scan_row_groups(df: DataFrame, cap: int = 64) -> int | None:
+    """Best-effort count of the REAL parallelizable units under df's
+    scan: parquet row groups (Spark's byte-range split count lies for
+    small files — one row group means one task does all the work no
+    matter how many splits the planner cuts). Reads only footers,
+    driver-side, sampling at most ``cap`` files and extrapolating.
+    Returns None when undeterminable (non-parquet, no scan, errors)."""
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        sample = files[:cap]
+        groups = sum(
+            pq.ParquetFile(f.removeprefix("file://").removeprefix("file:")).metadata.num_row_groups
+            for f in sample
+        )
+        if len(files) > len(sample):
+            groups = int(groups * len(files) / len(sample))
+        return groups
+    except Exception:  # noqa: BLE001 — layout probe is advisory only
+        return None
+
+
 def spread(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
     """Hash-repartition the input before expression-heavy per-row work
-    (regex chains, higher-order array functions — which execute
-    interpreted, not codegen'd, and so dominate wall time).
+    (regex chains, wide literal expression trees) — but ONLY when the
+    scan's physical layout can't already parallelize it.
 
-    Why unconditional: the scan's *split count* is a lie for small
-    inputs — Spark cuts a single parquet file into defaultParallelism
-    byte-range splits, but all rows live in one row group, so one task
-    reads everything and 31 read nothing. Only an explicit exchange
-    guarantees balanced work. The repartition is one linear pass over
-    the rows it feeds — negligible next to the quadratic/hash work
-    downstream — and doubles as the skew-spreader on real clusters.
-    Row values are unaffected; only layout changes.
+    The driver's testdata is one parquet file with one row group per
+    table: Spark cuts it into defaultParallelism byte-range splits, but
+    all rows live in the single row group, so one task reads everything
+    and the rest read nothing — there an explicit exchange is the only
+    way to balance the expensive downstream stage. At production scale
+    the same table is thousands of files × row groups and the scan is
+    already parallel; repartitioning then would be a gratuitous full
+    exchange of the corpus. So: probe the parquet footers (cheap,
+    driver-side, metadata only) and no-op when row groups >= target
+    partitions. Row values are unaffected; only layout changes.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    groups = _scan_row_groups(df)
+    if groups is not None and groups >= n:
+        return df
     return df.repartition(n, *cols) if cols else df.repartition(n)

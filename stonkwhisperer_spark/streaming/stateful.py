@@ -50,7 +50,13 @@ def streaming_ffill(
             state.remove()
             return
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        # applyInPandasWithState may deliver a key's micro-batch as
+        # MULTIPLE Arrow chunks with no cross-chunk ordering guarantee;
+        # sorting per chunk would fill from a wrong `last` whenever a
+        # key spans chunks. Concatenate, then sort ONCE. Memory is
+        # bounded by the key's rows in one micro-batch (not history).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(ts_col).reset_index(drop=True)
             filled_flags = []
             values = []
@@ -62,7 +68,7 @@ def streaming_ffill(
                     last = float(v)
                     values.append(last)
                     filled_flags.append(False)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     key_col: [key[0]] * len(pdf),
                     ts_col: pdf[ts_col],
@@ -70,7 +76,6 @@ def streaming_ffill(
                     "filled": filled_flags,
                 }
             )
-            yield out
         state.update((last,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.operators.skew import salted_agg, salted_join
+from stonkwhisperer_spark.sources.tables import spread
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
@@ -34,6 +35,30 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() == 10_000
     spark.sql("DROP TABLE IF EXISTS t_facts")
     spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_spread_is_layout_aware(spark, tmp_path):
+    """spread() must exchange when the scan is one row group (the
+    driver-testdata layout: splits lie, one task does all the work) and
+    must NO-OP when the parquet layout already yields enough row groups
+    — at production scale an unconditional repartition would be a
+    gratuitous full exchange of the corpus."""
+    df = spark.range(50_000).select(F.col("id"), (F.col("id") % 100).alias("v"))
+
+    one = str(tmp_path / "one_group")
+    df.coalesce(1).write.mode("overwrite").parquet(one)
+    many = str(tmp_path / "many_groups")
+    df.repartition(16).write.mode("overwrite").parquet(many)
+
+    single = spark.read.parquet(one)
+    plan = spread(single, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # single row group → must rebalance
+
+    multi = spark.read.parquet(many)
+    spread_multi = spread(multi, "id", min_partitions=8)
+    plan = spread_multi._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # ≥8 row groups → scan is already parallel
+    assert spread_multi.count() == 50_000
 
 
 def test_salted_agg_matches_direct(spark):

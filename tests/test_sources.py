@@ -50,5 +50,8 @@ def test_fetch_url_content_stub(spark):
     assert out["https://x.com/a"].content is not None
     assert out["https://x.com/404"].content is None
     assert out["https://x.com/404"].fetch_status.endswith("404")
-    # no per-row python: the stage is mapInPandas over distinct urls
-    assert "mapInPandas" in fetch_url_content(df)._jdf.queryExecution().toString() or True
+    # no per-row python: the stage is arrow-batched (MapInPandas /
+    # ArrowEvalPython), never row-at-a-time BatchEvalPython
+    plan = fetch_url_content(df)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
