@@ -121,6 +121,44 @@ def plane_component(plane: int, dim: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
+def probe_buckets(bucket: Column, multi_probe: int) -> Column:
+    """Probe set for multi-probe LSH: the primary bucket plus the
+    ``multi_probe`` buckets at Hamming distance 1 (each sign bit
+    flipped in turn). A vector near hyperplane p can land on either
+    side of it; probing the flipped bucket recovers neighbors the hard
+    sign split separated — recall rises at the cost of multi_probe+1
+    candidate lookups per vector (still bucket-bounded, never
+    all-pairs)."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(multi_probe)])
+
+
+def lsh_candidate_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    multi_probe: int = 0,
+) -> DataFrame:
+    """Unordered candidate pairs (id_a < id_b) whose LSH buckets
+    collide; with ``multi_probe`` > 0 the left side also probes the
+    Hamming-1 buckets of its first ``multi_probe`` planes. One equi
+    shuffle on bucket; quadratic work bounded per bucket
+    (Σ|bucket|·|probed bucket|), pairs deduped once at the end."""
+    b = hyperplane_bucket(F.col(vec), n_planes, dim)
+    left = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(probe_buckets(b, multi_probe)).alias("bucket"),
+    )
+    right = vecs.select(F.col(id_col).alias("id_b"), b.alias("bucket"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """LSH bucket id (0..2^n_planes-1): bit p = sign of <vec, plane_p>.
     Map-only; the plane components are literals, the per-plane dot is a

@@ -81,9 +81,7 @@ def q_asof_sentiment_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Range/interval join: count events inside promo windows (the join
 # family SURVEY §2.4 notes the reference lacks entirely).
 # --------------------------------------------------------------------------
-@register(
-    "events_in_promo_windows",
-    oracle="""
+_PROMO_WINDOWS_ORACLE = """
     WITH windows AS (
       SELECT event_id AS window_id, event_type,
              ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
@@ -98,16 +96,18 @@ def q_asof_sentiment_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.event_type = w.event_type
      AND e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY w.window_id, w.event_type
-    """,
-)
+    """
+
+
+@register("events_in_promo_windows", oracle=_PROMO_WINDOWS_ORACLE)
 def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: events falling inside 5-minute windows anchored
     at a sampled event subset, grouped per window.
     Scale: the window side is small (1/211 sample) and BROADCAST, so
     the range predicate evaluates as a broadcast nested-loop prefiltered
     by the event_type equi-key — no shuffle of the fact side. For two
-    LARGE interval sets, bucketize time into grid cells and equi-join
-    on (key, cell) first (the standard interval-grid decomposition)."""
+    LARGE interval sets use events_in_promo_windows_grid (equi-join on
+    (key, cell); no nested loop either side)."""
     events = load_table(spark, sf_dir, "events")
     windows = events.filter(F.col("event_id") % 211 == 0).select(
         F.col("event_id").alias("window_id"),
@@ -129,6 +129,42 @@ def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_id").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_matched"),
+    )
+
+
+@register("events_in_promo_windows_grid", oracle=_PROMO_WINDOWS_ORACLE)
+def q_events_in_promo_windows_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same interval-join semantics as events_in_promo_windows, via the
+    LARGE×LARGE path: grid decomposition (operators/interval.py). The
+    interval side explodes onto the 5-minute grid cells it overlaps,
+    points map to one cell, and the join is a pure EQUI join on
+    (event_type, cell) + residual range filter — no broadcast
+    requirement and no nested loop on either side. Unmatched windows
+    come back via a second equi-join against the window set (left,
+    zero-filled), keeping every operator shuffle-hash at 100 TB."""
+    from stonkwhisperer_spark.operators.interval import interval_join_grid
+
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("event_type").alias("w_type"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    points = events.select(
+        F.col("event_id"), F.col("event_type").alias("w_type"), F.col("ts")
+    )
+    matched = interval_join_grid(
+        points, windows, "ts", "w_start", "w_end", keys=["w_type"], cell_seconds=300
+    )
+    counts = matched.groupBy("window_id", "w_type").agg(
+        F.count("event_id").alias("_n")
+    )
+    return windows.join(counts, ["window_id", "w_type"], "left").select(
+        "window_id",
+        F.col("w_type").alias("event_type"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_matched"),
     )
 
 

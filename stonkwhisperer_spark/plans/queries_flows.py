@@ -1,0 +1,141 @@
+"""Registry entries for the surfaces that were pytest-only in round 2:
+the end-to-end flows (landing → clean → merge sink), the J1 positional
+zip join, and MLlib sentiment scoring — so the external driver sees and
+records them, not just the test suite.
+
+``flows_e2e`` is rows-only (its semantics are side-effecting writes +
+inserted counts, not a SQL-expressible relation); ``zip_docs_embeddings``
+has a full DuckDB oracle (row_number twins); ``sentiment_scores`` is
+rows-only (LR training is iterative, not SQL).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.flows import bars_flow, news_flow, posts_flow
+from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+from stonkwhisperer_spark.operators.asof import zip_join
+from stonkwhisperer_spark.plans.queries_pipelines import _bars_raw, _news_raw, _posts_raw
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# flows_e2e — the reference's three ETL flows end to end, twice each.
+# Exercises F1 (flair predicate), F12/A5 (empty-input short-circuit +
+# count-sum), K1 (partitioned write), K3–K5 (merge sinks, FK resolve).
+# --------------------------------------------------------------------------
+_BARS_LANDING_CAP = 20_000  # deterministic event subset keeps bench bounded
+
+
+@register("flows_e2e", oracle=None)
+def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run news/posts/bars flows end-to-end against scratch targets:
+    landing-zone parquet (derived deterministically from documents /
+    events) → pipeline transform → idempotent merge sink. Each flow
+    runs TWICE; the rerun must insert 0 rows (the reference's core
+    idempotence invariant, loading.py:150-161). Returns one row per
+    flow with both insert counts — rows-only check by design: the
+    result is a side-effecting job's audit log, not a relation.
+
+    Scale: each flow is one lazy plan — a shuffle for the dedup window
+    plus the merge anti-join; the rerun's anti-join prunes to the key
+    columns of the freshly written target."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < _BARS_LANDING_CAP
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_flows_")
+    try:
+        news_landing = f"{scratch}/landing_news"
+        posts_landing = f"{scratch}/landing_posts"
+        bars_landing = f"{scratch}/landing_bars"
+        # Landing drops: RAW_* shaped, single sorted file so the
+        # reader's _arrival_id reproduces arrival order deterministically.
+        _news_raw(docs).orderBy("_arrival_id").drop("_arrival_id").coalesce(
+            1
+        ).write.parquet(news_landing)
+        _posts_raw(docs).orderBy("_arrival_id").drop("_arrival_id").coalesce(
+            1
+        ).write.parquet(posts_landing)
+        _bars_raw(events).withColumn(
+            "timestamp", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        ).orderBy("event_id").drop("event_id").coalesce(1).write.parquet(bars_landing)
+        companies = spark.createDataFrame(
+            [(f"c{i}", f"S{i}") for i in range(15)], "id string, ticker string"
+        )
+
+        rows = []
+        for flow, run in (
+            ("news", lambda t: news_flow(spark, news_landing, t)),
+            ("posts", lambda t: posts_flow(spark, posts_landing, t, flairs=["DD", "News"])),
+            ("bars", lambda t: bars_flow(spark, bars_landing, t, companies)),
+        ):
+            target = f"{scratch}/target_{flow}"
+            rows.append((flow, run(target), run(target)))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "flow string, inserted_first bigint, inserted_rerun bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# zip_docs_embeddings — J1 positional zip join, exact form.
+# --------------------------------------------------------------------------
+@register(
+    "zip_docs_embeddings",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, source,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT l.doc_id, l.source, r.vec_id
+    FROM l JOIN r USING (rn)
+    """,
+)
+def q_zip_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 exact positional join (reference extraction.py:178-179 zips
+    fetched articles back onto posts by list position): i-th document ↔
+    i-th embedding under explicit orderings. The global row_number is a
+    single-partition sort by construction — parity surface only; the
+    scale path is the key-equi respec (posts_link_articles)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return zip_join(docs, emb, F.col("doc_id"), F.col("vec_id")).select(
+        "doc_id", "source", "vec_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# sentiment_scores — MLlib train + score (BASELINE north-star surface).
+# --------------------------------------------------------------------------
+@register("sentiment_scores", oracle=None)
+def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the Tokenizer→StopWords→TF-IDF→LogisticRegression pipeline
+    on deterministic weak labels over cleaned document text, then score
+    the corpus (fixed seed + fixed hash space ⇒ deterministic).
+    Rows-only check: iterative LR training is not SQL-expressible.
+    Scale: training iterates over a cached feature frame; scoring is a
+    JVM map-only pass (plan asserted free of Python eval in
+    tests/test_ml.py)."""
+    from stonkwhisperer_spark.ml.sentiment import score_sentiment, train_sentiment, weak_labels
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", clean_text_for_nlp("text").alias("content_cleaned")
+    )
+    labeled = weak_labels(docs, "content_cleaned", pos_word="fast", neg_word="slow")
+    model = train_sentiment(labeled)
+    return score_sentiment(model, labeled).select(
+        "doc_id", "label", "prediction", "p_positive"
+    )

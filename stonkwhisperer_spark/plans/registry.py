@@ -57,6 +57,7 @@ def _load() -> None:
         queries,
         queries_agg,
         queries_extensions,
+        queries_flows,
         queries_joins,
         queries_llm,
         queries_pipelines,

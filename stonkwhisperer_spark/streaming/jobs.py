@@ -89,12 +89,15 @@ def start_merge_stream(
     keys: Sequence[str],
     checkpoint: str,
     available_now: bool = True,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch merge-append sink: each micro-batch left-anti joins
     the target on ``keys`` and appends only new rows — replayed batches
     insert 0 (per-batch idempotence on top of checkpoint exactly-once).
     ``available_now=True`` drains the backlog then stops (the batch-
-    shaped trigger used in tests and backfills)."""
+    shaped trigger used in tests and backfills);
+    ``processing_time='5 seconds'`` instead runs continuously, firing a
+    micro-batch per interval — the long-lived ingest deployment shape."""
 
     def sink(batch_df: DataFrame, _epoch: int) -> None:
         merge_append(batch_df.sparkSession, target_path, batch_df, keys)
@@ -104,6 +107,8 @@ def start_merge_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

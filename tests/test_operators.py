@@ -163,3 +163,104 @@ def test_hyperplane_bucket_recall(spark):
     same = sum(1 for i in range(40) if b[i * 2] == b[i * 2 + 1])
     assert same >= 30  # near-duplicates overwhelmingly co-bucket
     assert len(set(b.values())) > 5  # and buckets actually spread
+
+
+def test_interval_join_grid_matches_range_join(spark):
+    """Grid decomposition must reproduce the exact range-join result
+    with a pure equi-join plan: no nested loop on either side."""
+    import datetime as dt
+
+    from stonkwhisperer_spark.operators.interval import interval_join_grid
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, "k" + str(i % 3), t0 + dt.timedelta(seconds=i * 37)) for i in range(400)],
+        "pid long, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                j,
+                "k" + str(j % 3),
+                t0 + dt.timedelta(seconds=j * 173),
+                t0 + dt.timedelta(seconds=j * 173 + 300),
+            )
+            for j in range(50)
+        ],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    expected = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.k == intervals.k) & (points.ts >= intervals.s) & (points.ts < intervals.e),
+        )
+        .select("pid", "iid")
+        .collect()
+    }
+    grid = interval_join_grid(points, intervals, "ts", "s", "e", keys=["k"], cell_seconds=300)
+    got = {(r.pid, r.iid) for r in grid.select("pid", "iid").collect()}
+    assert got == expected and len(expected) > 0
+
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # equi-join on (k, _cell), never BNLJ
+
+    # boundary semantics: start inclusive, end exclusive
+    p = spark.createDataFrame([(1, t0), (2, t0 + dt.timedelta(seconds=300))], "pid long, ts timestamp")
+    iv = spark.createDataFrame([(9, t0, t0 + dt.timedelta(seconds=300))], "iid long, s timestamp, e timestamp")
+    hits = {r.pid for r in interval_join_grid(p, iv, "ts", "s", "e").collect()}
+    assert hits == {1}
+
+
+def test_lsh_multi_probe_recall(spark):
+    """Measured recall of the bucketed ANN candidate path vs brute-force
+    ground truth (cosine >= 0.35 over sf0.01 embeddings), and the
+    multi-probe lift. The testdata embeddings are near-orthogonal
+    random vectors, so absolute recall tracks the (1 - theta/pi)^8
+    hyperplane-collision law (~3% at 0 probes) — the assertions pin the
+    floors and the monotone probe lift, and that candidates stay
+    bucket-bounded (a small fraction of all pairs)."""
+    from stonkwhisperer_spark.operators.similarity import (
+        dot_unrolled,
+        lsh_candidate_pairs,
+        norm_unrolled,
+    )
+    from stonkwhisperer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        norm_unrolled(F.col("embedding"), 64).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        norm_unrolled(F.col("embedding"), 64).alias("nb"),
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_unrolled(F.col("ea"), F.col("eb"), 64) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    assert truth
+
+    plain = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(emb, multi_probe=0).collect()}
+    probed = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(emb, multi_probe=8).collect()}
+    recall_plain = len(truth & plain) / len(truth)
+    recall_probed = len(truth & probed) / len(truth)
+
+    assert recall_plain >= 0.02
+    assert recall_probed >= 0.10
+    assert recall_probed > recall_plain  # probing must add recall
+    assert plain <= probed  # probe set strictly widens candidates
+    all_pairs = n * (n - 1) / 2
+    assert len(probed) < 0.05 * all_pairs  # still bucket-bounded, never all-pairs

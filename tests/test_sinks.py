@@ -65,3 +65,35 @@ def test_upsert_bars_resolves_fk_and_skips_unknown(spark, tmp_path):
     assert upsert_bars(spark, path, bars, companies) == 0
     # partition layout: hypertable-style date partitions
     assert any(d.startswith("bar_date=") for d in os.listdir(path))
+
+
+def test_concurrent_merge_caveat(spark, tmp_path):
+    """merge_append is idempotent for SERIAL re-runs but NOT atomic
+    under concurrent writers — this test demonstrates the documented
+    race (README "ACID table format") rather than hiding it: two
+    writers that both compute their anti-join against the same target
+    snapshot, then both append, CAN land duplicate keys. Delta/Iceberg
+    MERGE INTO closes this; neither is installable in this sandbox."""
+    from stonkwhisperer_spark.operators.joins import new_rows_anti
+    from stonkwhisperer_spark.sinks.writers import merge_append
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([("k1", 1)], "k string, v int")
+    assert merge_append(spark, target, base, ["k"]) == 1
+
+    # Both writers snapshot the target BEFORE either writes (the
+    # interleaving a table format's optimistic commit would reject).
+    batch = spark.createDataFrame([("k2", 2)], "k string, v int")
+    existing = spark.read.parquet(target)
+    writer_a = new_rows_anti(batch, existing, ["k"]).collect()
+    writer_b = new_rows_anti(batch, existing, ["k"]).collect()
+    for rows in (writer_a, writer_b):
+        spark.createDataFrame(rows, batch.schema).write.mode("append").parquet(target)
+
+    dup_counts = (
+        spark.read.parquet(target).groupBy("k").count().filter("count > 1").collect()
+    )
+    assert dup_counts and dup_counts[0]["k"] == "k2"  # the race is real
+
+    # ...while the serial path stays idempotent on the same target.
+    assert merge_append(spark, target, batch, ["k"]) == 0

@@ -119,3 +119,116 @@ def test_streaming_minute_bars_match_batch(spark, tmp_path):
     assert got == batch
     assert got[("AAPL", 30)] == (100.0, 102.0, 100.0, 102.0, 3)
     assert got[("MSFT", 30)][4] == 1
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """The documented late-data policy, exercised: a tick arriving after
+    the watermark passed its window is DROPPED; a late tick still inside
+    the watermark is accepted and emitted when its window closes. Phased
+    availableNow runs over one checkpoint make watermark progression
+    deterministic (the watermark persists in the checkpoint between
+    runs)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 30, 0)
+    schema = "symbol string, ts timestamp, price double"
+    ticks_path = str(tmp_path / "ticks")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_drained():
+        stream = spark.readStream.schema(schema).parquet(ticks_path)
+        q = (
+            minute_bars(stream, key_col="symbol", value_col="price", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def bars():
+        try:
+            return {
+                (r.symbol, r.bar_ts): r.n_ticks for r in spark.read.parquet(out_path).collect()
+            }
+        except Exception:
+            return {}
+
+    # Phase 1: two ticks in the t0 window + one 30 min later.
+    # Watermark after the run = t0+30m - 10m = t0+20m > t0 window end,
+    # so the t0 window is closed and emitted.
+    spark.createDataFrame(
+        [("AAPL", t0, 100.0), ("AAPL", t0 + dt.timedelta(seconds=30), 101.0),
+         ("AAPL", t0 + dt.timedelta(minutes=30), 102.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(ticks_path)
+    run_drained()
+    assert bars()[("AAPL", t0)] == 2
+
+    # Phase 2: one tick 45s into the ALREADY-CLOSED t0 window (beyond
+    # the watermark -> dropped), one late-but-within-watermark tick at
+    # t0+25m (> watermark t0+20m -> accepted, window still open).
+    spark.createDataFrame(
+        [("AAPL", t0 + dt.timedelta(seconds=45), 999.0),
+         ("AAPL", t0 + dt.timedelta(minutes=25), 103.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(ticks_path)
+    run_drained()
+    after2 = bars()
+    assert after2[("AAPL", t0)] == 2  # beyond-watermark tick dropped, no re-emit
+
+    # Phase 3: sentinel far ahead closes every remaining window.
+    spark.createDataFrame(
+        [("ZZZ", t0 + dt.timedelta(hours=2), 0.0)], schema
+    ).coalesce(1).write.mode("append").parquet(ticks_path)
+    run_drained()
+    final = bars()
+    assert final[("AAPL", t0)] == 2
+    assert final[("AAPL", t0 + dt.timedelta(minutes=25))] == 1  # within-watermark late tick kept
+    assert ("AAPL", t0 + dt.timedelta(minutes=30)) in final
+
+
+def test_merge_stream_processing_time_trigger(spark, tmp_path):
+    """The long-lived deployment shape: processingTime-triggered merge
+    stream picks up new landing drops continuously and stays idempotent
+    on the natural key."""
+    import datetime as dt
+    import time
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "articles")
+    _drop(spark, landing, [("u/1", "a", t0), ("u/2", "b", t0)])
+
+    stream = read_landing_stream(spark, landing, NEWS_SCHEMA)
+    q = start_merge_stream(
+        dedup_within_watermark(stream, ["url"], "published_at"),
+        target,
+        ["url"],
+        str(tmp_path / "ckpt"),
+        available_now=False,
+        processing_time="500 milliseconds",
+    )
+
+    def wait_count(n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(target).count() == n:
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert wait_count(2), "initial drop not merged by processingTime trigger"
+        # second drop: one new url + one cross-drop dup -> exactly one insert
+        _drop(spark, landing, [("u/3", "c", t0), ("u/1", "a-dup", t0)])
+        assert wait_count(3), "second drop not merged (or dup not suppressed)"
+    finally:
+        q.stop()
+    assert spark.read.parquet(target).select("url").distinct().count() == 3
