@@ -12,6 +12,9 @@ NOTES = {
     "minhash_band_candidates": "16 hash columns computed map-side with partial min aggregation; candidate join shuffles on (band_idx, band_key) only.",
     "asof_sentiment_bars": "As-of join via union + running window: one shuffle on the key, no range-join explosion.",
     "dedup_low_card": "Low-cardinality dedup avoids a per-key window: min-aggregate then broadcast semi-join.",
+    "events_in_promo_windows_grid": "Interval-grid decomposition: the interval side explodes onto overlapped 5-min cells, points map to one cell, and the join is a pure equi-join on (event_type, cell) — no broadcast requirement, no nested loop on either side.",
+    "knn_embeddings": "Scoring stays in WholeStageCodegen (dim-unrolled dot/norm, no interpreted array lambdas); query side broadcast; single per-query top-k window.",
+    "zip_docs_embeddings": "J1 positional join: global row_number on both sides (single-partition sort by construction — parity surface; the scale path is the key-equi respec).",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -115,6 +115,37 @@ def conform(df: DataFrame, schema) -> DataFrame:
     return df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 
 
+def ensure_table(
+    spark: SparkSession,
+    name: str,
+    schema,
+    path: str,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """K6 proper: REAL catalog DDL for the time-partitioned table
+    contract — the Spark respec of the reference's ``create_all`` +
+    ``create_hypertable('stock_bars','timestamp')`` (migration.py:11-46).
+
+    ``CREATE TABLE IF NOT EXISTS ... USING parquet PARTITIONED BY (...)
+    LOCATION path`` registers the declared contract in the session
+    catalog, making the path-written data a first-class SQL table with
+    partition pruning; ``MSCK REPAIR`` recovers partitions that
+    path-based writers (write_partitioned / upsert_bars) added outside
+    the catalog. On Delta/Iceberg the same call is ``USING delta`` and
+    the repair step disappears (the log tracks partitions). The
+    declared ``schema`` must include the partition columns."""
+    missing = [c for c in partition_cols if c not in {f.name for f in schema.fields}]
+    if missing:
+        raise ValueError(f"partition columns absent from declared schema: {missing}")
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    part = f" PARTITIONED BY ({', '.join(partition_cols)})" if partition_cols else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet{part} LOCATION '{path}'"
+    )
+    if partition_cols:
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
 def upsert_bars(
     spark: SparkSession,
     target_path: str,

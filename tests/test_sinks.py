@@ -97,3 +97,51 @@ def test_concurrent_merge_caveat(spark, tmp_path):
 
     # ...while the serial path stays idempotent on the same target.
     assert merge_append(spark, target, batch, ["k"]) == 0
+
+
+def test_ensure_table_catalog_ddl_and_pruning(spark, tmp_path):
+    """K6 end-to-end: upsert_bars writes the bar_date-partitioned
+    layout, ensure_table registers the declared contract as a real
+    catalog table, and a bar_date predicate prunes partitions at the
+    scan (the hypertable chunk-exclusion equivalent)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from stonkwhisperer_spark.sinks.writers import ensure_table, upsert_bars
+
+    target = str(tmp_path / "bars")
+    rows = [
+        ("AAPL", dt.datetime(2024, 1, d, 9, 30), 190.0, 191.0, 189.0, 190.5, 190.2, 100, 5)
+        for d in (2, 3, 4)
+    ]
+    bars = spark.createDataFrame(
+        rows,
+        "ticker string, bar_ts timestamp, open double, high double, low double,"
+        " close double, vwap double, volume int, trade_count int",
+    )
+    companies = spark.createDataFrame([("c1", "AAPL")], "id string, ticker string")
+    assert upsert_bars(spark, target, bars, companies) == 3
+
+    table_schema = T.StructType(
+        [f for f in spark.read.parquet(target).schema.fields if f.name != "bar_date"]
+        + [T.StructField("bar_date", T.DateType())]
+    )
+    spark.sql("DROP TABLE IF EXISTS stock_bars_t")
+    ensure_table(spark, "stock_bars_t", table_schema, target, ["bar_date"])
+    try:
+        q = spark.sql("SELECT ticker, volume FROM stock_bars_t WHERE bar_date = DATE'2024-01-03'")
+        assert q.count() == 1
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(bar_date" in plan  # pruning reaches the scan
+
+        # the catalog table tracks later path-written partitions after repair
+        more = spark.createDataFrame(
+            [("AAPL", dt.datetime(2024, 1, 5, 9, 30), 1.0, 1.0, 1.0, 1.0, 1.0, 1, 1)],
+            bars.schema,
+        )
+        assert upsert_bars(spark, target, more, companies) == 1
+        spark.sql("MSCK REPAIR TABLE stock_bars_t")
+        assert spark.table("stock_bars_t").count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stock_bars_t")
