@@ -267,7 +267,7 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression — amortized at scale.)"""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return emb.select(
-        "vec_id", hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket")
+        "vec_id", hyperplane_bucket("embedding", _N_PLANES, _DIM).alias("bucket")
     )
 
 
@@ -311,8 +311,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id",
         "embedding",
-        hyperplane_bucket(F.col("embedding"), _N_PLANES, _DIM).alias("bucket"),
-        norm_unrolled(F.col("embedding"), _DIM).alias("nrm"),
+        hyperplane_bucket("embedding", _N_PLANES, _DIM).alias("bucket"),
+        norm_unrolled("embedding", _DIM).alias("nrm"),
     )
     a = vecs.select(
         F.col("vec_id").alias("vec_a"),
@@ -335,8 +335,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             (
-                dot_unrolled(F.col("_ea"), F.col("_eb"), _DIM)
-                / (F.col("_na") * F.col("_nb"))
+                dot_unrolled("_ea", "_eb", _DIM) / (F.col("_na") * F.col("_nb"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)

@@ -232,12 +232,12 @@ def test_lsh_multi_probe_recall(spark):
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
-        norm_unrolled(F.col("embedding"), 64).alias("na"),
+        norm_unrolled("embedding", 64).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
-        norm_unrolled(F.col("embedding"), 64).alias("nb"),
+        norm_unrolled("embedding", 64).alias("nb"),
     )
     truth = {
         (r.id_a, r.id_b)
@@ -246,7 +246,7 @@ def test_lsh_multi_probe_recall(spark):
         .select(
             "id_a",
             "id_b",
-            (dot_unrolled(F.col("ea"), F.col("eb"), 64) / (F.col("na") * F.col("nb"))).alias("cos"),
+            (dot_unrolled("ea", "eb", 64) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= 0.35)
         .collect()
