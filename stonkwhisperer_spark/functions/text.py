@@ -70,6 +70,29 @@ def token_count_sql(expr: str) -> str:
     return f"cast(case when {c} = '' then 0 else len(regexp_split_to_array({c}, '\\s+')) end as bigint)"
 
 
+# BPE-pre-tokenizer-ish segmentation (GPT-2 family shape, ASCII-only so
+# Java regex and RE2 agree): letter runs | single digits | single
+# non-alnum marks; whitespace separates, digits split one per token.
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex — the
+    LLM-pipeline budget estimator (whitespace counts undercount
+    punctuation-heavy text; digit splitting matches BPE behavior).
+    Map-only codegen, no UDF."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB twin of bpe_token_count."""
+    return (
+        f"cast(len(regexp_extract_all(coalesce({expr}, ''), "
+        f"'{_BPE_PATTERN}')) as bigint)"
+    )
+
+
 # Language-ID normalization keeps CJK (U+4E00-U+9FFF) alongside ASCII
 # word chars: clean_text_for_nlp's [^\w\s.!?] strips CJK entirely (Java
 # \w is ASCII), which made zh markers unreachable. Replacement is ' '

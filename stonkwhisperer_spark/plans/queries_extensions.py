@@ -220,3 +220,33 @@ def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles per group (Spark percentile ≡ DuckDB quantile_cont,
+# both R-7 linear interpolation — verified bit-exact cross-engine).
+# --------------------------------------------------------------------------
+@register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(cast(o_totalprice AS double), 0.5) AS median_price,
+           quantile_cont(cast(o_totalprice AS double), 0.9) AS p90_price,
+           count(*)                                         AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (median, p90) of order prices: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the R-7 linear
+    interpolation, so doubles match bit-for-bit. Scale: exact
+    percentile buffers each group's values — fine for bounded group
+    sizes; at 100 TB switch to ``approx_percentile`` (t-digest, mergeable
+    map-side sketch) and accept the documented error bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cast(o_totalprice as double), 0.5)").alias("median_price"),
+        F.expr("percentile(cast(o_totalprice as double), 0.9)").alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )

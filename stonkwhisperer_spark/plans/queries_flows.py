@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.flows import bars_flow, news_flow, posts_flow
-from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_for_nlp_sql
 from stonkwhisperer_spark.operators.asof import zip_join
 from stonkwhisperer_spark.plans.queries_pipelines import _bars_raw, _news_raw, _posts_raw
 from stonkwhisperer_spark.plans.registry import register
@@ -81,6 +81,67 @@ def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
         rows, "flow string, inserted_first bigint, inserted_rerun bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# api_ingest_e2e — the Spark-4 Python Data Source (sources/datasource.py)
+# feeding clean_news, oracle-checked end to end: the synthetic page
+# records are deterministic formulas DuckDB re-derives from range().
+# --------------------------------------------------------------------------
+_API_LIMIT = 200
+
+
+@register(
+    "api_ingest_e2e",
+    oracle=f"""
+    WITH raw AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0 THEN NULL
+                  ELSE 'author_' || (i % 13) END        AS author,
+             'Title ' || i                              AS title,
+             'body text ' || i                          AS content,
+             'https://news.example.com/' || i           AS url,
+             'Source ' || (i % 5)                       AS source_name,
+             '2024-03-' || lpad(cast((i % 28) + 1 AS varchar), 2, '0')
+               || 'T' || lpad(cast(i % 24 AS varchar), 2, '0')
+               || ':15:30Z'                             AS publishedAt
+      FROM range({_API_LIMIT}) t(i)
+    )
+    SELECT sha256(url)                                  AS id,
+           coalesce(author, 'No Author')                AS author,
+           title, content,
+           {clean_text_for_nlp_sql("title")}            AS title_cleaned,
+           {clean_text_for_nlp_sql("content")}          AS content_cleaned,
+           cast(publishedAt AS timestamp)               AS published_at,
+           source_name, url
+    FROM raw
+    """,
+)
+def q_api_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-as-a-DataSource end to end: ``format("stonkw_api")`` (the
+    reference's NewsAPI extractor packaged as a Spark 4 Python Data
+    Source — 4 input partitions respec the Celery fan-out) piped into
+    clean_news, verified against a DuckDB twin that re-derives the same
+    deterministic page records. Proves the source's schema declaration,
+    partition planning, and record iteration produce exactly the rows
+    the contract says."""
+    from stonkwhisperer_spark.pipelines import clean_news
+    from stonkwhisperer_spark.sources.datasource import LandingApiDataSource
+
+    try:
+        spark.dataSource.register(LandingApiDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    raw = (
+        spark.read.format("stonkw_api")
+        .option("kind", "news")
+        .option("limit", _API_LIMIT)
+        .load()
+    )
+    return clean_news(
+        raw.withColumn("_arrival_id", F.monotonically_increasing_id()),
+        order_col="_arrival_id",
     )
 
 

@@ -11,10 +11,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.functions.text import (
+    bpe_token_count,
+    bpe_token_count_sql,
     language_id,
     language_id_sql,
     quality_signals,
     quality_signals_sql,
+    token_count,
+    token_count_sql,
 )
 from stonkwhisperer_spark.operators.profile import profile
 from stonkwhisperer_spark.plans.registry import register
@@ -55,6 +59,44 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         language_id("text").alias("lang_pred"),
         *[c.alias(n) for n, c in qs.items()],
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace vs BPE-ish pre-tokenizer — the LLM budget
+# estimator pair, plus a corpus-level rollup.
+# --------------------------------------------------------------------------
+@register(
+    "token_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             {token_count_sql("text")}      AS ws_tokens,
+             {bpe_token_count_sql("text")}  AS bpe_tokens,
+             cast(len(coalesce(text, '')) AS bigint) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, ws_tokens, bpe_tokens,
+           cast(n_chars AS double) / cast(greatest(bpe_tokens, 1) AS double)
+             AS chars_per_bpe_token
+    FROM per_doc
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budgets: whitespace count vs BPE-ish
+    pre-tokenizer count (digit-splitting, punctuation-separating ASCII
+    regex) + chars-per-token. The sizing pass every training-data
+    pipeline runs before sampling; map-only codegen, no shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_chars = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (
+            n_chars.cast("double") / F.greatest(bpe, F.lit(1)).cast("double")
+        ).alias("chars_per_bpe_token"),
     )
 
 
