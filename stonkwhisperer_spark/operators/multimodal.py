@@ -100,6 +100,85 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: width·height 'grayscale pixels'
+    derived by striding/repeating the source bytes. A real deployment
+    replaces this with PIL decode→resize→tobytes; the contract (bytes
+    in, exactly width·height bytes out) is identical."""
+    if not payload:
+        return bytes(width * height)
+    n = width * height
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """MEDIA_SCHEMA → RESIZED_SCHEMA via mapInPandas: one output row
+    per input image with a fixed-size pixel buffer — the normalize
+    stage before vision-model feature extraction. Narrow map stage;
+    output size is constant per row (width·height), so downstream
+    partition sizing is predictable regardless of source image sizes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pdf["payload"].map(
+                        lambda b: _resize_stub(b, width, height) if b is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 2) -> DataFrame:
+    """MEDIA_SCHEMA (video payloads) → one row per sampled frame: the
+    1→N row expansion shape (mapInPandas output batches need not align
+    with input rows). The stub treats the payload as a concatenation of
+    ``frame_bytes`` frames and keeps every ``every_n``-th; a real
+    deployment replaces the slicing with av/ffmpeg keyframe extraction.
+    Scale: output cardinality is rows·frames/every_n — repartition on
+    size_bucket first so long videos spread across tasks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(payload[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def size_bucket(df: DataFrame, payload_col: str = "payload", n_buckets: int = 32) -> DataFrame:
     """Add a decode-cost bucket column (by payload size) to repartition
     on before a heavy decode stage, so large payloads spread evenly."""

@@ -51,3 +51,36 @@ def test_size_bucket_bounded(spark):
         F.min("_size_bucket").alias("lo"), F.max("_size_bucket").alias("hi")
     ).collect()[0]
     assert 0 <= stats.lo and stats.hi < 8
+
+
+def test_resize_images_fixed_output(spark):
+    from stonkwhisperer_spark.operators.multimodal import RESIZED_SCHEMA, resize_images
+
+    out = resize_images(_media(spark), width=8, height=4)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.pixels) == 8 * 4 for r in rows)  # constant-size contract
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_frames_row_expansion(spark):
+    from stonkwhisperer_spark.operators.multimodal import FRAME_SCHEMA, sample_frames
+
+    # payload of media_id i has 10 + 7i bytes (see _media); with
+    # 20-byte frames and every_n=1: (10 + 7i) // 20 frames per row.
+    out = sample_frames(_media(spark), frame_bytes=20, every_n=1)
+    assert out.schema == FRAME_SCHEMA
+    per_doc = {r.media_id: r.cnt for r in out.groupBy("media_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    for i, cnt in per_doc.items():
+        assert cnt == (10 + 7 * i) // 20
+    # media 0 (10 bytes) yields no complete frame and is absent
+    assert 0 not in per_doc and 1 not in per_doc and 2 in per_doc
+    assert all(len(r.frame) == 20 for r in out.collect())
+
+    # every_n=2 halves the sampled frames (rounded up per video)
+    half = sample_frames(_media(spark), frame_bytes=20, every_n=2)
+    for r in half.groupBy("media_id").agg(F.count("*").alias("cnt")).collect():
+        assert r.cnt == -(-per_doc[r.media_id] // 2)
