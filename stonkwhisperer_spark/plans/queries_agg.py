@@ -104,3 +104,25 @@ def q_clickers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = events.filter(F.col("event_type") == "click").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.subtract(buyers)
+
+
+# --------------------------------------------------------------------------
+# Set intersection: users who both clicked AND purchased (completes the
+# set-op family: union U1, except, intersect).
+# --------------------------------------------------------------------------
+@register(
+    "clickers_and_buyers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_clickers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection): users present in both the
+    click and purchase populations — DataFrame ``intersect``, planned as
+    aggregate + left-semi join on the high-cardinality user key."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)

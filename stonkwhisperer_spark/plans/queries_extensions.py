@@ -250,3 +250,45 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(cast(o_totalprice as double), 0.9)").alias("p90_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: trailing 30-day spend per customer (value-based
+# frames — the rows-frame family is covered by gapfill/sessions).
+# --------------------------------------------------------------------------
+@register(
+    "trailing_30d_spend",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           cast(sum(cast(o_totalprice AS {_D122})) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                ) AS double)                             AS spend_30d,
+           count(*) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                )                                       AS n_orders_30d
+    FROM orders
+    """,
+)
+def q_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day spend per customer via a RANGE window frame over
+    epoch-days: value-based framing includes ALL same-day peers, so the
+    result is deterministic under ties with no explicit tie-break
+    (unlike ROWS frames). Sum runs decimal-exact, one cast to double at
+    the end. Scale: one shuffle on the customer key; the frame is
+    evaluated with a sliding aggregate over each sorted partition."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(epoch_days).rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_D122)).over(w).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
