@@ -154,6 +154,48 @@ def lsh_candidates(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into groups: connected components by
+    iterative min-label propagation — the step that turns pairwise dedup
+    output into canonical-document groups (cluster_id = min node id in
+    the component; keep that doc, drop the rest).
+
+    Per iteration: every node adopts the smallest label among itself
+    and its neighbors (one equi-join + one min-aggregation); labels
+    decrease monotonically, so the total converges within the graph
+    diameter — for near-dup graphs that is small (dup clusters are
+    dense). The per-iteration driver action is a single scalar
+    convergence check, and ``localCheckpoint`` truncates lineage so the
+    plan does not grow with iterations — the standard Spark shape for
+    iterative graph algorithms (GraphFrames' CC does the same).
+
+    Scale: each iteration shuffles |E| rows on the node key; total cost
+    O(diameter · |E|) — the large-star/small-star optimization halves
+    the constant if diameters grow, noted not implemented."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev: int | None = None
+    for _ in range(max_iter):
+        prop = e.join(labels, e["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        total = labels.agg(F.sum("label")).collect()[0][0]
+        if total == prev:
+            break
+        prev = total
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def simhash16(toks: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit j is the sign of
     Σ_tokens (±1 by bit j of the token hash). Near-identical docs share

@@ -54,23 +54,30 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (inverted-index join, no all-pairs).
 # --------------------------------------------------------------------------
-@register(
-    "near_dup_jaccard",
-    oracle=f"""
-    WITH postings AS ({_POSTINGS_SQL}),
+_JACCARD_CTES = f"""
+    postings AS ({_POSTINGS_SQL}),
     sz AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM postings a JOIN postings b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    scored_pairs AS (
+      SELECT doc_a, doc_b,
+             cast(inter AS double) / cast(sa.n + sb.n - inter AS double) AS jaccard
+      FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
     )
-    SELECT doc_a, doc_b,
-           cast(inter AS double) / cast(sa.n + sb.n - inter AS double) AS jaccard
-    FROM inter
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE cast(inter AS double) / cast(sa.n + sb.n - inter AS double) >= 0.8
+"""
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
     """,
 )
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +87,46 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles via jaccard_pairs(max_doc_freq=...) or use the MinHash
     path at 100 TB."""
     return jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs → connected components → canonical
+# doc per cluster. Spark side is iterative min-label propagation; the
+# oracle is a recursive CTE computing reachability min per node.
+# --------------------------------------------------------------------------
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8),
+    cc_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cc_nodes AS (SELECT a AS n FROM cc_edges UNION SELECT b FROM cc_edges),
+    reach(s, d) AS (
+      SELECT n, n FROM cc_nodes
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN cc_edges e ON r.d = e.a
+    )
+    SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup clustering: exact-Jaccard near-dup pairs →
+    connected components (iterative min-label propagation,
+    operators/dedup.py) → (doc_id, cluster_id) with cluster_id = the
+    canonical (min) member. The keep/drop decision of a production
+    dedup pipeline reads straight off this frame. Iterative driver
+    loop with per-iteration scalar convergence check + localCheckpoint
+    lineage truncation — the idiomatic Spark shape for graph
+    iteration. Oracle: recursive-CTE reachability (DuckDB)."""
+    from stonkwhisperer_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -264,3 +264,25 @@ def test_lsh_multi_probe_recall(spark):
     assert plain <= probed  # probe set strictly widens candidates
     all_pairs = n * (n - 1) / 2
     assert len(probed) < 0.05 * all_pairs  # still bucket-bounded, never all-pairs
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chains collapse to the min id, isolated
+    pairs stay separate, and a long path (diameter > 2) still converges
+    within max_iter."""
+    from stonkwhisperer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a path; {10,11}; {20,21,22} as a star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # a 12-node path exercises multi-iteration convergence
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(path).collect()}
+    assert set(got.values()) == {100} and len(got) == 13
