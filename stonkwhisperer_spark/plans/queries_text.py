@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
 from stonkwhisperer_spark.functions.text import (
     bpe_token_count,
     bpe_token_count_sql,
@@ -236,3 +237,87 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("content_sha256"),
         F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("header_hex"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting: hash-based train/val/test assignment
+# — reproducible across runs, engines, and cluster sizes (unlike
+# randomSplit, which depends on partitioning).
+# --------------------------------------------------------------------------
+@register(
+    "doc_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {portable_hash64_sql("'split|' || cast(doc_id AS varchar)")} % 100 < 80
+                  THEN 'train'
+                WHEN {portable_hash64_sql("'split|' || cast(doc_id AS varchar)")} % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by content-independent key
+    hash: the split survives re-ingestion, repartitioning, and engine
+    changes — the reproducibility property randomSplit lacks. Map-only;
+    at 100 TB the split column doubles as a partition filter for
+    training readers."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality filter cascade: the C4-style keep/drop verdict assembled from
+# the scoring signals — the decision stage after text_quality.
+# --------------------------------------------------------------------------
+@register(
+    "quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {language_id_sql("text")}     AS lang_pred,
+             {_QS["n_tokens"]}             AS n_tokens,
+             {_QS["stopword_ratio"]}       AS stopword_ratio,
+             {_QS["mean_token_len"]}       AS mean_token_len
+      FROM documents
+    )
+    SELECT doc_id, lang_pred, n_tokens
+    FROM scored
+    WHERE lang_pred = 'en'
+      AND n_tokens BETWEEN 20 AND 100000
+      AND stopword_ratio >= 0.01
+      AND mean_token_len BETWEEN 2.0 AND 12.0
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep side of a C4-style quality cascade: English-predicted,
+    length-bounded, stopword-bearing, sane mean word length. One
+    map-only pass — every signal is a codegen'd expression, so the
+    cascade costs one corpus scan regardless of how many predicates
+    stack."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    qs = quality_signals("text")
+    scored = docs.select(
+        "doc_id",
+        language_id("text").alias("lang_pred"),
+        qs["n_tokens"].alias("n_tokens"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+        qs["mean_token_len"].alias("mean_token_len"),
+    )
+    return scored.filter(
+        (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(20, 100000)
+        & (F.col("stopword_ratio") >= 0.01)
+        & F.col("mean_token_len").between(2.0, 12.0)
+    ).select("doc_id", "lang_pred", "n_tokens")
