@@ -236,3 +236,90 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("_l2_qty").cast(_D122)).cast("double").alias("total_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 shape: order-priority counts gated on an EXISTS subquery — the
+# correlated-exists pattern planned as a left-semi join.
+# --------------------------------------------------------------------------
+@register(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o.o_orderdate <  timestamp '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS expressed as a LEFT-SEMI join
+    on the order key (no row duplication from multi-lineitem orders,
+    no distinct needed), then a low-cardinality count. The semi join
+    shuffles on orderkey; both filters push to their scans. (Q4's
+    l_commitdate < l_receiptdate predicate is respec'd onto the
+    returned-lineitem flag — the testdata lineitem carries no
+    commit/receipt dates.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share — conditional aggregation over a
+# fact⋈dim join with a single double division at the end.
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT cast(100.0 AS double)
+             * cast(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN cast(l.l_extendedprice AS {_D122})
+                                  * cast(1 - l.l_discount AS {_D122})
+                             ELSE cast(0 AS {_D122}) END) AS double)
+             / cast(sum(cast(l.l_extendedprice AS {_D122})
+                        * cast(1 - l.l_discount AS {_D122})) AS double)
+           AS promo_share_pct,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= timestamp '1996-09-01 00:00:00'
+      AND l.l_shipdate <  timestamp '1996-10-01 00:00:00'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — part dim broadcast into
+    the date-filtered lineitem scan, both sums decimal-exact, ONE
+    double division at the end (the ratio-of-sums discipline; dividing
+    per-row would drift under partial aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_D122) * (F.lit(1) - F.col("l_discount")).cast(_D122)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast(_D122))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0).cast("double")
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
