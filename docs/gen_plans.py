@@ -15,6 +15,10 @@ NOTES = {
     "events_in_promo_windows_grid": "Interval-grid decomposition: the interval side explodes onto overlapped 5-min cells, points map to one cell, and the join is a pure equi-join on (event_type, cell) — no broadcast requirement, no nested loop on either side.",
     "knn_embeddings": "Scoring stays in WholeStageCodegen (dim-unrolled dot/norm, no interpreted array lambdas); query side broadcast; single per-query top-k window.",
     "zip_docs_embeddings": "J1 positional join: global row_number on both sides (single-partition sort by construction — parity surface; the scale path is the key-equi respec).",
+    "cust_order_dist": "Q13 distribution: LEFT OUTER with the status predicate inside the join condition (a post-filter would drop zero-order customers); custkey shuffle then a tiny low-card rollup.",
+    "idle_rich_customers": "Q22: scalar AVG threshold stays in-plan as a 1-row broadcast (no collect round trip); NOT EXISTS is a left-anti on custkey; nation broadcasts.",
+    "part_value_share": "Q11 HAVING-vs-global-share: per-part frame cached so lineitem is scanned ONCE (exchange reuse does not fire across the threshold/rows branches); threshold joins back as a 1-row broadcast.",
+    "steel_part_suppliers": "Q20 nested EXISTS chain planned inside-out: part filter broadcasts semi into lineitem, surviving suppkeys semi into supplier — no duplication, no distinct.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

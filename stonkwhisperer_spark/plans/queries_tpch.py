@@ -323,3 +323,214 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Q13 shape: order-count distribution — LEFT OUTER join + two-level agg.
+# --------------------------------------------------------------------------
+@register(
+    "cust_order_dist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders. LEFT OUTER
+    join (the non-F status predicate lives in the join condition, NOT a
+    post-filter — a post-filter would silently turn the join inner and
+    lose zero-order customers), count per customer, then re-aggregate
+    into the distribution. Scale: first agg shuffles on custkey (high
+    card, uniform); second is a tiny low-card rollup."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderstatus"] != "F"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: rich customers with no orders — scalar-subquery threshold
+# + anti join, grouped by nation.
+# --------------------------------------------------------------------------
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           count(*) AS n_cust,
+           cast(sum(cast(c.c_acctbal AS {_D122})) AS double) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT cast(avg(cast(c_acctbal AS {_D122})) AS double)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY n.n_name
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone-prefix respec'd to nation): customers
+    with above-average balance and no orders. The scalar AVG subquery
+    becomes a 1-row broadcast cross join (NOT a .collect() round trip —
+    the threshold stays in the plan, one job); NOT EXISTS is a
+    LEFT-ANTI join on custkey; nation dim broadcasts. The avg is
+    decimal-exact then cast, so partial-agg order can't drift it."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(F.col("c_acctbal").cast(_D122)).cast("double").alias("_avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(_D122)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape: correlated max — the best customer(s) per nation.
+# --------------------------------------------------------------------------
+@register(
+    "top_customer_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_name, c.c_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal = (
+      SELECT max(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-max subquery, planned as a
+    grouped max + equi-join back (ties kept, same as the correlated
+    form). Scale: per-group max is a map-side-combined agg on a
+    25-key column → tiny frame → broadcast back into the fact; no
+    window sort over the full table needed. Exact equality on the
+    untouched double is safe — both sides compare the same stored
+    value, no arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    best = (
+        cust.groupBy(F.col("c_nationkey").alias("_nk"))
+        .agg(F.max("c_acctbal").alias("_max_bal"))
+    )
+    return (
+        cust.join(
+            F.broadcast(best),
+            (F.col("c_nationkey") == F.col("_nk"))
+            & (F.col("c_acctbal") == F.col("_max_bal")),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "c_name", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape: nested semi-join chain — suppliers who shipped STEEL parts.
+# --------------------------------------------------------------------------
+@register(
+    "steel_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND EXISTS (
+          SELECT 1 FROM part p
+          WHERE p.p_partkey = l.l_partkey AND p.p_type LIKE '%STEEL%'
+        )
+        AND l.l_shipdate >= timestamp '1996-01-01 00:00:00'
+    )
+    """,
+)
+def q_steel_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp respec'd to shipped lineitems): the
+    nested-EXISTS chain planned inside-out as two semi joins — part
+    filter broadcasts into the date-filtered lineitem scan (semi), and
+    the surviving suppkeys semi-join supplier. No row duplication at
+    any level, so no distinct; both filters push to their scans."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    steel = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("%STEEL%")
+    )
+    steel_li = li.join(
+        F.broadcast(steel), li["l_partkey"] == steel["p_partkey"], "left_semi"
+    )
+    return supp.join(
+        steel_li, supp["s_suppkey"] == steel_li["l_suppkey"], "left_semi"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: value share with HAVING against a global-scalar fraction.
+# --------------------------------------------------------------------------
+@register(
+    "part_value_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(cast(l_extendedprice AS {_D122}) * cast(l_quantity AS {_D122}))
+               AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, cast(value AS double) AS part_value
+    FROM rev
+    WHERE value > (SELECT sum(value) * 0.001 FROM rev)
+    """,
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value, keep parts above a fraction of
+    the GLOBAL total — the grouped-agg-vs-its-own-rollup pattern. The
+    per-part frame feeds both the rows and the threshold (a 1-row
+    broadcast cross join, NOT a .collect() round trip), so it's cached:
+    without the cache Spark plans TWO full lineitem scans (exchange
+    reuse doesn't fire across the branches — verified on the physical
+    plan), and at 100 TB re-scanning the fact to derive a |parts|-sized
+    frame twice is the bug. Comparison stays decimal-exact, cast to
+    double only in the output projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_D122) * F.col("l_quantity").cast(_D122)
+            ).alias("value")
+        )
+        .cache()
+    )
+    total = rev.agg((F.sum("value") * F.lit(0.001)).alias("_threshold"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_threshold"))
+        .select("l_partkey", F.col("value").cast("double").alias("part_value"))
+    )
