@@ -208,3 +208,106 @@ def hyperplane_bucket(vec: Column | str, n_planes: int, dim: int) -> Column:
             s = s + F.element_at(vec, d + 1).cast("double") * F.lit(plane_component(p, d))
         bucket = bucket + F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    cent_id: str = "cent_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (deterministic ties → smallest cent_id).
+    Returns (id_col, cell, _vn, vec) — norm and embedding ride along so
+    downstream search needs no re-join against the vector table.
+
+    Scale: centroids broadcast (k rows); each vector expands to k
+    scored rows MAP-SIDE, then ONE partial-aggregated shuffle of a
+    single row per vector picks the argmax — max over a
+    (cosine, -cent_id, payload) struct is lexicographic, so the payload
+    columns never influence the choice. No window sort, no driver
+    round trip."""
+    c = centroids.select(
+        F.col(cent_id), F.col(vec).alias("_cv"), norm_unrolled(vec, dim).alias("_cn")
+    )
+    v = vecs.select(F.col(id_col), F.col(vec), norm_unrolled(vec, dim).alias("_vn"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec,
+        "_vn",
+        cent_id,
+        (dot_unrolled(vec, "_cv", dim) / (F.col("_vn") * F.col("_cn"))).alias("_cos"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("_cos").alias("c"),
+            (-F.col(cent_id)).alias("nc"),
+            F.col("_vn").alias("vn"),
+            F.col(vec).alias("v"),
+        )
+    ).alias("_best")
+    return scored.groupBy(id_col).agg(best).select(
+        id_col,
+        (-F.col("_best.nc")).alias("cell"),
+        F.col("_best.vn").alias("_vn"),
+        F.col("_best.v").alias(vec),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    vecs: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``probes`` nearest
+    centroid cells and ranks ONLY the vectors assigned there by exact
+    cosine. Returns (q_id, c_id, cosine), ties on c_id; self-matches
+    excluded.
+
+    Scale: the inverted-file discipline — search cost drops from
+    |Q|·|V| to |Q|·probes·avg_cell, and the candidate join is an
+    equi-join on cell with the (tiny) probe list broadcast, so the
+    vector table is touched by exactly one scan + one assignment
+    shuffle. Recall < 1 by construction; raise ``probes`` to trade
+    compute for recall (nprobe in FAISS terms)."""
+    assign = ivf_assign(vecs, centroids, id_col=c_id, vec=vec, dim=dim)
+    c = centroids.select(
+        F.col("cent_id"), F.col(vec).alias("_cv"), norm_unrolled(vec, dim).alias("_cn")
+    )
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), norm_unrolled(vec, dim).alias("_qn"))
+    qscore = q.crossJoin(F.broadcast(c)).select(
+        q_id,
+        "_qv",
+        "_qn",
+        F.col("cent_id").alias("cell"),
+        (dot_unrolled("_qv", "_cv", dim) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    wq = W.partitionBy(q_id).orderBy(F.desc("_cos"), F.col("cell"))
+    probe = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= probes)
+        .select(q_id, "_qv", "_qn", "cell")
+    )
+    scored = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(
+            q_id,
+            c_id,
+            (dot_unrolled("_qv", vec, dim) / (F.col("_qn") * F.col("_vn"))).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -387,3 +387,84 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k — the other classic ANN scale
+# path next to LSH: coarse-quantize vectors onto centroid cells, search
+# only the cells each query probes.
+# --------------------------------------------------------------------------
+@register(
+    "ivf_topk_embeddings",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS cn
+      FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vn
+      FROM embeddings
+    ),
+    ascore AS (
+      SELECT v.vec_id, c.cent_id,
+             {_DOT.format(a='v.embedding', b='c.cv')} / (v.vn * c.cn) AS cos
+      FROM v, cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        FROM ascore) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, vn AS qn FROM v WHERE vec_id < 8),
+    qs AS (
+      SELECT q.q_id, c.cent_id,
+             {_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn) AS cos
+      FROM q, cents c
+    ),
+    probe AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT q_id, cent_id, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rn
+        FROM qs) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probe p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id,
+             {_DOT.format(a='qq.qv', b='vv.embedding')} / (qq.qn * vv.vn) AS cosine
+      FROM cand
+      JOIN q qq ON cand.q_id = qq.q_id
+      JOIN v vv ON cand.vec_id = vv.vec_id
+    )
+    SELECT q_id, vec_id, cosine FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 8 query vectors: centroids are
+    deterministically seeded (every 64th vec_id — so the centroid count
+    grows with the corpus and mean cell size stays ~64; production
+    would refine them with MLlib KMeans, which changes the seeds but
+    not the plan), vectors coarse-assigned to their nearest cell in one
+    partial-aggregated shuffle, each query probes its 2 nearest cells,
+    and only those cells' members are exactly re-ranked. Recall vs the
+    brute-force baseline is measured in tests/test_operators.py.
+    Scoring is the dim-unrolled codegen dot (oracle-bit-identical)."""
+    from stonkwhisperer_spark.operators.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk(queries, emb, cents, k=5, probes=2, dim=_DIM)

@@ -286,3 +286,48 @@ def test_connected_components_clusters(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(path).collect()}
     assert set(got.values()) == {100} and len(got) == 13
+
+
+def test_ivf_topk_recall(spark):
+    """IVF top-k vs brute-force ground truth on sf0.01 embeddings:
+    recall must rise monotonically with nprobe and hit 1.0 when every
+    cell is probed (then IVF degenerates to exact search). Also pins
+    the plan shape: the candidate join must be a broadcast equi-join
+    on cell, never a nested loop."""
+    from stonkwhisperer_spark.operators.similarity import ivf_topk, knn_bruteforce
+    from stonkwhisperer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    n_cells = cents.count()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth = {
+        (r.q_id, r.c_id)
+        for r in knn_bruteforce(queries, emb.select(F.col("vec_id").alias("c_id"), "embedding"), k=5, codegen_dim=64).collect()
+    }
+    assert len(truth) == 8 * 5
+
+    recalls = []
+    for probes in (1, 2, n_cells):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(queries, emb, cents, k=5, probes=probes, dim=64).collect()
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    assert recalls[2] == 1.0  # all cells probed == exact search
+    assert recalls[1] >= 0.2  # 2-probe floor on this data
+
+    plan = (
+        ivf_topk(queries, emb, cents, k=5, probes=2, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidate retrieval must be a hash equi-join on cell (probe list
+    # broadcast); the only nested-loop joins allowed are the two
+    # k-row centroid cross joins that feed the quantizer.
+    assert "BroadcastHashJoin [cell" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
