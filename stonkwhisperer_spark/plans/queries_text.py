@@ -321,3 +321,119 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= 0.01)
         & F.col("mean_token_len").between(2.0, 12.0)
     ).select("doc_id", "lang_pred", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Dataset mixture sampling: language-weighted deterministic downsample —
+# the "data mixture" stage of a training pipeline (e.g. upweight English,
+# downsample the long tail) as a pure hash predicate.
+# --------------------------------------------------------------------------
+_MIX_RATES = {"en": 10000, "de": 5000, "fr": 5000, "es": 2500, "zh": 2500}
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {portable_hash64_sql("'mix|' || cast(doc_id AS varchar)")} % 10000
+          < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+            ELSE 0 END
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: per-language keep
+    rates (en 100%, de/fr 50%, es/zh 25%) applied as a keyed-hash
+    threshold — unlike sampleBy, the SAME docs survive across engines,
+    re-ingestions, and repartitioning, so downstream dedup/splits stay
+    stable. Map-only, filter pushes after the scan, no shuffle; rates
+    are a broadcast-free literal CASE."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    ) % 10000
+    rate = F.lit(0)
+    for lang_code, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang_code, F.lit(r)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-budget context windows
+# (approximate greedy packing — cumulative token count per shard).
+# --------------------------------------------------------------------------
+_PACK_CTX = 2048
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_documents",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             {portable_hash64_sql("'shard|' || cast(doc_id AS varchar)")}
+               % {_PACK_SHARDS}                       AS shard,
+             {portable_hash64_sql("'order|' || cast(doc_id AS varchar)")}
+                                                      AS shuffle_key,
+             {bpe_token_count_sql("text")}            AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS tokens_before
+      FROM sized
+    )
+    SELECT doc_id, shard, n_tokens, tokens_before,
+           shard * 1000000 + tokens_before // {_PACK_CTX} AS pack_id
+    FROM cum
+    """,
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are hash-sharded, hash-
+    shuffled within each shard (deterministic 'random' order), and
+    packed into 2048-token context windows by running token count —
+    pack_id = shard·1e6 + ⌊tokens_before/ctx⌋, the standard approximate
+    packing (a doc straddling a boundary starts in the earlier pack).
+    Scale: ONE shuffle on shard; each shard's window is an O(n) running
+    frame; shard count is the parallelism knob (8 here, thousands in
+    production) and no state crosses shards — the exact property that
+    lets 100 TB pack in one pass. Deterministic end-to-end: the same
+    doc always lands in the same pack."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+    from pyspark.sql.window import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sized = docs.select(
+        "doc_id",
+        (
+            portable_hash64(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+            % _PACK_SHARDS
+        ).alias("shard"),
+        portable_hash64(
+            F.concat(F.lit("order|"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+        bpe_token_count("text").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sized.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tokens_before",
+        (
+            F.col("shard") * 1000000
+            + F.floor(F.col("tokens_before") / _PACK_CTX)
+        ).alias("pack_id"),
+    )
