@@ -214,27 +214,32 @@ def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: decimal-exact HAVING aggregate selects big
-    orders, then a semi-style join back through orders/customer/
-    lineitem. Scale: the HAVING agg is map-side partial; its output
-    (few keys) broadcasts into the fact join."""
+    orders, joined back through orders/customer. The textbook Q18 then
+    RE-JOINS lineitem and re-sums quantity — but that sum is exactly
+    the HAVING aggregate already in hand (orders are unique per key,
+    so each output group is one order), so this plan carries `_q`
+    through instead: one lineitem scan, no second fact⋈fact shuffle.
+    Scale: the HAVING agg is map-side partial; its output (few keys)
+    broadcasts into the orders join; everything after is map-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    li2 = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("_l2_orderkey"), F.col("l_quantity").alias("_l2_qty")
-    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_D122)).alias("_q"))
         .filter(F.col("_q") > 300)
-        .select(F.col("l_orderkey").alias("_big_orderkey"))
+        .select(F.col("l_orderkey").alias("_big_orderkey"), "_q")
     )
     return (
         orders.join(F.broadcast(big), orders["o_orderkey"] == big["_big_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(li2, F.col("_l2_orderkey") == orders["o_orderkey"])
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("_l2_qty").cast(_D122)).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("total_qty"),
+        )
     )
 
 

@@ -112,3 +112,35 @@ def start_merge_stream(
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def join_streams_time_bounded(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right-side rows match left-side rows
+    with the same ``key`` whose event time falls in
+    ``[left_ts - lookback, left_ts]`` — e.g. "attach every sentiment
+    score published in the 10 minutes before each tick".
+
+    Both sides carry watermarks AND the join condition bounds event
+    time — the two requirements that let Spark evict buffered rows:
+    state per side is (watermark + lookback) of data per key, never
+    history. Without the time bound the state store grows forever;
+    this helper makes the bound impossible to forget. Works on batch
+    frames too (watermarks are a no-op there) — the parity surface
+    the test uses."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lc, rc = F.col(f"_l.{left_ts}"), F.col(f"_r.{right_ts}")
+    return lw.alias("_l").join(
+        rw.alias("_r"),
+        (F.col(f"_l.{key}") == F.col(f"_r.{key}"))
+        & (rc >= lc - F.expr(f"INTERVAL {lookback}"))
+        & (rc <= lc),
+    )

@@ -288,3 +288,65 @@ def test_streaming_session_windows(spark, tmp_path):
         ("u1", t0 + dt.timedelta(minutes=14)): 2,
         ("u2", t0 + dt.timedelta(minutes=1)): 2,
     }
+
+
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bound:
+    drained result must equal the same join run as a batch plan, and
+    rows outside the lookback window must not match."""
+    import datetime as dt
+
+    from stonkwhisperer_spark.streaming.jobs import join_streams_time_bounded
+
+    t0 = dt.datetime(2024, 1, 1, 9, 30, 0)
+    ticks_schema = "symbol string, ts timestamp, price double"
+    sent_schema = "symbol string, ts timestamp, score double"
+    ticks_rows = [
+        ("A", t0 + dt.timedelta(minutes=m), 100.0 + m) for m in (0, 5, 20)
+    ] + [("B", t0, 50.0)]
+    sent_rows = [
+        ("A", t0 - dt.timedelta(minutes=3), 0.7),   # matches A@0, A@5 (within 10m)
+        ("A", t0 + dt.timedelta(minutes=19), 0.2),  # matches A@20 only
+        ("A", t0 - dt.timedelta(minutes=30), 0.9),  # too old for everything
+        ("B", t0 + dt.timedelta(minutes=1), -0.4),  # future of B@0 → no match
+    ]
+    ticks_path, sent_path = str(tmp_path / "ticks"), str(tmp_path / "sent")
+    spark.createDataFrame(ticks_rows, ticks_schema).write.parquet(ticks_path)
+    spark.createDataFrame(sent_rows, sent_schema).write.parquet(sent_path)
+
+    def joined(lf, rf):
+        return join_streams_time_bounded(
+            lf, rf, key="symbol", left_ts="ts", right_ts="ts", lookback="10 minutes"
+        ).select(
+            F.col("_l.symbol").alias("symbol"),
+            F.col("_l.ts").alias("tick_ts"),
+            F.col("_r.ts").alias("sent_ts"),
+            "score",
+        )
+
+    batch = {
+        tuple(r)
+        for r in joined(
+            spark.read.parquet(ticks_path), spark.read.parquet(sent_path)
+        ).collect()
+    }
+    expected = {
+        ("A", t0, t0 - dt.timedelta(minutes=3), 0.7),
+        ("A", t0 + dt.timedelta(minutes=5), t0 - dt.timedelta(minutes=3), 0.7),
+        ("A", t0 + dt.timedelta(minutes=20), t0 + dt.timedelta(minutes=19), 0.2),
+    }
+    assert batch == expected
+
+    lf = spark.readStream.schema(ticks_schema).parquet(ticks_path)
+    rf = spark.readStream.schema(sent_schema).parquet(sent_path)
+    q = (
+        joined(lf, rf)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == expected
