@@ -204,3 +204,101 @@ def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_sentiment(model, labeled).select(
         "doc_id", "label", "prediction", "p_positive"
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_ohlcv — the Structured Streaming minute-bars path itself
+# under the DuckDB oracle: a real availableNow stream over a landing
+# drop, drained to a memory sink, returned as the batch relation.
+# --------------------------------------------------------------------------
+_STREAM_OHLCV_CAP = 20_000
+_stream_ohlcv_runs = 0
+
+
+@register(
+    "streaming_ohlcv",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT 'S' || (user_id % 15) AS symbol, ts, event_id, value AS price
+      FROM events WHERE event_id < {_STREAM_OHLCV_CAP}
+    ),
+    e AS (
+      SELECT symbol, date_trunc('minute', ts) AS bar_ts, price,
+             row_number() OVER (PARTITION BY symbol, date_trunc('minute', ts)
+                                ORDER BY ts, event_id)           AS rn_a,
+             row_number() OVER (PARTITION BY symbol, date_trunc('minute', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ticks
+    )
+    SELECT bar_ts, symbol,
+           max(CASE WHEN rn_a = 1 THEN price END) AS open,
+           max(price)                             AS high,
+           min(price)                             AS low,
+           max(CASE WHEN rn_d = 1 THEN price END) AS close,
+           count(*)                               AS n_ticks
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute OHLCV computed BY THE STREAMING PATH — not a batch twin:
+    ticks (derived deterministically from events) land as parquet, a
+    file-source stream reads them, the watermarked windowed aggregation
+    runs under an availableNow trigger into a complete-mode memory
+    sink, and the drained table is returned for the oracle compare. So
+    the driver's correctness gate covers the streaming aggregation
+    operator itself (deterministic open/close via the (ts, event_id)
+    tie-break, same discipline as batch ohlcv_1min).
+
+    Scale: the streaming agg shuffles once on (window, symbol) with
+    partial merge, state bounded by the watermark; complete-mode memory
+    sink is the TEST harness shape only — production writes through
+    start_merge_stream."""
+    global _stream_ohlcv_runs
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.streaming.jobs import minute_bars, read_landing_stream
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < _STREAM_OHLCV_CAP
+    )
+    ticks = events.select(
+        F.concat(F.lit("S"), F.col("user_id") % 15).alias("symbol"),
+        # watermarks require TIMESTAMP (tz-aware); the session is pinned
+        # UTC so the ntz→ltz cast is wall-clock lossless both ways.
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),
+        F.col("value").alias("price"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_ohlcv_")
+    try:
+        landing = f"{scratch}/ticks"
+        ticks.coalesce(1).write.parquet(landing)
+        _stream_ohlcv_runs += 1
+        name = f"stream_ohlcv_{_stream_ohlcv_runs}"
+        stream = read_landing_stream(
+            spark,
+            landing,
+            spark.read.parquet(landing).schema,
+        )
+        bars = minute_bars(stream, tiebreak_col="event_id")
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{scratch}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name).select(
+            F.col("bar_ts").cast("timestamp_ntz").alias("bar_ts"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            F.col("n_ticks").cast("bigint").alias("n_ticks"),
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

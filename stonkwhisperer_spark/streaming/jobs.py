@@ -61,20 +61,25 @@ def minute_bars(
     key_col: str = "symbol",
     value_col: str = "price",
     watermark: str = "10 minutes",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Tumbling 1-minute OHLCV per key over a tick stream (same shape
     as the batch ohlcv_1min flagship; works on batch frames too when
     ``watermark=None``). Late ticks beyond the watermark are dropped —
-    the documented late-data policy."""
+    the documented late-data policy. Pass ``tiebreak_col`` to make the
+    open/close picks deterministic when two ticks share a timestamp
+    (composite (ts, tiebreak) ordering, same discipline as the batch
+    ohlcv_1min)."""
     src = ticks.withWatermark(ts_col, watermark) if watermark else ticks
     v, t = F.col(value_col), F.col(ts_col)
+    order = F.struct(t, F.col(tiebreak_col)) if tiebreak_col else t
     return (
         src.groupBy(F.window(t, "1 minute").alias("w"), F.col(key_col))
         .agg(
-            F.min_by(v, t).alias("open"),
+            F.min_by(v, order).alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max_by(v, t).alias("close"),
+            F.max_by(v, order).alias("close"),
             F.count("*").alias("n_ticks"),
         )
         .select(
