@@ -19,6 +19,9 @@ NOTES = {
     "idle_rich_customers": "Q22: scalar AVG threshold stays in-plan as a 1-row broadcast (no collect round trip); NOT EXISTS is a left-anti on custkey; nation broadcasts.",
     "part_value_share": "Q11 HAVING-vs-global-share: per-part frame cached so lineitem is scanned ONCE (exchange reuse does not fire across the threshold/rows branches); threshold joins back as a 1-row broadcast.",
     "steel_part_suppliers": "Q20 nested EXISTS chain planned inside-out: part filter broadcasts semi into lineitem, surviving suppkeys semi into supplier — no duplication, no distinct.",
+    "ivf_topk_embeddings": "IVF ANN: centroids broadcast into a map-side scoring expansion, ONE partial-aggregated shuffle picks each vector's cell (max over a struct — no window sort), probe list broadcasts into a hash equi-join on cell.",
+    "pack_documents": "Sequence packing: one shuffle on shard, O(n) running-sum frame per shard, pack ids derived map-side — no global sort, no cross-shard state.",
+    "large_orders": "Q18 without the textbook re-join: the HAVING aggregate already holds the per-order quantity sum, so the plan is one lineitem aggregation broadcast into orders — one fact scan total.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

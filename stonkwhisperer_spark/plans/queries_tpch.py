@@ -539,3 +539,57 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("_threshold"))
         .select("l_partkey", F.col("value").cast("double").alias("part_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping combinations of (region, order status) — the
+# grouping-sets surface beyond ROLLUP's hierarchy.
+# --------------------------------------------------------------------------
+@register(
+    "revenue_cube",
+    oracle=f"""
+    SELECT coalesce(r.r_name, 'ALL')          AS region,
+           coalesce(o.o_orderstatus, 'ALL')   AS status,
+           cast(grouping(r.r_name) AS int)    AS region_total,
+           cast(grouping(o.o_orderstatus) AS int) AS status_total,
+           cast(sum(cast(o.o_totalprice AS {_D122})) AS double) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r.r_name, o.o_orderstatus)
+    """,
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, order status): all four grouping combinations
+    in ONE hash aggregation (each input row expands to its grouping
+    levels map-side; partials still apply — same cost model as rollup,
+    ×4 expansion instead of ×3). grouping() flags disambiguate the
+    natural nulls from subtotal nulls."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.cube("r_name", "o_orderstatus")
+        .agg(
+            F.grouping("r_name").cast("int").alias("region_total"),
+            F.grouping("o_orderstatus").cast("int").alias("status_total"),
+            F.sum(F.col("o_totalprice").cast(_D122)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "region_total",
+            "status_total",
+            "revenue",
+            "n_orders",
+        )
+    )
