@@ -437,3 +437,57 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("tokens_before") / _PACK_CTX)
         ).alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary structure decode: parse image dimensions out of a PNG header
+# engine-side (substring/hex/conv on the binary column — no Python).
+# --------------------------------------------------------------------------
+@register(
+    "media_headers",
+    # The oracle re-derives the EXPECTED dimensions arithmetically; the
+    # Spark side must recover them by actually parsing the bytes it
+    # built — a wrong offset, endianness, or slice shows up as a hash
+    # mismatch.
+    oracle="""
+    SELECT doc_id,
+           cast(doc_id % 1024 + 16 AS bigint)       AS width,
+           cast((doc_id * 7) % 1024 + 16 AS bigint) AS height,
+           cast(8 AS bigint)                        AS bit_depth,
+           cast(33 AS bigint)                       AS n_bytes,
+           'png'                                    AS container
+    FROM documents
+    """,
+)
+def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata extraction from an opaque binary media column:
+    each doc gets a deterministic PNG-structured payload (real
+    signature + IHDR chunk), and width/height/bit-depth are parsed BACK
+    from the big-endian byte layout with substring + hex + conv — all
+    JVM codegen, the engine-side half of multimodal handling that needs
+    no image library (the pixel-decode half is the Arrow-batched
+    mapInPandas stage in operators/multimodal.py). Map-only, no
+    shuffle; at 100 TB this is the manifest pass that routes payloads
+    to the right decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),          # PNG signature
+        F.unhex(F.lit("0000000D")),                  # IHDR length = 13
+        F.unhex(F.lit("49484452")),                  # "IHDR"
+        be32(F.col("doc_id") % 1024 + 16),           # width
+        be32((F.col("doc_id") * 7) % 1024 + 16),     # height
+        F.unhex(F.lit("0806")),                      # bit depth 8, RGBA
+        F.unhex(F.lit("00000000000000")),            # filler to n=33
+    )
+    parsed = docs.select("doc_id", payload.alias("_png"))
+    u32 = lambda pos: F.conv(F.hex(F.substring("_png", pos, 4)), 16, 10).cast("bigint")  # noqa: E731
+    is_png = F.hex(F.substring("_png", 1, 8)) == "89504E470D0A1A0A"
+    return parsed.select(
+        "doc_id",
+        u32(17).alias("width"),
+        u32(21).alias("height"),
+        F.conv(F.hex(F.substring("_png", 25, 1)), 16, 10).cast("bigint").alias("bit_depth"),
+        F.octet_length("_png").cast("bigint").alias("n_bytes"),
+        F.when(is_png, F.lit("png")).otherwise(F.lit("unknown")).alias("container"),
+    )
