@@ -126,3 +126,106 @@ def q_clickers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = events.filter(F.col("event_type") == "click").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers)
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join: reconcile two derived populations side by side —
+# the join type the repo's surface didn't yet exercise.
+# --------------------------------------------------------------------------
+@register(
+    "click_buy_reconcile",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+         b AS (SELECT user_id, count(*) AS n_buys FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.n_clicks, 0)        AS n_clicks,
+           coalesce(b.n_buys, 0)          AS n_buys
+    FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+    """,
+)
+def q_click_buy_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of the click and purchase populations
+    (click-only, buy-only, and both — one frame). Scale: both inputs
+    pre-aggregate to one row per user BEFORE the join, so the full
+    outer shuffle carries |users| rows per side, not raw events, and
+    both sides hash-partition on the same key — one exchange each, no
+    skew beyond the user distribution itself."""
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("_cu"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    b = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("_bu"))
+        .agg(F.count("*").alias("n_buys"))
+    )
+    return (
+        c.join(b, F.col("_cu") == F.col("_bu"), "full_outer")
+        .select(
+            F.coalesce("_cu", "_bu").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score outliers from EXACT moments: mean/std per group derived from
+# decimal-exact sum and sum-of-squares, so the doubles — and therefore
+# the flags — are identical cross-engine (stddev_samp over raw doubles
+# would drift with partial-aggregation order).
+# --------------------------------------------------------------------------
+_DECSQ = "decimal(28,6)"  # value has <=3dp, so v*v is EXACT at 6dp; scale-6
+# decimal->double casts are the cross-engine-stable ones (the (38,12)
+# cast drifts a ulp between Spark and DuckDB)
+
+
+@register(
+    "value_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             count(*)                                             AS n,
+             cast(sum(cast(value AS {DEC})) AS double)            AS s1,
+             cast(sum(cast(cast(value AS {DEC}) * cast(value AS {DEC}) AS {_DECSQ})) AS double) AS s2
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.s1 / s.n)
+               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, zscore FROM z
+    WHERE abs(zscore) > 1.8
+    """,
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers with the exact-moments discipline:
+    sum and sum-of-squares aggregate as DECIMAL (associativity-proof),
+    convert to double ONCE, then mean/std/z derive through identical
+    double arithmetic on both engines — so even the boundary rows flag
+    identically. Scale: one partial-merged agg to a per-type stats
+    frame (broadcast back), one map-only scoring pass; no window, no
+    second shuffle of the fact."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    stats = events.groupBy(F.col("event_type").alias("_t")).agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum((v * v).cast(_DECSQ)).cast("double").alias("s2"),
+    )
+    z = (
+        F.col("value") - F.col("s1") / F.col("n")
+    ) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        events.join(F.broadcast(stats), events["event_type"] == F.col("_t"))
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 1.8)
+    )

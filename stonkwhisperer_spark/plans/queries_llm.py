@@ -468,3 +468,54 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return ivf_topk(queries, emb, cents, k=5, probes=2, dim=_DIM)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy dedup: SimHash-bucketed candidate pairs verified by edit
+# distance — the classic two-stage "cheap blocking + exact verify"
+# shape with levenshtein as the verifier.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_near_dups",
+    oracle=f"""
+    WITH s AS ({_simhash_sql()})
+    SELECT doc_a, doc_b, edit_distance FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(levenshtein(substring(da.text, 1, 80),
+                              substring(db.text, 1, 80)) AS int) AS edit_distance
+      FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      JOIN documents da ON da.doc_id = a.doc_id
+      JOIN documents db ON db.doc_id = b.doc_id
+    ) WHERE edit_distance <= 30
+    """,
+)
+def q_fuzzy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-duplicates: equal 16-bit SimHash blocks the candidate
+    space (one equi shuffle on the signature, quadratic work bounded
+    per bucket), then an 80-char-prefix levenshtein verifies — edit
+    distance runs on |candidates|, never |docs|². The blocking+verify
+    split is exactly how edit-distance dedup survives 100 TB: at
+    production bucket sizes, widen the signature (more bits) before the
+    O(len²) verifier, never after. Prefix capping bounds the per-pair
+    levenshtein cost to a constant."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_of(clean_text_for_nlp("text"))
+    token_rows = docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+    sigs = simhash16_exploded(token_rows, "doc_id")
+    prefix = docs.select("doc_id", F.substring("text", 1, 80).alias("_prefix"))
+    a = sigs.join(prefix, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash"), F.col("_prefix").alias("_pa")
+    )
+    b = sigs.join(prefix, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash"), F.col("_prefix").alias("_pb")
+    )
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_pa", "_pb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 30)
+    )
