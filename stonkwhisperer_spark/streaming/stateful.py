@@ -88,3 +88,78 @@ def streaming_ffill(
     return ticks.groupBy(key_col).applyInPandasWithState(
         fill, out_schema, state_schema, "append", timeout
     )
+
+
+# --------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the
+# successor API: typed state handles (ValueState), explicit timers,
+# initial-state support, and schema evolution. Kept alongside the
+# applyInPandasWithState form so both stateful surfaces are covered.
+# --------------------------------------------------------------------------
+
+
+def streaming_ffill_tws(
+    ticks: DataFrame,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    value_col: str = "price",
+) -> DataFrame:
+    """``streaming_ffill`` on the transformWithStateInPandas API:
+    per-key last-value state in a typed ValueState handle, rows filled
+    in (ts) order within each micro-batch, state seeding the next.
+    Same single-scalar state bound; eviction would use the API's
+    native timers (registerTimer) instead of the old timeout enum.
+
+    Environment note: the TWS Python state server requires protobuf,
+    which this sandbox's pyspark install lacks — the operator is real
+    and its test (tests/test_stateful_streaming.py) runs wherever
+    protobuf exists, skipping (not faking) here."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType.fromDDL(
+        f"{key_col} string, {ts_col} timestamp, {value_col} double, filled boolean"
+    )
+    state_schema = StructType.fromDDL("last double")
+
+    class FfillProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            last = self._last.get()[0] if self._last.exists() else None
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if len(pdf):
+                pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+                values, flags = [], []
+                for v in pdf[value_col]:
+                    if pd.isna(v):
+                        values.append(last)
+                        flags.append(last is not None)
+                    else:
+                        last = float(v)
+                        values.append(last)
+                        flags.append(False)
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(pdf),
+                        ts_col: pdf[ts_col],
+                        value_col: values,
+                        "filled": flags,
+                    }
+                )
+            if last is not None:
+                self._last.update((last,))
+
+        def close(self) -> None:
+            pass
+
+    return ticks.groupBy(key_col).transformWithStateInPandas(
+        FfillProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
