@@ -1,0 +1,57 @@
+"""Registry-wide physical-plan audit: every registered query's plan is
+scanned for the patterns that break at 100 TB — cartesian products,
+nested-loop joins outside the documented 1-row/k-row broadcast cases,
+and row-at-a-time Python eval. A new query that sneaks in a quadratic
+join or a Python UDF fails here before it ever reaches the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from stonkwhisperer_spark.plans.registry import query_map
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose *construction* runs jobs (flows, ML training, streaming
+# drains) — their cost is the point; plan-audited by their own tests.
+SIDE_EFFECTING = {"flows_e2e", "sentiment_scores", "streaming_ohlcv"}
+
+# BroadcastNestedLoopJoin allowances: joins whose build side is a
+# documented O(1)-row (scalar threshold) or O(k)-row (centroid/query
+# set) broadcast — the legitimate uses. value = max allowed count.
+BNLJ_ALLOWED = {
+    "knn_embeddings": 1,          # |Q|-row query set broadcast
+    "ivf_topk_embeddings": 2,     # centroid set into quantizer + probes
+    "idle_rich_customers": 1,     # 1-row AVG threshold
+    "part_value_share": 1,        # 1-row global-share threshold
+    "click_buy_reconcile": 0,
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in query_map().items():
+        if name in SIDE_EFFECTING:
+            continue
+        out[name] = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_no_row_at_a_time_python(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python eval in: {bad}"
+
+
+def test_nested_loop_joins_only_where_documented(plans):
+    bad = {}
+    for n, p in plans.items():
+        count = p.count("BroadcastNestedLoopJoin")
+        if count > BNLJ_ALLOWED.get(n, 0):
+            bad[n] = count
+    assert not bad, f"undocumented BroadcastNestedLoopJoin: {bad}"
