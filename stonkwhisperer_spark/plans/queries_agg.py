@@ -229,3 +229,70 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 1.8)
     )
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation under the correctness gate: identical
+# results to a plain GROUP BY, proven against the oracle — the skew
+# machinery is graded, not just unit-tested.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_stats_salted",
+    oracle=f"""
+    SELECT event_type,
+           cast(count(*) AS bigint)                   AS n,
+           cast(sum(cast(value AS {DEC})) AS double)  AS total,
+           max(value)                                 AS max_value,
+           min(value)                                 AS min_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_event_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats through salted_agg (operators/skew.py): phase 1
+    groups on (event_type, salt) spreading each hot low-cardinality key
+    over 16 reducers, phase 2 merges partials per key. The oracle is
+    the PLAIN group-by — result equivalence of the skew rewrite is
+    exactly what's being graded. count merges as sum; the decimal sum
+    merges exactly, so the salt split can't drift the total."""
+    from stonkwhisperer_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("sum", F.count("*").cast("bigint")),
+            "total": ("sum", F.sum(F.col("value").cast(DEC))),
+            "max_value": ("max", F.max("value")),
+            "min_value": ("min", F.min("value")),
+        },
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total"),
+        "max_value", "min_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset set difference (EXCEPT ALL): occurrence-counted complement —
+# one click survives per unmatched purchase, completing the set-op
+# family's multiset half.
+# --------------------------------------------------------------------------
+@register(
+    "click_surplus_multiset",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_click_surplus_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): each user keeps
+    max(clicks - purchases, 0) rows — DataFrame ``exceptAll``, planned
+    as a counted anti-semantics generate (no distinct collapse).
+    Scale: one shuffle on user_id; output multiplicity derives from the
+    two pre-counted sides, not row-by-row matching."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.exceptAll(buyers)
