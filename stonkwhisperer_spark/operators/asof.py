@@ -40,15 +40,24 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join. ``right`` must be unique per
+    """Inclusive as-of join. ``right`` must be unique per
     (on..., right_ts) — pre-dedup it (row_number) otherwise; the pick
     among equal timestamps would be nondeterministic.
 
-    ``tolerance``: optional max lookback (an INTERVAL literal string,
-    e.g. '15 minutes') — matches older than it become null, mirroring
-    pandas.merge_asof(tolerance=...).
+    ``direction``: 'backward' (latest right at/before left_ts — the
+    default) or 'forward' (earliest right at/after left_ts). Forward is
+    the same union+window plan over time reversed: the window orders by
+    (ts DESC) so the running ``last`` carries the NEXT right payload —
+    still one shuffle, no range explosion.
+
+    ``tolerance``: optional max lookback/lookahead (an INTERVAL literal
+    string, e.g. '15 minutes') — matches farther than it become null,
+    mirroring pandas.merge_asof(tolerance=...).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     l_tag = left.select(
@@ -67,9 +76,10 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(right_ts).alias("_rts"),
     )
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         W.partitionBy(*on)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(
@@ -82,7 +92,10 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance is not None:
-        within = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            within = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = F.col("_rts") <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *on,
             "_ts",

@@ -292,3 +292,135 @@ def q_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(_D122)).over(w).cast("double").alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join: each bar picks the NEXT sentiment at/after it —
+# the lookahead direction (label generation: "what happened next").
+# --------------------------------------------------------------------------
+@register(
+    "asof_next_sentiment",
+    oracle="""
+    WITH bars AS (
+      SELECT date_trunc('minute', ts) AS bucket_ts, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    raw_sent AS (
+      SELECT event_type, ts, value AS score, event_id
+      FROM events WHERE event_id % 37 = 0
+    ),
+    sent AS (
+      SELECT event_type, ts, score FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
+        FROM raw_sent
+      ) WHERE rn = 1
+    )
+    SELECT b.event_type, b.bucket_ts, b.n_events, s.score AS next_sentiment
+    FROM bars b ASOF LEFT JOIN sent s
+      ON b.event_type = s.event_type AND b.bucket_ts <= s.ts
+    """,
+)
+def q_asof_next_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-inclusive as-of join (direction='forward'): each minute
+    bar attaches the EARLIEST sentiment at/after it — the lookahead
+    direction a training pipeline uses to build "what happened next"
+    labels. Same union+single-window plan as backward, time reversed;
+    DuckDB's ASOF with a <= condition is the native oracle."""
+    events = load_table(spark, sf_dir, "events")
+    bars = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("bucket_ts"),
+            "event_type",
+        ).agg(F.count("*").alias("n_events"))
+    )
+    raw_sent = events.filter(F.col("event_id") % 37 == 0).select(
+        "event_type", "ts", F.col("value").alias("score"), "event_id"
+    )
+    w = W.partitionBy("event_type", "ts").orderBy(F.desc("event_id"))
+    sent = (
+        raw_sent.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "ts", "score")
+    )
+    joined = asof_join(
+        bars,
+        sent,
+        on=["event_type"],
+        left_ts="bucket_ts",
+        right_ts="ts",
+        value_cols=["score"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_type", "bucket_ts", "n_events", F.col("score").alias("next_sentiment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union: two vintages of a feed with different columns
+# union by NAME with nulls for the missing ones — the data-lake append
+# across schema versions.
+# --------------------------------------------------------------------------
+@register(
+    "events_schema_evolution_union",
+    oracle="""
+    SELECT event_id, event_type, value, cast(NULL AS varchar) AS props_v2
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, event_type, cast(NULL AS double) AS value, props AS props_v2
+    FROM events WHERE event_id % 2 = 1
+    """,
+)
+def q_events_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across schema vintages: the v1 half carries `value`, the
+    v2 half replaces it with a `props_v2` payload; unionByName with
+    allowMissingColumns fills the holes with typed nulls — positional
+    UNION would silently misalign columns. Map-only on both branches
+    (no shuffle; the union is a plan concatenation)."""
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    v2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.col("props").alias("props_v2")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# Decile bucketing: ntile(10) of order value within each nation — the
+# "spend tier" feature column.
+# --------------------------------------------------------------------------
+@register(
+    "order_deciles",
+    oracle="""
+    SELECT o.o_orderkey, n.n_name AS nation,
+           ntile(10) OVER (PARTITION BY n.n_name
+                           ORDER BY o.o_totalprice, o.o_orderkey) AS spend_decile
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation spend deciles via ntile(10) — deterministic tie-break
+    on orderkey. Scale: the window partitions on nation (25 keys here —
+    bounded-cardinality caveat applies exactly as in bars_clean: real
+    deployments partition on a finer key or pre-bucket by
+    approx-quantile boundaries, which needs no per-key sort at all);
+    dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("nation"),
+            F.ntile(10).over(w).alias("spend_decile"),
+        )
+    )

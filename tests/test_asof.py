@@ -48,3 +48,33 @@ def test_zip_join_positional(spark):
     out = {r.post: r.content for r in zip_join(posts, fetched, "pid", "fid").collect()}
     # i-th by pid pairs with i-th by fid (reference extraction.py:178-179)
     assert out == {"p1": "f1", "p2": "f2", "p3": "f3"}
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    bars = spark.createDataFrame(
+        [("A", _t(0), 1), ("A", _t(5), 2), ("A", _t(40), 3), ("B", _t(3), 4)],
+        "k string, bar_ts timestamp, n long",
+    )
+    sent = spark.createDataFrame(
+        [("A", _t(0), 0.1), ("A", _t(7), 0.2)], "k string, ts timestamp, score double"
+    )
+    out = {
+        (r.k, r.bar_ts.minute): r.score
+        for r in asof_join(
+            bars, sent, ["k"], "bar_ts", "ts", ["score"], direction="forward"
+        ).collect()
+    }
+    assert out[("A", 0)] == 0.1   # inclusive: equal timestamps match
+    assert out[("A", 5)] == 0.2   # earliest at-or-after
+    assert out[("A", 40)] is None  # nothing ahead
+    assert out[("B", 3)] is None   # no right rows for key
+
+    with_tol = {
+        (r.k, r.bar_ts.minute): r.score
+        for r in asof_join(
+            bars, sent, ["k"], "bar_ts", "ts", ["score"],
+            direction="forward", tolerance="1 minute",
+        ).collect()
+    }
+    assert with_tol[("A", 0)] == 0.1
+    assert with_tol[("A", 5)] is None  # next match is 2 min ahead > tolerance
