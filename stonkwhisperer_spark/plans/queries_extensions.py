@@ -424,3 +424,66 @@ def q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(10).over(w).alias("spend_decile"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Map-typed column ops: JSON payload → map, sorted key inventory.
+# --------------------------------------------------------------------------
+@register(
+    "event_prop_keys",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def q_event_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inventory of a semi-structured payload: parse props into
+    a MAP column, emit its sorted key list — map_keys/sort_array over
+    from_json, all JVM-side (the map type surface beyond the struct
+    parse in events_props_parsed). Serialized to csv per the
+    no-arrays-in-final-projections discipline. Map-only pass."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.array_join(
+            F.sort_array(F.map_keys(F.from_json("props", "map<string,string>"))), ","
+        ).alias("prop_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relative-rank windows: percent_rank / cume_dist per nation.
+# --------------------------------------------------------------------------
+@register(
+    "order_relative_ranks",
+    oracle="""
+    SELECT o.o_orderkey, n.n_name AS nation,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WINDOW w AS (PARTITION BY n.n_name ORDER BY o.o_totalprice, o.o_orderkey)
+    """,
+)
+def q_order_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative ranking per nation: percent_rank ((rank-1)/(n-1)) and
+    cume_dist — deterministic under the orderkey tie-break, and both
+    derive from integer ranks with ONE double division, so they hash
+    identically cross-engine. Same bounded-partition caveat as
+    order_deciles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("nation"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )

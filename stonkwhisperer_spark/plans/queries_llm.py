@@ -519,3 +519,19 @@ def q_fuzzy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 30)
     )
+
+
+# --------------------------------------------------------------------------
+# The postings relation itself under the gate: the generate/explode
+# (UDTF-shaped) surface every dedup path builds on.
+# --------------------------------------------------------------------------
+@register(
+    "doc_shingles",
+    oracle=f"SELECT doc_id, shingle FROM ({_POSTINGS_SQL})",
+)
+def q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, 3-token-shingle) posting list — the generate stage
+    (Spark's explode / lateral-view surface) that feeds every dedup
+    operator, graded directly. Window-lead codegen formulation, one
+    shuffle on doc_id (see _postings); oracle is the unnest twin."""
+    return _postings(spark, sf_dir).select("doc_id", "shingle")
