@@ -491,3 +491,47 @@ def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("_png").cast("bigint").alias("n_bytes"),
         F.when(is_png, F.lit("png")).otherwise(F.lit("unknown")).alias("container"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source document caps: deterministic "at most N per domain"
+# downsample — the anti-domination stage of corpus curation.
+# --------------------------------------------------------------------------
+_SOURCE_CAP = 20
+
+
+@register(
+    "source_capped_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {portable_hash64_sql("'cap|' || cast(doc_id AS varchar)")},
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_SOURCE_CAP}
+    """,
+)
+def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 20 docs per source, chosen by keyed hash order — the
+    per-domain cap that stops one crawl domain from dominating a
+    training mix, deterministic across runs/engines/partitionings
+    (a LIMIT-per-group would be order-dependent). One shuffle on
+    source; the hash order makes the kept subset a uniform sample of
+    each source, not its head. Skew note: a pathologically hot source
+    bounds one partition's sort — at production scale pre-aggregate
+    counts and only window the sources over the cap."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        portable_hash64(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= _SOURCE_CAP)
+        .select("doc_id", "source")
+    )
