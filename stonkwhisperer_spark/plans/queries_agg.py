@@ -296,3 +296,67 @@ def q_click_surplus_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = events.filter(F.col("event_type") == "click").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.exceptAll(buyers)
+
+
+# --------------------------------------------------------------------------
+# Covariance / correlation from exact moments: Pearson r per group out
+# of five decimal-exact sums — corr()/covar_samp() built-ins aggregate
+# doubles order-dependently and would drift cross-engine.
+# --------------------------------------------------------------------------
+_D282 = "decimal(28,2)"  # lineitem money/qty have <=2dp: products exact at 2+2=4 <= 6dp
+
+
+@register(
+    "price_qty_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity AS {_D282})) AS double)      AS sx,
+             cast(sum(cast(l_extendedprice AS {_D282})) AS double) AS sy,
+             cast(sum(cast(cast(l_quantity AS {_D282})
+                           * cast(l_extendedprice AS {_D282}) AS decimal(38,4))) AS double) AS sxy,
+             cast(sum(cast(cast(l_quantity AS {_D282})
+                           * cast(l_quantity AS {_D282}) AS decimal(38,4))) AS double)      AS sxx,
+             cast(sum(cast(cast(l_extendedprice AS {_D282})
+                           * cast(l_extendedprice AS {_D282}) AS decimal(38,4))) AS double) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation of quantity vs price per
+    return flag, derived from five decimal-exact sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) cast to double ONCE — the same exact-moments discipline
+    as value_outliers, extended to bivariate stats. The built-in corr()
+    sums doubles in partial-agg order and cannot hash-match an oracle.
+    Scale: one partial-merged agg, three-row output; sums stay at
+    scale ≤4 (inputs have ≤2dp) so the decimal→double casts are the
+    cross-engine-stable ones."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_D282)
+    y = F.col("l_extendedprice").cast(_D282)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
