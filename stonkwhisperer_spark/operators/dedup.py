@@ -182,6 +182,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     prev: int | None = None
+    converged = False
     for _ in range(max_iter):
         prop = e.join(labels, e["a"] == labels["node"]).select(
             F.col("b").alias("node"), "label"
@@ -191,8 +192,19 @@ def connected_components(
         ).localCheckpoint(eager=True)
         total = labels.agg(F.sum("label")).collect()[0][0]
         if total == prev:
+            converged = True
             break
         prev = total
+    if not converged:
+        # A component whose diameter exceeds max_iter would get WRONG
+        # cluster ids with no other signal — fail loudly rather than
+        # return silently-split components. (If real graphs ever hit
+        # this, raise max_iter or switch to the large-star/small-star
+        # variant, which converges in O(log²) rounds.)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations; component diameter exceeds the iteration budget"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

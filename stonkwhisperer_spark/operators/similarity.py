@@ -169,6 +169,13 @@ def lsh_candidate_pairs(
     Hamming-1 buckets of its first ``multi_probe`` planes. One equi
     shuffle on bucket; quadratic work bounded per bucket
     (Σ|bucket|·|probed bucket|), pairs deduped once at the end."""
+    if multi_probe > n_planes:
+        # Flipping a bit beyond the bucket width would make probe ids
+        # outside 0..2^n_planes-1 that can never match a primary bucket
+        # — pure wasted shuffle rows, not added recall.
+        raise ValueError(
+            f"multi_probe ({multi_probe}) cannot exceed n_planes ({n_planes})"
+        )
     b = hyperplane_bucket(vec, n_planes, dim)
     left = vecs.select(
         F.col(id_col).alias("id_a"),

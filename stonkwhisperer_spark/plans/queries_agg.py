@@ -323,9 +323,9 @@ _D282 = "decimal(28,2)"  # lineitem money/qty have <=2dp: products exact at 2+2=
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-           (sxy - sx * sy / n)
-             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+           round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price
     FROM m
     """,
 )
@@ -335,6 +335,11 @@ def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx², Σy²) cast to double ONCE — the same exact-moments discipline
     as value_outliers, extended to bivariate stats. The built-in corr()
     sums doubles in partial-agg order and cannot hash-match an oracle.
+    The final covar/corr composition is double arithmetic on both
+    engines and can drift by 1 ULP (observed at sf0.001), so both sides
+    round the outputs: corr to 12dp (=12 sig digits, |r|<=1) and covar
+    to 6dp (~10 sig digits at its 1e3-1e5 magnitude) — far above ULP,
+    far below any real drift.
     Scale: one partial-merged agg, three-row output; sums stay at
     scale ≤4 (inputs have ≤2dp) so the decimal→double casts are the
     cross-engine-stable ones."""
@@ -354,9 +359,10 @@ def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
-        (
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
+        F.round(
             (sxy - sx * sy / n)
-            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            12,
         ).alias("corr_qty_price"),
     )

@@ -1,0 +1,157 @@
+"""Training-data curation queries beyond dedup: benchmark-contamination
+detection (train↔eval n-gram overlap) and PII scrubbing — two operators
+every large-scale LLM data pipeline runs between raw ingest and
+tokenization. Both are oracle-gated: the hash/shingle plumbing reuses
+the portable md5 stack from queries_llm, and the regex semantics are
+written in the common Java-regex/RE2 subset so Spark and DuckDB agree
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.plans.queries_llm import _POSTINGS_SQL, _postings
+from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Benchmark contamination: which training documents share enough 3-token
+# shingles with a held-out eval set to contaminate it.
+# --------------------------------------------------------------------------
+_MAX_SHINGLE_DF = 100  # drop stopword-like shingles: caps the hot keys
+_MIN_SHARED = 5
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH p AS ({_POSTINGS_SQL}),
+    freq AS (
+      SELECT shingle, count(DISTINCT doc_id) AS df FROM p GROUP BY shingle
+    ),
+    keep AS (SELECT shingle FROM freq WHERE df <= {_MAX_SHINGLE_DF}),
+    tr AS (
+      SELECT DISTINCT doc_id, shingle FROM p JOIN keep USING (shingle)
+      WHERE doc_id % 10 != 0
+    ),
+    ev AS (
+      SELECT DISTINCT doc_id, shingle FROM p JOIN keep USING (shingle)
+      WHERE doc_id % 10 = 0
+    )
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           count(*) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING count(*) >= {_MIN_SHARED}
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination scan: (train, eval) document pairs that
+    share >= 5 distinct 3-token shingles, where eval = every 10th
+    doc_id (the deterministic stand-in for a benchmark set). Inverted-
+    index join on the shingle — never train×eval all-pairs — with a
+    document-frequency cap that drops stopword-like shingles BEFORE the
+    join, bounding the hottest key to 100 postings.
+
+    Scale: two shuffles (doc-freq agg, pair agg). The eval side of a
+    real contamination scan is tiny (benchmarks are ~1e4 docs), so at
+    100 TB the eval postings broadcast and the train side streams
+    map-side; the df cap is what keeps the shingle join from a hot-key
+    blowup either way."""
+    p = _postings(spark, sf_dir).distinct()
+    keep = (
+        p.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    kept = p.join(keep, "shingle")
+    train = kept.filter(F.col("doc_id") % 10 != 0).withColumnRenamed(
+        "doc_id", "train_doc"
+    )
+    ev = kept.filter(F.col("doc_id") % 10 == 0).withColumnRenamed("doc_id", "eval_doc")
+    return (
+        train.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrub: regex redaction of emails / phone numbers, with counts.
+# --------------------------------------------------------------------------
+# Patterns stay in the Java-regex ∩ RE2 common subset (no backrefs, no
+# lookaround) so Spark (java.util.regex) and DuckDB (RE2) match the
+# exact same spans.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 != 0
+                     THEN ' contact user' || doc_id || '@mail.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 != 0
+                     THEN ' call +1-555-'
+                          || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS text_scrubbed,
+           len(regexp_extract_all(t, '{_EMAIL_RE}'))
+             + len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_redactions
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: replace email addresses and phone numbers
+    with typed placeholders and count the redactions per document. The
+    synthetic corpus carries no PII, so deterministic PII is woven in
+    first (doc_id-derived email on 2/3 of docs, phone on 3/4 — both
+    engines derive the same strings), making the scrub genuinely
+    exercised: redaction counts range 0–2 and the scrubbed text is
+    checked byte-for-byte.
+
+    Scale: map-only whole-stage-codegen pass (regexp_replace /
+    regexp_count are JVM expressions, no Python) — the shape survives
+    any corpus size; regex cost is linear per byte scanned."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 != 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(_PHONE_RE),
+            F.lit("[PHONE]"),
+        ).alias("text_scrubbed"),
+        (
+            F.regexp_count(aug, F.lit(_EMAIL_RE))
+            + F.regexp_count(aug, F.lit(_PHONE_RE))
+        )
+        .cast("bigint")
+        .alias("n_redactions"),
+    )

@@ -521,9 +521,16 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the cache Spark plans TWO full lineitem scans (exchange
     reuse doesn't fire across the branches — verified on the physical
     plan), and at 100 TB re-scanning the fact to derive a |parts|-sized
-    frame twice is the bug. Comparison stays decimal-exact, cast to
-    double only in the output projection."""
+    frame twice is the bug. The per-part sums stay decimal-exact; the
+    HAVING threshold (sum * 0.001) promotes to double on BOTH engines
+    (Spark and DuckDB make the same promotion), so the compare is
+    double arithmetic but engine-consistent; doubles are cast only in
+    the output projection."""
     li = load_table(spark, sf_dir, "lineitem")
+    # localCheckpoint, not cache(): a lazy builder can never unpersist,
+    # and CacheManager entries pin executor storage memory for the whole
+    # session — checkpoint blocks are instead freed by the ContextCleaner
+    # once the frame is unreferenced, so registry sweeps don't accumulate.
     rev = (
         li.groupBy("l_partkey")
         .agg(
@@ -531,7 +538,7 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast(_D122) * F.col("l_quantity").cast(_D122)
             ).alias("value")
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     total = rev.agg((F.sum("value") * F.lit(0.001)).alias("_threshold"))
     return (
@@ -591,5 +598,158 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_total",
             "revenue",
             "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: large-quantity orders — grouped HAVING feeding a join chain.
+# --------------------------------------------------------------------------
+@register(
+    "big_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(cast(l_quantity AS {_D122})) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity AS {_D122})) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           cast(o.o_totalprice AS double) AS total_price,
+           cast(b.sum_qty AS double)      AS sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose summed line quantity clears a
+    threshold, joined back to orders and customers. The HAVING agg runs
+    FIRST (one shuffle on orderkey, map-side partials, decimal-exact),
+    so the join chain sees only the ~0.2% surviving orderkeys — at
+    100 TB the selective side drives the join, and AQE converts the
+    orders/customer probes to broadcasts when the survivor set is
+    small. Quantity sums are decimal so the HAVING cut is exact on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D122)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: the EXISTS / NOT-EXISTS pair, decomposed to one aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "sole_return_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_ret_supp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    sole AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      WHERE l.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_ret_supp = 1
+    )
+    SELECT s.s_name, count(*) AS n_sole_return_orders
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone kept an order waiting,
+    respec'd to the returns flag this schema carries): for each
+    multi-supplier order with EXACTLY ONE supplier having returned
+    lines, count such orders per supplier. The correlated
+    EXISTS/NOT-EXISTS pair is decomposed into ONE per-order aggregation
+    (count distinct suppliers / returning suppliers) joined back to the
+    returning lines — two shuffles on orderkey total, instead of the
+    two correlated re-scans a literal EXISTS translation would plan; at
+    100 TB the dual-distinct aggregate is the only formulation that
+    avoids re-reading the fact twice. Supplier dim joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    sole = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            sole["l_suppkey"] == supp["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_sole_return_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: correlated scalar subquery (per-part average) → join-vs-agg.
+# --------------------------------------------------------------------------
+@register(
+    "small_order_part_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, count(*) AS n,
+             sum(cast(l_quantity AS {_D122})) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT cast(sum(cast(l.l_extendedprice AS {_D122})) AS double) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE cast(l.l_quantity AS {_D122}) * 5 * pa.n < pa.sum_qty
+    """,
+)
+def q_small_order_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of their part's average — the correlated scalar subquery rewritten
+    as one per-part aggregate joined back to the fact (Catalyst plans
+    the literal subquery the same way; writing the join makes the
+    single-shuffle-on-partkey shape explicit). The 20%-of-average
+    predicate is cross-multiplied (5·qty·n < Σqty) so the comparison is
+    decimal-exact on both engines — avg() would introduce an
+    engine-ordered double division inside a row filter, which can flip
+    boundary rows. One row out; the final double division is a single
+    IEEE op, identical everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(_D122)).alias("sum_qty"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity").cast(_D122) * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_D122)).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
         )
     )

@@ -16,10 +16,27 @@ Reference semantics re-expressed Spark-first:
     date-partitioned table layout (``bar_date`` partition column).
 
 On a platform with Delta/Iceberg, ``merge_append`` is ``MERGE INTO ...
-WHEN NOT MATCHED THEN INSERT`` — atomic under concurrent writers. The
-parquet implementation here has the same idempotence for serial re-runs
-(the reference's Celery model) but no cross-writer transaction; the
-docstrings call this out rather than pretending otherwise.
+WHEN NOT MATCHED THEN INSERT`` — atomic under concurrent writers. Delta
+is not installable here, so ``merge_append`` carries its own minimal
+optimistic-concurrency commit log (the same protocol Delta's
+transaction log uses, reduced to the insert-only case):
+
+  * data files are uniquely-named parquet parts in the table root —
+    plain ``spark.read.parquet(path)`` keeps working;
+  * ``_txlog/<version>.json`` manifests record each commit's files;
+    the underscore prefix hides the log from Spark's file index;
+  * a writer stages its insert set, then CAS-commits the next version
+    with ``O_CREAT|O_EXCL`` — atomic on POSIX and HDFS (on S3 the same
+    shape is a conditional PUT with If-None-Match);
+  * on collision the loser deletes its staged files, refreshes the
+    snapshot (which now contains the winner's rows), recomputes the
+    anti-join, and retries — so two concurrent mergers cannot both
+    insert the same key.
+
+Crash between stage and commit can orphan data files that plain
+readers would see (exactly Delta's un-vacuumed-file situation);
+``read_committed`` gives the strict committed-only view, and
+``vacuum_orphans`` removes unreferenced files.
 
 Scale: the anti-join shuffles on the high-cardinality natural key; the
 target side is pruned to key columns only, so the "read the whole
@@ -29,8 +46,11 @@ target" cost is a key-column scan, and partition pruning applies when
 
 from __future__ import annotations
 
+import json
 import os
-from collections.abc import Sequence
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,10 +74,134 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def _target_exists(spark: SparkSession, path: str) -> bool:
-    # local/posix check suffices in this environment; on cloud storage
-    # use the Hadoop FileSystem API via spark._jvm (same semantics).
-    return os.path.exists(path)
+# ---------------------------------------------------------------------------
+# Transaction log: optimistic-concurrency commits on plain parquet.
+# ---------------------------------------------------------------------------
+_TXLOG_DIR = "_txlog"
+
+
+def _txlog_path(target_path: str) -> str:
+    return os.path.join(target_path, _TXLOG_DIR)
+
+
+def _data_files(target_path: str) -> list[str]:
+    """Relative paths of all parquet data files under the table root,
+    skipping underscore/dot-hidden entries (the same rule Spark's file
+    index applies) — one os.walk, no Spark job."""
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(target_path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                out.append(os.path.relpath(os.path.join(dirpath, fn), target_path))
+    return out
+
+
+def _committed_version(target_path: str) -> int:
+    log = _txlog_path(target_path)
+    if not os.path.isdir(log):
+        return 0
+    versions = [int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")]
+    return max(versions, default=0)
+
+
+def committed_files(target_path: str) -> list[str]:
+    """Union of the add-lists of every commit manifest — the strict
+    committed-only file view (excludes files staged by an in-flight or
+    crashed writer)."""
+    log = _txlog_path(target_path)
+    if not os.path.isdir(log):
+        return []
+    files: list[str] = []
+    for manifest in sorted(os.listdir(log)):
+        if manifest.endswith(".json"):
+            with open(os.path.join(log, manifest)) as fh:
+                files.extend(json.load(fh)["add"])
+    return files
+
+
+def _try_commit(target_path: str, version: int, add: list[str], n: int) -> bool:
+    """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
+    POSIX and HDFS; exactly one concurrent writer can win a version."""
+    log = _txlog_path(target_path)
+    os.makedirs(log, exist_ok=True)
+    manifest = os.path.join(log, f"{version:08d}.json")
+    try:
+        fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"add": add, "n": n}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return True
+
+
+def _stage_files(
+    new_rows: DataFrame,
+    target_path: str,
+    partition_cols: Sequence[str] | None,
+) -> list[str]:
+    """Write the insert set to a dot-hidden staging dir inside the
+    table, then os.replace each part file into the table root (same
+    filesystem ⇒ atomic rename; readers never observe a partial file).
+    Returns the relative paths of the staged files."""
+    stage = os.path.join(target_path, f".stage-{uuid.uuid4().hex}")
+    writer = new_rows.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(stage)
+    staged: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(stage):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            rel_dir = os.path.relpath(dirpath, stage)
+            dst_dir = target_path if rel_dir == "." else os.path.join(target_path, rel_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            unique = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(dirpath, fn), os.path.join(dst_dir, unique))
+            staged.append(
+                unique if rel_dir == "." else os.path.join(rel_dir, unique)
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return staged
+
+
+def _staged_row_count(target_path: str, staged: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows
+        for rel in staged
+    )
+
+
+def read_committed(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Strict committed-only read: only files referenced by a commit
+    manifest — a crashed writer's orphaned staging output is invisible.
+    ``basePath`` keeps partition-directory columns recoverable."""
+    files = committed_files(target_path)
+    if not files:
+        return None
+    return (
+        spark.read.option("basePath", target_path)
+        .parquet(*[os.path.join(target_path, f) for f in files])
+    )
+
+
+def vacuum_orphans(target_path: str) -> list[str]:
+    """Delete data files not referenced by any commit (a crashed
+    writer's staged leftovers) — Delta's VACUUM, minus the retention
+    window because this log has no deletes/overwrites to time-travel."""
+    referenced = set(committed_files(target_path))
+    removed = []
+    for rel in _data_files(target_path):
+        if rel not in referenced:
+            os.remove(os.path.join(target_path, rel))
+            removed.append(rel)
+    return removed
 
 
 def merge_append(
@@ -67,6 +211,8 @@ def merge_append(
     keys: Sequence[str],
     target_partition_filter: Column | None = None,
     partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
 ) -> int:
     """K3/K4: idempotent merge-append — insert batch rows whose ``keys``
     are absent from the target; returns inserted-row count (the
@@ -74,30 +220,72 @@ def merge_append(
 
     Batch is pre-deduplicated on the keys (the reference's intra-batch
     cache, loading.py:274). Idempotent: re-running the same batch
-    inserts 0 rows. Not atomic across concurrent writers — use Delta
-    MERGE for that.
+    inserts 0 rows. ATOMIC under concurrent writers via the _txlog
+    optimistic commit (module docstring): stage insert files → CAS the
+    next log version → on collision delete staged files, refresh the
+    snapshot, recompute the anti-join, retry. The anti-join snapshot is
+    the COMMITTED view (manifest-listed files only), so a concurrent
+    writer's staged-but-uncommitted rows never suppress an insert — if
+    that writer dies before its CAS, its keys are still insertable. A
+    target with data files but no txlog (legacy plain-parquet table) is
+    snapshotted via a plain read and adopted into the log by this
+    commit.
+
+    ``_pre_commit_hook`` is fault-injection for tests (runs between
+    stage and CAS, where a concurrent winner can sneak in).
     """
     batch = batch.dropDuplicates(list(keys))
-    if _target_exists(spark, target_path):
-        existing = spark.read.parquet(target_path)
-        if target_partition_filter is not None:
-            existing = existing.filter(target_partition_filter)
-        new_rows = new_rows_anti(batch, existing, keys)
-    else:
-        new_rows = batch
-    # Two actions (count + write) on one plan: cache the small insert
-    # set rather than recompute the anti-join.
-    new_rows = new_rows.cache()
-    try:
-        n = new_rows.count()
-        if n:
-            writer = new_rows.write.mode("append")
-            if partition_cols:
-                writer = writer.partitionBy(*partition_cols)
-            writer.parquet(target_path)
-    finally:
-        new_rows.unpersist()
-    return n
+    for _ in range(max_retries):
+        # Version BEFORE manifests: a commit landing between the two
+        # reads makes the file list a superset of the version — the CAS
+        # then fails and we retry; the anti-join is never under-informed.
+        version = _committed_version(target_path)
+        committed = committed_files(target_path)
+        legacy: list[str] = []
+        if not committed:
+            legacy = _data_files(target_path)
+        snapshot_files = committed or legacy
+        if snapshot_files:
+            existing = (
+                spark.read.option("basePath", target_path)
+                .parquet(*[os.path.join(target_path, f) for f in snapshot_files])
+            )
+            if target_partition_filter is not None:
+                existing = existing.filter(target_partition_filter)
+            new_rows = new_rows_anti(batch, existing, keys)
+        else:
+            new_rows = batch
+        # ONE action: stage the insert set, then read the row count
+        # from the staged parquet footers (pyarrow metadata — no second
+        # plan execution, no cache). On object storage this is a
+        # footer-ranged read per file, still far cheaper than
+        # recomputing the anti-join for a count().
+        staged = _stage_files(new_rows, target_path, partition_cols)
+        n = _staged_row_count(target_path, staged)
+        if n == 0:
+            for rel in staged:  # writer may emit one empty part file
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+            return 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        # Adopt legacy files into the log so later committed-view reads
+        # and vacuums account for them.
+        if _try_commit(target_path, version + 1, legacy + staged, n):
+            return n
+        # Lost the race: another writer committed this version. Remove
+        # our staged files (they may now contain duplicate keys) and
+        # recompute against the winner's rows.
+        for rel in staged:
+            try:
+                os.remove(os.path.join(target_path, rel))
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"merge_append lost the commit race {max_retries} times at {target_path}"
+    )
 
 
 def conform(df: DataFrame, schema) -> DataFrame:

@@ -67,36 +67,107 @@ def test_upsert_bars_resolves_fk_and_skips_unknown(spark, tmp_path):
     assert any(d.startswith("bar_date=") for d in os.listdir(path))
 
 
-def test_concurrent_merge_caveat(spark, tmp_path):
-    """merge_append is idempotent for SERIAL re-runs but NOT atomic
-    under concurrent writers — this test demonstrates the documented
-    race (README "ACID table format") rather than hiding it: two
-    writers that both compute their anti-join against the same target
-    snapshot, then both append, CAN land duplicate keys. Delta/Iceberg
-    MERGE INTO closes this; neither is installable in this sandbox."""
-    from stonkwhisperer_spark.operators.joins import new_rows_anti
-    from stonkwhisperer_spark.sinks.writers import merge_append
+def test_concurrent_merge_no_duplicates(spark, tmp_path):
+    """The K2 gap, closed: two merge writers racing on the same target
+    cannot land duplicate keys. Fault injection forces the worst
+    interleaving — writer B snapshots the target, stages its insert
+    files, and THEN (via the pre-commit hook) writer A's full merge
+    lands first. B's CAS on the log version must fail, making B delete
+    its staged files, recompute its anti-join against A's committed
+    rows, and insert 0."""
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
 
     target = str(tmp_path / "t")
     base = spark.createDataFrame([("k1", 1)], "k string, v int")
     assert merge_append(spark, target, base, ["k"]) == 1
 
-    # Both writers snapshot the target BEFORE either writes (the
-    # interleaving a table format's optimistic commit would reject).
-    batch = spark.createDataFrame([("k2", 2)], "k string, v int")
-    existing = spark.read.parquet(target)
-    writer_a = new_rows_anti(batch, existing, ["k"]).collect()
-    writer_b = new_rows_anti(batch, existing, ["k"]).collect()
-    for rows in (writer_a, writer_b):
-        spark.createDataFrame(rows, batch.schema).write.mode("append").parquet(target)
+    batch = spark.createDataFrame([("k2", 2), ("k3", 3)], "k string, v int")
+    a_result = {}
 
-    dup_counts = (
-        spark.read.parquet(target).groupBy("k").count().filter("count > 1").collect()
+    def writer_a_sneaks_in():
+        # Run once: B's retry attempt must not re-trigger A.
+        if not a_result:
+            a_result["n"] = merge_append(spark, target, batch, ["k"])
+
+    b_inserted = merge_append(
+        spark, target, batch, ["k"], _pre_commit_hook=writer_a_sneaks_in
     )
-    assert dup_counts and dup_counts[0]["k"] == "k2"  # the race is real
+    assert a_result["n"] == 2  # A won the race
+    assert b_inserted == 0  # B detected the collision and retried to a no-op
 
-    # ...while the serial path stays idempotent on the same target.
+    plain = spark.read.parquet(target)
+    assert plain.count() == 3
+    assert plain.groupBy("k").count().filter("count > 1").count() == 0
+    # The committed view agrees with the plain view — no orphans left.
+    committed = read_committed(spark, target)
+    assert committed is not None and committed.count() == 3
+
+    # ...and the serial path stays idempotent on the same target.
     assert merge_append(spark, target, batch, ["k"]) == 0
+
+
+def test_concurrent_merge_threaded_stress(spark, tmp_path):
+    """Four writers with overlapping batches race for real (threads,
+    shared local SparkContext): every key must land exactly once and
+    the summed insert counts must equal the distinct-key total."""
+    import threading
+
+    from stonkwhisperer_spark.sinks.writers import merge_append
+
+    target = str(tmp_path / "t")
+    batches = [
+        [("k1", 1), ("k2", 2)],
+        [("k2", 2), ("k3", 3)],
+        [("k3", 3), ("k4", 4)],
+        [("k4", 4), ("k1", 1)],
+    ]
+    inserted = [0] * len(batches)
+    barrier = threading.Barrier(len(batches))
+
+    def run(i):
+        df = spark.createDataFrame(batches[i], "k string, v int")
+        barrier.wait()
+        inserted[i] = merge_append(spark, target, df, ["k"])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(batches))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    out = spark.read.parquet(target)
+    assert out.count() == 4
+    assert out.groupBy("k").count().filter("count > 1").count() == 0
+    assert sum(inserted) == 4
+
+
+def test_vacuum_orphans_removes_crashed_stage(spark, tmp_path):
+    """A file that reached the table root without a commit manifest (a
+    writer that died between stage and CAS) is invisible to
+    read_committed and removed by vacuum_orphans."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        read_committed,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "t")
+    assert merge_append(
+        spark, target, spark.createDataFrame([("k1", 1)], "k string, v int"), ["k"]
+    ) == 1
+    # Simulate the crash: an orphan data file with no manifest entry.
+    orphan_src = spark.createDataFrame([("zombie", 9)], "k string, v int")
+    orphan_dir = str(tmp_path / "orphan")
+    orphan_src.coalesce(1).write.parquet(orphan_dir)
+    part = next(f for f in os.listdir(orphan_dir) if f.endswith(".parquet"))
+    os.replace(
+        os.path.join(orphan_dir, part), os.path.join(target, "part-orphan.parquet")
+    )
+
+    assert spark.read.parquet(target).count() == 2  # plain read sees the orphan
+    assert read_committed(spark, target).count() == 1  # committed view does not
+    assert vacuum_orphans(target) == ["part-orphan.parquet"]
+    assert spark.read.parquet(target).count() == 1
 
 
 def test_ensure_table_catalog_ddl_and_pruning(spark, tmp_path):
