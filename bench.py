@@ -33,6 +33,44 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
+    # Warm the Python worker daemon too: the first Arrow-batched Python
+    # stage (Python Data Source, mapInPandas) pays ~8s of fork/import
+    # cost that would otherwise land on whichever query runs it first.
+    spark.range(32).toPandas()
+    spark.range(32, numPartitions=4).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    # The Python Data Source path (plan + read workers) warms separately
+    # from mapInPandas — api_ingest_e2e otherwise absorbs ~4s of it.
+    from stonkwhisperer_spark.sources.datasource import LandingApiDataSource
+
+    try:
+        spark.dataSource.register(LandingApiDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+    spark.read.format("stonkw_api").option("kind", "news").option(
+        "limit", 8
+    ).load().write.format("noop").mode("overwrite").save()
+    # ...and the streaming machinery (state-store provider + microbatch
+    # planner init lands on the first streaming query otherwise).
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="bench_warm_") as tmp:
+        spark.range(4).write.parquet(f"{tmp}/in")
+        wq = (
+            spark.readStream.schema("id long")
+            .parquet(f"{tmp}/in")
+            .groupBy("id")
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_warmup_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(60)
+        wq.stop()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -22,6 +22,12 @@ NOTES = {
     "ivf_topk_embeddings": "IVF ANN: centroids broadcast into a map-side scoring expansion, ONE partial-aggregated shuffle picks each vector's cell (max over a struct — no window sort), probe list broadcasts into a hash equi-join on cell.",
     "pack_documents": "Sequence packing: one shuffle on shard, O(n) running-sum frame per shard, pack ids derived map-side — no global sort, no cross-shard state.",
     "large_orders": "Q18 without the textbook re-join: the HAVING aggregate already holds the per-order quantity sum, so the plan is one lineitem aggregation broadcast into orders — one fact scan total.",
+    "big_order_customers": "Q18 full form: the HAVING aggregate runs first (decimal-exact, one orderkey shuffle); the ~0.2% survivors drive the orders/customer joins, which AQE converts to broadcasts at this selectivity.",
+    "sole_return_suppliers": "Q21 EXISTS/NOT-EXISTS decomposed to ONE per-order dual-distinct aggregation joined back to the returning lines — two orderkey shuffles instead of two correlated fact re-scans; supplier dim broadcasts.",
+    "small_order_part_revenue": "Q17 correlated scalar subquery as join-vs-agg: one partkey shuffle builds the per-part (count, sum) frame, the fact joins against it, and the 20%-of-average cut is cross-multiplied so the filter is decimal-exact.",
+    "benchmark_contamination": "Train/eval shingle overlap through the inverted index: doc-frequency cap filters hot shingles BEFORE the pair join; the join shuffles on shingle only, pair counts aggregate with partial merge.",
+    "pii_scrub": "Pure map-only codegen: concat + two regexp_replace + two regexp_count in one WholeStageCodegen stage, zero exchanges.",
+    "sql_top_brands_by_region": "spark.sql() text plans identically to the DataFrame twin: dim chain broadcasts under the fact scan, one (region, brand) agg shuffle, rank over the grouped output.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

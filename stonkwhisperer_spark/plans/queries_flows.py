@@ -221,6 +221,26 @@ def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _stream_shuffle_width:
+    """Pin spark.sql.shuffle.partitions for a harness-scale streaming
+    drain: stateful operators allocate state stores PER shuffle
+    partition (a stream-stream join keeps four per partition), so at
+    the gate's data scale 32 partitions mean ~128 state-store commits
+    of overhead per micro-batch for a few-MB drain. Production streams
+    size this to the cluster; the context manager keeps the narrowing
+    scoped to the drained query and restores the session conf after."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 # --------------------------------------------------------------------------
 # streaming_ohlcv — the Structured Streaming minute-bars path itself
 # under the DuckDB oracle: a real availableNow stream over a landing
@@ -297,22 +317,24 @@ def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(landing).schema,
         )
         bars = minute_bars(stream, tiebreak_col="event_id")
-        q = (
-            bars.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{scratch}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            # awaitTermination returns False on timeout; reading the
-            # memory table then would surface as a baffling oracle hash
-            # mismatch on a partially-drained stream — fail clearly.
-            if not q.awaitTermination(300):
-                raise TimeoutError("streaming_ohlcv did not drain within 300s")
-        finally:
-            q.stop()
+        with _stream_shuffle_width(spark):
+            q = (
+                bars.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                # awaitTermination returns False on timeout; reading the
+                # memory table then would surface as a baffling oracle
+                # hash mismatch on a partially-drained stream — fail
+                # clearly.
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_ohlcv did not drain within 300s")
+            finally:
+                q.stop()
         return spark.table(name).select(
             F.col("bar_ts").cast("timestamp_ntz").alias("bar_ts"),
             "symbol",
@@ -413,19 +435,20 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_r.ts").alias("score_ts"),
             F.col("_r.score").alias("score"),
         )
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{scratch}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("streaming_join did not drain within 300s")
-        finally:
-            q.stop()
+        with _stream_shuffle_width(spark):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_join did not drain within 300s")
+            finally:
+                q.stop()
         return spark.table(name).select(
             "symbol",
             "tick_id",
@@ -435,5 +458,179 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_ts").cast("timestamp_ntz").alias("score_ts"),
             "score",
         )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# streaming_sessions — session-window aggregation BY THE STREAMING PATH
+# (merging session state is the one windowing mode with dynamic bounds;
+# complete-mode drain makes the final session set deterministic).
+# --------------------------------------------------------------------------
+_SESS_GAP = "30 minutes"
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_stream_sess_runs = 0
+
+
+@register(
+    "streaming_sessions",
+    oracle=f"""
+    WITH src AS (
+      SELECT user_id % 50 AS sess_key, ts, event_id FROM events
+    ),
+    ordered AS (
+      SELECT sess_key, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap
+      FROM src
+      WINDOW w AS (PARTITION BY sess_key ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT sess_key, ts,
+             CASE WHEN gap IS NULL OR gap >= {_SESS_GAP_US} THEN 1 ELSE 0 END
+               AS new_sess
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT sess_key, ts,
+             sum(new_sess) OVER (PARTITION BY sess_key ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT sess_key,
+           min(ts)                               AS session_start,
+           max(ts) + INTERVAL 30 MINUTE          AS session_end,
+           count(*)                              AS n_events
+    FROM numbered
+    GROUP BY sess_key, sid
+    """,
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING PATH: a file-source
+    stream of events keyed by user_id % 50, aggregated with
+    ``session_window(ts, '30 minutes')`` — the dynamic-gap windowing
+    mode whose state MERGES adjacent windows as events arrive — drained
+    complete-mode under availableNow and compared against the
+    gaps-and-islands batch twin (new session iff gap >= 30 min,
+    matching the half-open [start, last+gap) streaming semantics;
+    session_end = last event + gap on both sides).
+
+    Scale: session state is per (key, open session); the complete-mode
+    drain is the TEST harness shape — production emits append-mode
+    closed sessions past the watermark and the state store only holds
+    open sessions per key."""
+    global _stream_sess_runs
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    src = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("sess_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_sess_")
+    try:
+        landing = f"{scratch}/events"
+        src.coalesce(1).write.parquet(landing)
+        _stream_sess_runs += 1
+        name = f"stream_sessions_{_stream_sess_runs}"
+        stream = read_landing_stream(
+            spark, landing, spark.read.parquet(landing).schema
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", _SESS_GAP).alias("w"), F.col("sess_key")
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        with _stream_shuffle_width(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_sessions did not drain within 300s")
+            finally:
+                q.stop()
+        return spark.table(name).select(
+            "sess_key",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup — dropDuplicatesWithinWatermark under the gate: the
+# kept-row payload is arrival-order-dependent, so the gated projection
+# is the KEY SET, which is deterministic; payload semantics stay
+# pytest-covered (tests/test_streaming.py).
+# --------------------------------------------------------------------------
+_stream_dedup_runs = 0
+
+
+@register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id % 1000 AS dedup_key FROM events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream dedup BY THE STREAMING PATH:
+    ``dropDuplicatesWithinWatermark`` over a file-source event stream
+    keyed by user_id % 1000, drained availableNow, projected to the
+    surviving key set (the oracle-stable part — WHICH duplicate
+    survives is arrival order, checked separately in pytest).
+
+    Scale: dedup state is one entry per key inside the watermark
+    horizon, evicted as event time advances — the property that lets
+    an unbounded stream dedup in bounded memory."""
+    global _stream_dedup_runs
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_landing_stream,
+    )
+
+    src = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1000).alias("dedup_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_dedup_")
+    try:
+        landing = f"{scratch}/events"
+        src.coalesce(1).write.parquet(landing)
+        _stream_dedup_runs += 1
+        name = f"stream_dedup_{_stream_dedup_runs}"
+        stream = read_landing_stream(
+            spark, landing, spark.read.parquet(landing).schema
+        )
+        deduped = dedup_within_watermark(
+            stream, ["dedup_key"], "ts", delay="10 minutes"
+        ).select("dedup_key")
+        with _stream_shuffle_width(spark):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_dedup did not drain within 300s")
+            finally:
+                q.stop()
+        return spark.table(name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -753,3 +753,53 @@ def q_small_order_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The SQL entry point itself: one dialect-portable SQL string is BOTH the
+# Spark query (spark.sql over registered views) and the DuckDB oracle —
+# proving the engine's SQL surface end to end, not just the DataFrame API.
+# --------------------------------------------------------------------------
+_TOP_BRANDS_SQL = """
+    WITH rev AS (
+      SELECT r.r_name AS region, p.p_brand AS brand,
+             sum(cast(l.l_extendedprice AS decimal(12,2))
+                 * cast(1 - l.l_discount AS decimal(12,2))) AS rev
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, p.p_brand
+    ),
+    ranked AS (
+      SELECT region, brand, rev,
+             rank() OVER (PARTITION BY region
+                          ORDER BY rev DESC, brand) AS brand_rank
+      FROM rev
+    )
+    SELECT region, brand,
+           cast(rev AS double)        AS revenue,
+           cast(brand_rank AS int)    AS brand_rank
+    FROM ranked
+    WHERE brand_rank <= 3
+"""
+
+
+@register("sql_top_brands_by_region", oracle=_TOP_BRANDS_SQL)
+def q_sql_top_brands_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 part brands by discounted revenue per region, executed via
+    ``spark.sql`` over registered temp views — the SAME SQL text DuckDB
+    runs as the oracle (dialect-portable ANSI: decimal-exact agg, rank
+    with explicit tie-break, casts in the projection). This gates the
+    SQL API surface itself: parser → analyzer (view resolution) →
+    Catalyst, not just the DataFrame builders.
+
+    Scale: Catalyst plans the identical physical shape as the
+    DataFrame twin — dims broadcast under the fact join chain, one
+    agg shuffle on (region, brand), rank over the small grouped
+    output."""
+    from stonkwhisperer_spark.flows import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_BRANDS_SQL)

@@ -80,6 +80,9 @@ _GATE_ORDER: list[str] = [
     "top_customer_per_nation",
     # -- new or changed in round 4 --
     "streaming_join",
+    "streaming_sessions",
+    "streaming_dedup",
+    "sql_top_brands_by_region",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -115,9 +118,6 @@ _GATE_ORDER: list[str] = [
     "api_ingest_e2e",
     "bars_enrich",
     "posts_link_articles",
-    "region_revenue",
-    "asof_sentiment_bars",
-    "events_in_promo_windows_grid",
 ]
 
 
