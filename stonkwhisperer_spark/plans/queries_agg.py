@@ -366,3 +366,46 @@ def q_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("corr_qty_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted JOIN under the gate: the non-broadcast skew-join rewrite
+# (operators/skew.py::salted_join), graded for result equivalence
+# against the plain join — the companion to event_type_stats_salted.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_enrich_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             upper(event_type) || '_CATEGORY' AS category
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.category
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def q_event_type_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event fact through salted_join: the 5-value
+    event_type key is pathologically hot (~20% of the fact per key), so
+    the skewed side salts each row into one of 16 sub-keys and the dim
+    side explodes 16× — every shuffle partition then holds at most
+    1/16th of a hot key. The oracle is the PLAIN join: result
+    equivalence of the rewrite is what's graded.
+
+    Scale: this is the rewrite for skewed joins where the dim exceeds
+    the broadcast threshold (at test scale the dim is tiny — the plan
+    shape, not the trigger condition, is under test; production gates
+    it on dim size). The salt must come from the ROW, not the key, so
+    replicated dim rows match exactly one salt bucket each."""
+    from stonkwhisperer_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("category", F.concat(F.upper("event_type"), F.lit("_CATEGORY")))
+    )
+    return salted_join(
+        events.select("event_id", "event_type"), dim, "event_type"
+    ).select("event_id", "event_type", "category")

@@ -803,3 +803,176 @@ def q_sql_top_brands_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TOP_BRANDS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: bidirectional trade volume between two nations by year.
+# --------------------------------------------------------------------------
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           cast(sum(cast(l.l_extendedprice AS {_D122})
+                    * cast(1 - l.l_discount AS {_D122})) AS double) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two specific nations in
+    either direction, by year — the disjunctive cross-dimension pair
+    filter. Both nation dims broadcast; the pair predicate applies
+    AFTER the joins (it references both sides), but each single-side
+    membership (nation ∈ {A, B}) is pushed into its dim broadcast so
+    the fact rows joining irrelevant nations drop at the probe.
+
+    Scale: the only shuffles are lineitem⋈orders on orderkey and the
+    final low-card agg; supplier/customer/nation all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    n1 = pair.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = pair.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice").cast(_D122) * (F.lit(1) - F.col("l_discount")).cast(_D122)
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by windowed revenue — max over a grouped agg.
+# --------------------------------------------------------------------------
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(cast(l_extendedprice AS {_D122})
+                 * cast(1 - l_discount AS {_D122})) AS total
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+        AND l_shipdate <  timestamp '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, cast(r.total AS double) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a grouped aggregate compared against its own global max.
+    The max joins back as a 1-row broadcast (no collect round trip);
+    the comparison is DECIMAL equality on the exact sums, so ties are
+    exact and engine-identical (a double max-compare could drop a tied
+    supplier on one engine only). The rev frame is localCheckpointed:
+    both branches (rows + max) read it without a second lineitem scan.
+
+    Scale: one suppkey shuffle; the date filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_D122)
+                * (F.lit(1) - F.col("l_discount")).cast(_D122)
+            ).alias("total")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total") == F.col("_mx"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-clause predicate across a join.
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_promo_revenue",
+    oracle=f"""
+    SELECT cast(sum(cast(l.l_extendedprice AS {_D122})
+                    * cast(1 - l.l_discount AS {_D122})) AS double) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd brand/size/quantity clause bundles
+    across the lineitem⋈part join. Catalyst extracts the
+    common-to-all-clauses parts: the part-side disjunction of
+    (brand, size) ranges prunes the broadcast build side, and the
+    quantity bounds (1..45 overall) push to the fact scan, so the OR
+    does not defeat pushdown — the full predicate then re-applies on
+    the joined row.
+
+    Scale: part broadcasts; single fact scan, no shuffle before the
+    1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_D122)
+            * (F.lit(1) - F.col("l_discount")).cast(_D122)
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

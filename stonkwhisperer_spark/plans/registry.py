@@ -83,6 +83,12 @@ _GATE_ORDER: list[str] = [
     "streaming_sessions",
     "streaming_dedup",
     "sql_top_brands_by_region",
+    "purchase_funnel",
+    "weekly_cohort_retention",
+    "nation_trade_volume",
+    "top_supplier_revenue",
+    "disjunctive_promo_revenue",
+    "event_type_enrich_salted",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -110,14 +116,8 @@ _GATE_ORDER: list[str] = [
     # guard → dup_clusters, similarity.py validation → lsh buckets) --
     "dup_clusters",
     "embedding_lsh_buckets",
-    "ohlcv_1min",
-    "pricing_summary",
     "news_clean",
-    "posts_clean",
     "bars_clean",
-    "api_ingest_e2e",
-    "bars_enrich",
-    "posts_link_articles",
 ]
 
 
