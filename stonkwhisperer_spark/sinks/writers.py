@@ -105,22 +105,46 @@ def _committed_version(target_path: str) -> int:
     return max(versions, default=0)
 
 
-def committed_files(target_path: str) -> list[str]:
-    """Union of the add-lists of every commit manifest — the strict
-    committed-only file view (excludes files staged by an in-flight or
-    crashed writer)."""
+def _commits(target_path: str, through_version: int | None = None) -> list[dict]:
+    """Parsed commit manifests in version order, optionally truncated
+    at ``through_version`` (inclusive) for time travel."""
     log = _txlog_path(target_path)
     if not os.path.isdir(log):
         return []
-    files: list[str] = []
+    out = []
     for manifest in sorted(os.listdir(log)):
-        if manifest.endswith(".json"):
-            with open(os.path.join(log, manifest)) as fh:
-                files.extend(json.load(fh)["add"])
+        if not manifest.endswith(".json"):
+            continue
+        version = int(manifest.split(".")[0])
+        if through_version is not None and version > through_version:
+            continue
+        with open(os.path.join(log, manifest)) as fh:
+            c = json.load(fh)
+        c["version"] = version
+        out.append(c)
+    return out
+
+
+def committed_files(target_path: str, version: int | None = None) -> list[str]:
+    """The committed file view — adds minus removes applied in version
+    order (excludes files staged by an in-flight or crashed writer).
+    Pass ``version`` to time-travel to an earlier snapshot."""
+    files: list[str] = []
+    for c in _commits(target_path, version):
+        for rel in c.get("remove", []):
+            files.remove(rel)
+        files.extend(c["add"])
     return files
 
 
-def _try_commit(target_path: str, version: int, add: list[str], n: int) -> bool:
+def _try_commit(
+    target_path: str,
+    version: int,
+    add: list[str],
+    n: int,
+    remove: list[str] | None = None,
+    compaction: bool = False,
+) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
     log = _txlog_path(target_path)
@@ -130,8 +154,13 @@ def _try_commit(target_path: str, version: int, add: list[str], n: int) -> bool:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
+    body = {"add": add, "n": n}
+    if remove:
+        body["remove"] = remove
+    if compaction:
+        body["compaction"] = True
     with os.fdopen(fd, "w") as fh:
-        json.dump({"add": add, "n": n}, fh)
+        json.dump(body, fh)
         fh.flush()
         os.fsync(fh.fileno())
     return True
@@ -178,16 +207,98 @@ def _staged_row_count(target_path: str, staged: list[str]) -> int:
     )
 
 
-def read_committed(spark: SparkSession, target_path: str) -> DataFrame | None:
+def read_committed(
+    spark: SparkSession, target_path: str, version: int | None = None
+) -> DataFrame | None:
     """Strict committed-only read: only files referenced by a commit
     manifest — a crashed writer's orphaned staging output is invisible.
-    ``basePath`` keeps partition-directory columns recoverable."""
-    files = committed_files(target_path)
+    Pass ``version`` for time travel (the snapshot as of that commit;
+    earlier files must not have been vacuumed yet, same rule as Delta's
+    retention window). ``basePath`` keeps partition-directory columns
+    recoverable."""
+    files = committed_files(target_path, version)
     if not files:
         return None
     return (
         spark.read.option("basePath", target_path)
         .parquet(*[os.path.join(target_path, f) for f in files])
+    )
+
+
+def table_changes(
+    spark: SparkSession, target_path: str, from_version: int
+) -> DataFrame | None:
+    """Change-data-feed read: the rows INSERTED by every commit with
+    version > ``from_version`` (the log is insert-only, so the feed is
+    exactly the added files). Compaction commits rewrite existing rows
+    without changing table contents, so they are excluded. Incremental
+    consumers poll ``_committed_version`` and read only the delta —
+    the pattern that turns a 100 TB table into a streamable source
+    without rescanning history."""
+    files: list[str] = []
+    for c in _commits(target_path):
+        if c["version"] > from_version and not c.get("compaction"):
+            files.extend(c["add"])
+    if not files:
+        return None
+    return (
+        spark.read.option("basePath", target_path)
+        .parquet(*[os.path.join(target_path, f) for f in files])
+    )
+
+
+def compact(
+    spark: SparkSession,
+    target_path: str,
+    min_files: int = 2,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Small-file compaction (Delta OPTIMIZE analog): rewrite the
+    committed files into ~``target_bytes`` parts and commit the swap as
+    one atomic version (add=new, remove=old, compaction=true). Readers
+    at any point see either the old or the new file set — never both.
+    The replaced files stay on disk for older-version readers until
+    ``vacuum_orphans`` reclaims them (the retention-window trade).
+
+    Merge-writers racing the compactor are safe: both CAS the same
+    version sequence, the loser recomputes. Returns the number of files
+    replaced (0 = nothing to do).
+
+    At 100 TB this is THE operational lever against the small-file
+    problem streaming ingest creates: per-micro-batch commits make many
+    small parts; periodic compaction restores scan efficiency without
+    pausing ingest."""
+    for _ in range(max_retries):
+        version = _committed_version(target_path)
+        old = committed_files(target_path)
+        if len(old) < min_files:
+            return 0
+        total = sum(
+            os.path.getsize(os.path.join(target_path, f)) for f in old
+        )
+        n_parts = max(1, int(total // target_bytes) + (1 if total % target_bytes else 0))
+        # Partitioned tables must re-write under partitionBy (pass the
+        # table's partition_cols) or the layout flattens.
+        snapshot = (
+            spark.read.option("basePath", target_path)
+            .parquet(*[os.path.join(target_path, f) for f in old])
+        )
+        staged = _stage_files(
+            snapshot.coalesce(n_parts), target_path, partition_cols
+        )
+        if _try_commit(
+            target_path, version + 1, staged, 0, remove=old, compaction=True
+        ):
+            return len(old)
+        for rel in staged:
+            try:
+                os.remove(os.path.join(target_path, rel))
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"compact lost the commit race {max_retries} times at {target_path}"
     )
 
 

@@ -216,3 +216,79 @@ def test_ensure_table_catalog_ddl_and_pruning(spark, tmp_path):
         assert spark.table("stock_bars_t").count() == 4
     finally:
         spark.sql("DROP TABLE IF EXISTS stock_bars_t")
+
+
+def test_table_changes_cdc_and_time_travel(spark, tmp_path):
+    """The txlog doubles as a change-data feed and a time-travel index:
+    table_changes(from_version) returns exactly the rows later commits
+    inserted, and read_committed(version=N) reproduces the snapshot as
+    of commit N."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        read_committed,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    b2 = spark.createDataFrame([("k2", 2), ("k3", 3)], "k string, v int")
+    assert merge_append(spark, target, b1, ["k"]) == 2
+    v1 = _committed_version(target)
+    assert merge_append(spark, target, b2, ["k"]) == 1
+
+    changes = table_changes(spark, target, from_version=v1)
+    assert [(r.k, r.v) for r in changes.collect()] == [("k3", 3)]
+    assert table_changes(spark, target, from_version=v1 + 1) is None
+
+    assert read_committed(spark, target, version=v1).count() == 2
+    assert read_committed(spark, target).count() == 3
+
+
+def test_compact_swaps_files_atomically(spark, tmp_path):
+    """Compaction rewrites N small committed files into fewer parts in
+    ONE commit (add+remove): contents identical, committed file count
+    drops, the replaced files become vacuumable, pre-compaction time
+    travel still works until vacuum, and the CDC feed does NOT replay
+    compacted rows as new changes."""
+    import os as _os
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        compact,
+        merge_append,
+        read_committed,
+        table_changes,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "t")
+    for i in range(4):
+        batch = spark.createDataFrame([(f"k{i}", i)], "k string, v int")
+        assert merge_append(spark, target, batch, ["k"]) == 1
+    pre_version = _committed_version(target)
+    pre_files = committed_files(target)
+    assert len(pre_files) == 4
+
+    assert compact(spark, target) == 4
+    post_files = committed_files(target)
+    assert len(post_files) < 4
+    assert set(post_files).isdisjoint(pre_files)
+    got = {(r.k, r.v) for r in read_committed(spark, target).collect()}
+    assert got == {(f"k{i}", i) for i in range(4)}
+
+    # CDC across the compaction commit is empty (rewrite, not change).
+    assert table_changes(spark, target, from_version=pre_version) is None
+    # Time travel to the pre-compaction snapshot still resolves...
+    assert read_committed(spark, target, version=pre_version).count() == 4
+    # ...until vacuum reclaims the replaced files.
+    removed = vacuum_orphans(target)
+    assert sorted(removed) == sorted(pre_files)
+    assert {(r.k, r.v) for r in read_committed(spark, target).collect()} == got
+
+    # Merging after compaction stays idempotent and incremental.
+    again = spark.createDataFrame([("k1", 1), ("k9", 9)], "k string, v int")
+    assert merge_append(spark, target, again, ["k"]) == 1
+    assert read_committed(spark, target).count() == 5
+    assert _os.path.isdir(target)
