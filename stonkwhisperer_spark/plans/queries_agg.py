@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.sources.tables import load_table
 
@@ -409,3 +410,72 @@ def q_event_type_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         events.select("event_id", "event_type"), dim, "event_type"
     ).select("event_id", "event_type", "category")
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) approximate distinct count — the sketch family
+# under the EXACT oracle gate: because both engines compute the same
+# portable 60-bit hash, the k smallest hash values — and therefore the
+# ESTIMATE itself — are bit-identical, unlike HLL (engine-specific).
+# --------------------------------------------------------------------------
+_KMV_K = 256
+
+
+@register(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT {portable_hash64_sql(
+          "concat_ws('|', user_id, event_type, cast(ts AS date))"
+      )} AS h
+      FROM events
+    ),
+    km AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_K})
+    SELECT count(*)                       AS n_sampled,
+           max(h)                         AS kth_min_hash,
+           CASE WHEN count(*) < {_KMV_K} THEN cast(count(*) AS double)
+                ELSE ({_KMV_K} - 1) * 1152921504606846976.0 / max(h)
+           END                            AS estimated_distinct
+    FROM km
+    """,
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (user, event_type, day) triples via the KMV
+    sketch: hash every key with the portable 60-bit hash, keep the k
+    smallest distinct values, estimate = (k-1)·2^60 / h_k (exact count
+    when fewer than k keys exist). The whole sketch — and the estimate
+    — is deterministic and engine-identical, so the oracle gate grades
+    the approximation itself, not just its plumbing; HLL-family
+    sketches (approx_count_distinct) can't do that cross-engine.
+
+    Scale: the k-smallest pick plans as TakeOrderedAndProject — each
+    partition keeps its own top-k, one k-row merge, no global sort —
+    after a map-side-partial distinct on the hash. KMV sketches are
+    also mergeable (union = k smallest of the union), the property
+    that lets per-partition sketches combine on 1000 executors."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.to_date("ts"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    km = events.select(h.alias("h")).distinct().orderBy("h").limit(_KMV_K)
+    k = F.count("*")
+    return km.agg(
+        k.alias("n_sampled"),
+        F.max("h").alias("kth_min_hash"),
+        F.when(k < _KMV_K, k.cast("double"))
+        .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0) / F.max("h"))
+        .alias("estimated_distinct"),
+    )

@@ -89,6 +89,7 @@ _GATE_ORDER: list[str] = [
     "top_supplier_revenue",
     "disjunctive_promo_revenue",
     "event_type_enrich_salted",
+    "kmv_distinct_estimate",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -117,7 +118,6 @@ _GATE_ORDER: list[str] = [
     "dup_clusters",
     "embedding_lsh_buckets",
     "news_clean",
-    "bars_clean",
 ]
 
 

@@ -435,3 +435,27 @@ def test_fuzzy_blocking_recall_floor(spark):
     # before loosening the verifier). The floor pins today's behavior
     # so parameter changes can't silently degrade it.
     assert recall >= 0.45, f"fuzzy blocking recall degraded: {recall:.2f}"
+
+
+def test_kmv_estimate_accuracy(spark):
+    """The KMV distinct estimate must land within the sketch's expected
+    error envelope (~1/sqrt(k) ≈ 6% at k=256; assert 15% for slack)
+    against the exact distinct count at sf0.01."""
+    from stonkwhisperer_spark.plans.registry import query_map
+    from stonkwhisperer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    exact = (
+        load_table(spark, sf, "events")
+        .select(
+            F.concat_ws(
+                "|", F.col("user_id"), F.col("event_type"), F.to_date("ts")
+            ).alias("key")
+        )
+        .distinct()
+        .count()
+    )
+    row = query_map()["kmv_distinct_estimate"](spark, sf).collect()[0]
+    assert exact > 256  # the estimator path (not the exact fallback) is in play
+    rel_err = abs(row.estimated_distinct - exact) / exact
+    assert rel_err <= 0.15, f"KMV error {rel_err:.3f} vs exact {exact}"
