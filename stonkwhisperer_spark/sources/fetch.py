@@ -4,20 +4,29 @@
 Reference: Celery workers fan URL batches out to an asyncio httpx loop
 with a 15 s per-URL timeout and trafilatura text extraction
 (data_pipeline/tasks/extraction.py:229-269, 329-378). The Spark-native
-shape is identical minus the broker: each PARTITION is the batch, an
-async loop inside ``mapInPandas`` fetches its URLs concurrently, and
+shape is identical minus the broker: each PARTITION is the batch, a
+concurrent fetch loop inside ``mapInPandas`` fetches its URLs, and
 ``df.repartition(n)`` replaces the hand-rolled 4-way split
 (extraction.py:68) as the concurrency knob.
 
-httpx/trafilatura are not installed in this environment, so the network
-call is behind an import-try: with the libraries present the real
-fetcher runs; without them ``fetch_url_content`` uses a deterministic
-offline stub (clearly marked) so the plumbing — schema, partition
-batching, timeout bookkeeping — stays executable and tested.
+Backends, auto-selected best-first:
+  * ``httpx`` — asyncio client, when the library is installed;
+  * ``urllib`` — stdlib, ALWAYS available: per-partition thread pool,
+    per-URL timeout, error isolation. This is a real network client —
+    tests exercise it end-to-end against a local http.server;
+  * ``stub`` — deterministic offline content, for plumbing tests that
+    must not depend on any socket.
+
+Text extraction (the trafilatura respec) is a pure-stdlib HTML→text
+pass: drop script/style/head blocks, strip tags, unescape entities,
+collapse whitespace. Not a readability model — but a real extractor,
+applied to really-fetched bytes.
 """
 
 from __future__ import annotations
 
+import html as _html
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,15 +48,56 @@ FETCH_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+_DROP_BLOCKS = re.compile(
+    r"<(script|style|head|noscript)\b[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
+)
+_TAGS = re.compile(r"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+
+def extract_article_text(html_doc: str) -> str:
+    """trafilatura-respec text extraction (extraction.py:329-378), pure
+    stdlib: remove non-content blocks, strip tags, unescape entities,
+    normalize whitespace."""
+    no_blocks = _DROP_BLOCKS.sub(" ", html_doc)
+    text = _TAGS.sub(" ", no_blocks)
+    return _WS.sub(" ", _html.unescape(text)).strip()
+
 
 def _fetch_batch_stub(urls: list[str]) -> list[tuple[str, str | None, str]]:
-    """OFFLINE STUB: deterministic fake content keyed by the url — used
-    when httpx is unavailable. Real deployments hit the network below."""
+    """OFFLINE STUB: deterministic fake content keyed by the url — for
+    plumbing tests with no socket dependency."""
     return [
         (u, f"stub content for {u}" if not u.endswith("/404") else None,
          "stub:404" if u.endswith("/404") else "stub:200")
         for u in urls
     ]
+
+
+def _fetch_batch_urllib(
+    urls: list[str], timeout: float, max_workers: int = 16
+) -> list[tuple[str, str | None, str]]:
+    """Stdlib network client: thread-pooled GETs (urllib blocks, so
+    threads supply the concurrency asyncio gives httpx), per-URL
+    timeout, per-URL failure isolation (reference :343-346)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.error import HTTPError, URLError
+    from urllib.request import urlopen
+
+    def one(u: str) -> tuple[str, str | None, str]:
+        try:
+            with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — caller-supplied URLs are the operator's contract
+                body = resp.read().decode("utf-8", errors="replace")
+                return (u, body, str(resp.status))
+        except HTTPError as e:
+            return (u, None, str(e.code))
+        except (URLError, OSError, ValueError) as e:
+            return (u, None, f"error:{type(e).__name__}")
+
+    if not urls:
+        return []
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(urls))) as pool:
+        return list(pool.map(one, urls))
 
 
 async def _fetch_batch_httpx(urls: list[str], timeout: float):  # pragma: no cover
@@ -64,23 +114,44 @@ async def _fetch_batch_httpx(urls: list[str], timeout: float):  # pragma: no cov
         return await asyncio.gather(*(one(u) for u in urls))
 
 
-def fetch_url_content(df: DataFrame, url_col: str = "url", timeout: float = 15.0) -> DataFrame:
-    """S4/S5: enrich each row's url with fetched content. One async
+def fetch_url_content(
+    df: DataFrame,
+    url_col: str = "url",
+    timeout: float = 15.0,
+    backend: str | None = None,
+    extract: bool = False,
+) -> DataFrame:
+    """S4/S5: enrich each row's url with fetched content. One concurrent
     batch per partition (the reference's Celery batch = our partition);
     control fan-out with ``df.repartition(n)`` upstream.
 
+    ``backend``: None → httpx if installed else urllib; or force
+    'httpx' / 'urllib' / 'stub'. ``extract=True`` applies the HTML→text
+    extractor to successful fetches (S5's fetch+extract contract).
+
     Returns (url, content, fetch_status); join back on url for the
     metadata-preserving variant (J1's url-equi respec)."""
+    if backend is None:
+        backend = "httpx" if _HAVE_HTTPX else "urllib"
+    if backend not in ("httpx", "urllib", "stub"):
+        raise ValueError(f"unknown fetch backend: {backend}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls = [u for u in pdf[url_col].tolist() if u is not None]
-            if _HAVE_HTTPX:  # pragma: no cover
+            if backend == "httpx":  # pragma: no cover
                 import asyncio
 
                 rows = asyncio.run(_fetch_batch_httpx(urls, timeout))
+            elif backend == "urllib":
+                rows = _fetch_batch_urllib(urls, timeout)
             else:
                 rows = _fetch_batch_stub(urls)
+            if extract:
+                rows = [
+                    (u, extract_article_text(c) if c is not None else None, s)
+                    for u, c, s in rows
+                ]
             yield pd.DataFrame(rows, columns=["url", "content", "fetch_status"])
 
     return df.select(url_col).distinct().mapInPandas(run, FETCH_RESULT_SCHEMA)

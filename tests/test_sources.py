@@ -45,14 +45,17 @@ def test_fetch_url_content_stub(spark):
     df = spark.createDataFrame(
         [("https://x.com/a",), ("https://x.com/404",), ("https://x.com/a",)], "url string"
     )
-    out = {r.url: r for r in fetch_url_content(df.repartition(2)).collect()}
+    out = {
+        r.url: r
+        for r in fetch_url_content(df.repartition(2), backend="stub").collect()
+    }
     assert len(out) == 2  # distinct urls only
     assert out["https://x.com/a"].content is not None
     assert out["https://x.com/404"].content is None
     assert out["https://x.com/404"].fetch_status.endswith("404")
     # no per-row python: the stage is arrow-batched (MapInPandas /
     # ArrowEvalPython), never row-at-a-time BatchEvalPython
-    plan = fetch_url_content(df)._jdf.queryExecution().toString()
+    plan = fetch_url_content(df, backend="stub")._jdf.queryExecution().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 
@@ -128,3 +131,64 @@ def test_python_datasource_stream_pagination(spark, tmp_path):
         q.stop()
     assert n == 75  # 3 pages x 25, then empty batches
     assert spark.read.parquet(out).select("reddit_id").distinct().count() == 75
+
+
+def test_fetch_url_content_real_http(spark):
+    """S4/S5 over a REAL network round trip: a local http.server serves
+    an HTML article + a 404; the urllib backend fetches through actual
+    Spark Python workers (mapInPandas), and the extractor reduces the
+    HTML to its article text. No stub in this path."""
+    import http.server
+    import threading
+
+    PAGE = (b"<html><head><title>t</title><style>p{color:red}</style></head>"
+            b"<body><script>var x=1;</script><h1>Big News</h1>"
+            b"<p>Spark &amp; DuckDB agree.</p></body></html>")
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/article":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(PAGE)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        df = spark.createDataFrame(
+            [(f"{base}/article",), (f"{base}/missing",)], "url string"
+        )
+        out = {
+            r.url: r
+            for r in fetch_url_content(
+                df.repartition(2), backend="urllib", extract=True
+            ).collect()
+        }
+        ok = out[f"{base}/article"]
+        assert ok.fetch_status == "200"
+        # title sits inside <head>, which the extractor drops wholesale
+        assert ok.content == "Big News Spark & DuckDB agree."
+        missing = out[f"{base}/missing"]
+        assert missing.fetch_status == "404" and missing.content is None
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_extract_article_text_pure():
+    from stonkwhisperer_spark.sources.fetch import extract_article_text
+
+    html_doc = (
+        "<html><head><script>no()</script></head><body>"
+        "<div>A &lt;tagged&gt; story.</div>\n\n<p>Second   para.</p></body></html>"
+    )
+    assert extract_article_text(html_doc) == "A <tagged> story. Second para."
