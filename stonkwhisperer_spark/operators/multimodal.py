@@ -187,3 +187,166 @@ def size_bucket(df: DataFrame, payload_col: str = "payload", n_buckets: int = 32
         (F.floor(F.log2(F.octet_length(payload_col) + 2)) * 7 + F.crc32(F.col(payload_col)) % n_buckets)
         % n_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec — pure stdlib (zlib + struct). The one image format the
+# sandbox can genuinely encode AND decode without PIL: full chunk
+# structure, CRC validation, and all five scanline filters on decode.
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal REAL PNG encoder: 8-bit RGB (color type 2), filter 0
+    scanlines, one zlib IDAT, correct CRCs. Any standards-compliant
+    viewer decodes the output."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Minimal REAL PNG decoder for 8-bit RGB/RGBA, no interlace:
+    validates the signature and every chunk CRC, inflates IDAT, and
+    un-applies all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns (width, height, rgb_bytes) — alpha stripped if present."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    height = bpp = 0
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError("decoder supports 8-bit RGB/RGBA, no interlace")
+            bpp = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += row
+        prev = row
+    if bpp == 4:  # strip alpha
+        out = bytearray(
+            b for i, b in enumerate(out) if i % 4 != 3
+        )
+    return width, height, bytes(out)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA (image/png payloads) → per-image dimensions and
+    exact per-channel means via the REAL decoder — the decode +
+    feature-extract stage with no stub in the path. Channel sums are
+    integer-exact; the single double division at the end is
+    engine-identical. Narrow Arrow-batched map stage; partition by
+    size_bucket upstream when image sizes are skewed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, rgb = decode_png(bytes(payload))
+                n = w * h
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                mr.append(sum(rgb[0::3]) / n)
+                mg.append(sum(rgb[1::3]) / n)
+                mb.append(sum(rgb[2::3]) / n)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(run, PNG_STATS_SCHEMA)

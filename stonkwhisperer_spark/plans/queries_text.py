@@ -535,3 +535,93 @@ def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _SOURCE_CAP)
         .select("doc_id", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# media_pixel_stats — the REAL codec in the loop: Spark workers encode a
+# deterministic PNG per document (pure-stdlib encoder), decode it back
+# with the full decoder (chunk CRCs, scanline unfiltering), and emit
+# per-channel means; DuckDB re-derives the same statistics in closed
+# form from the pixel formula. Any codec bug anywhere breaks the hash.
+# --------------------------------------------------------------------------
+_PNG_W, _PNG_H = 16, 8
+_PNG_DOCS = 200
+
+
+@register(
+    "media_pixel_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.range AS x, y.range AS y
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_PNG_DOCS}) d,
+           range({_PNG_W}) x, range({_PNG_H}) y
+    )
+    SELECT doc_id,
+           {_PNG_W} AS width, {_PNG_H} AS height,
+           cast(sum((7 * doc_id + 3 * x + 5 * y) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_r,
+           cast(sum((doc_id + x * y) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_g,
+           cast(sum((2 * doc_id + x + 2 * y) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal decode path with a REAL codec: per document, a
+    16×8 RGB image with formula pixels (R=(7·id+3x+5y)%256,
+    G=(id+xy)%256, B=(2·id+x+2y)%256) is ENCODED to an actual PNG
+    (zlib IDAT, chunk CRCs) in one Arrow-batched stage, then DECODED by
+    the standards-path decoder (signature, CRC validation, scanline
+    unfiltering) in the next, and reduced to exact per-channel means.
+    The oracle never sees the bytes — it recomputes the statistics from
+    the pixel formula, so the encode→decode round trip itself is under
+    the correctness gate.
+
+    Scale: two narrow Arrow-batched map stages, no shuffle; the decode
+    stage is the template for real PIL/av decoders (same schema, same
+    batch shape), with size_bucket repartitioning upstream when payload
+    sizes skew."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        png_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PNG_DOCS
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rgb = bytes(
+                    v
+                    for y in range(_PNG_H)
+                    for x in range(_PNG_W)
+                    for v in (
+                        (7 * did + 3 * x + 5 * y) % 256,
+                        (did + x * y) % 256,
+                        (2 * did + x + 2 * y) % 256,
+                    )
+                )
+                ids.append(did)
+                types.append("image/png")
+                payloads.append(encode_png(_PNG_W, _PNG_H, rgb))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, MEDIA_SCHEMA)
+    return png_pixel_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )

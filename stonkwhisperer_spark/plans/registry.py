@@ -90,6 +90,7 @@ _GATE_ORDER: list[str] = [
     "disjunctive_promo_revenue",
     "event_type_enrich_salted",
     "kmv_distinct_estimate",
+    "media_pixel_stats",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -117,7 +118,6 @@ _GATE_ORDER: list[str] = [
     # guard → dup_clusters, similarity.py validation → lsh buckets) --
     "dup_clusters",
     "embedding_lsh_buckets",
-    "news_clean",
 ]
 
 
