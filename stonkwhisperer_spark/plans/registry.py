@@ -91,6 +91,8 @@ _GATE_ORDER: list[str] = [
     "event_type_enrich_salted",
     "kmv_distinct_estimate",
     "media_pixel_stats",
+    "user_event_runs",
+    "doc_token_positions_udtf",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -100,11 +102,12 @@ _GATE_ORDER: list[str] = [
     "flows_e2e",
     "streaming_ohlcv",
     "sentiment_scores",
+    # -- operator code changed this round (dedup.py convergence guard) --
+    "dup_clusters",
     # -- green in r02 but never re-confirmed since --
     "event_sessions",
     "text_quality",
     "profile_documents",
-    "distinct_event_types",
     "doc_constraints",
     "media_manifest",
     "gapfill_events",
@@ -113,11 +116,6 @@ _GATE_ORDER: list[str] = [
     "revenue_rollup",
     "customer_order_ranks",
     "large_orders",
-    # -- r03-green family representatives (archived-green families whose
-    # operator code changed this round come first: dedup.py convergence
-    # guard → dup_clusters, similarity.py validation → lsh buckets) --
-    "dup_clusters",
-    "embedding_lsh_buckets",
 ]
 
 
@@ -132,6 +130,7 @@ def _load() -> None:
         queries_joins,
         queries_llm,
         queries_pipelines,
+        queries_python,
         queries_sessions,
         queries_text,
         queries_timeseries,
