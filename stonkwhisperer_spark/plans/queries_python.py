@@ -148,7 +148,9 @@ def q_doc_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode twin."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="pos int, token string, token_len int")
+    # useArrow: the Arrow-optimized UDTF evaluator (ArrowEvalPythonUDTF)
+    # — row-at-a-time BatchEvalPython stays banned by the plan audit.
+    @udtf(returnType="pos int, token string, token_len int", useArrow=True)
     class TokenPositions:
         def eval(self, text: str):  # noqa: D401 - UDTF contract
             if text is None:

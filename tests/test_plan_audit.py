@@ -24,6 +24,8 @@ BNLJ_ALLOWED = {
     "ivf_topk_embeddings": 2,     # centroid set into quantizer + probes
     "idle_rich_customers": 1,     # 1-row AVG threshold
     "part_value_share": 1,        # 1-row global-share threshold
+    "top_supplier_revenue": 1,    # 1-row MAX threshold
+    "purchase_funnel": 2,         # three 1-row stage counts cross-joined
     "click_buy_reconcile": 0,
 }
 
