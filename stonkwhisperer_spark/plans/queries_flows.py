@@ -634,3 +634,96 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# txlog_e2e — the parquet transaction log's full lifecycle as a
+# registered surface: merge → racing merge → compaction → CDC read →
+# time travel → vacuum, with every invariant asserted in-line. Rows-only
+# by design (side-effecting writes; the relation is the audit row).
+# --------------------------------------------------------------------------
+@register("txlog_e2e", oracle=None)
+def q_txlog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the K2 table format end to end against a scratch
+    target: (1) two sequential merges insert disjoint key sets; (2) a
+    fault-injected RACING merge loses the CAS and retries to a no-op;
+    (3) compaction swaps the small files atomically; (4) the CDC feed
+    replays exactly the second merge's rows (never the compaction
+    rewrite); (5) time travel reproduces the pre-compaction snapshot;
+    (6) vacuum reclaims exactly the replaced files. Raises on any
+    violated invariant — the returned row is the audit trail.
+
+    Scale: every step is O(1) driver-side log I/O plus the data writes
+    themselves; nothing here scans the table beyond the committed file
+    list."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        compact,
+        merge_append,
+        read_committed,
+        table_changes,
+        vacuum_orphans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_")
+    try:
+        target = f"{scratch}/t"
+        b1 = docs.filter(F.col("doc_id") < 40)
+        b2 = docs.filter(F.col("doc_id") < 80)  # overlaps b1 by 40 keys
+        n1 = merge_append(spark, target, b1, ["doc_id"])
+        v1 = _committed_version(target)
+        n2 = merge_append(spark, target, b2, ["doc_id"])
+
+        race = {}
+
+        def racer():
+            if not race:
+                race["n"] = merge_append(
+                    spark, target, docs.filter(F.col("doc_id") < 100), ["doc_id"]
+                )
+
+        n3 = merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 100),
+            ["doc_id"],
+            _pre_commit_hook=racer,
+        )
+        if race["n"] != 20 or n3 != 0:
+            raise AssertionError("optimistic-commit race resolved wrong")
+
+        pre_files = len(committed_files(target))
+        pre_compact_version = _committed_version(target)
+        replaced = compact(spark, target)
+        post_files = len(committed_files(target))
+        if read_committed(spark, target).count() != 100:
+            raise AssertionError("compaction changed table contents")
+
+        cdc = table_changes(spark, target, from_version=v1)
+        cdc_rows = cdc.count() if cdc is not None else 0
+        if cdc_rows != 60:  # merge2 (40) + racer (20); compaction excluded
+            raise AssertionError(f"CDC replayed {cdc_rows} rows, expected 60")
+        if read_committed(spark, target, version=v1).count() != n1:
+            raise AssertionError("time travel to v1 drifted")
+        vacuumed = len(vacuum_orphans(target))
+        if vacuumed != replaced:
+            raise AssertionError("vacuum reclaimed wrong file set")
+        if read_committed(spark, target).count() != 100:
+            raise AssertionError("vacuum damaged the committed snapshot")
+        row = (
+            n1, n2, race["n"], n3, pre_compact_version,
+            pre_files, post_files, replaced, cdc_rows, vacuumed,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "inserted_1 bigint, inserted_2 bigint, racer_inserted bigint,"
+        " loser_inserted bigint, pre_compact_version int, files_before int,"
+        " files_after int, files_replaced int, cdc_rows bigint, vacuumed int",
+    )

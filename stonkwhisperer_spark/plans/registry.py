@@ -93,6 +93,7 @@ _GATE_ORDER: list[str] = [
     "media_pixel_stats",
     "user_event_runs",
     "doc_token_positions_udtf",
+    "txlog_e2e",
     "benchmark_contamination",
     "pii_scrub",
     "big_order_customers",
@@ -107,7 +108,6 @@ _GATE_ORDER: list[str] = [
     # -- green in r02 but never re-confirmed since --
     "event_sessions",
     "text_quality",
-    "profile_documents",
     "doc_constraints",
     "media_manifest",
     "gapfill_events",
