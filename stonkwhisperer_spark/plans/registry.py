@@ -135,6 +135,7 @@ def _load() -> None:
         queries_text,
         queries_timeseries,
         queries_tpch,
+        queries_tpch2,
     )
 
     missing = [n for n in _GATE_ORDER if n not in QUERIES]
