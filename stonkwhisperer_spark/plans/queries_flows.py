@@ -54,26 +54,38 @@ def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         news_landing = f"{scratch}/landing_news"
         posts_landing = f"{scratch}/landing_posts"
         bars_landing = f"{scratch}/landing_bars"
+        companies = spark.createDataFrame(
+            [(f"c{i}", f"S{i}") for i in range(15)], "id string, ticker string"
+        )
         # Landing drops: RAW_* shaped, one file each. No pre-sort: the
         # flows' insert COUNTS (the rows-only contract here) are
         # invariant to which duplicate the keep-first dedup keeps, and
         # the value-deterministic dedup surface is oracle-covered by
         # news_clean/posts_clean/bars_clean — three global sorts of the
         # landing data were pure fixed overhead.
-        _news_raw(docs).drop("_arrival_id").coalesce(1).write.parquet(news_landing)
-        _posts_raw(docs).drop("_arrival_id").coalesce(1).write.parquet(posts_landing)
-        _bars_raw(events).withColumn(
-            "timestamp", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        ).drop("event_id").coalesce(1).write.parquet(bars_landing)
-        companies = spark.createDataFrame(
-            [(f"c{i}", f"S{i}") for i in range(15)], "id string, ticker string"
-        )
+        landings = [
+            lambda: _news_raw(docs)
+            .drop("_arrival_id").coalesce(1).write.parquet(news_landing),
+            lambda: _posts_raw(docs)
+            .drop("_arrival_id").coalesce(1).write.parquet(posts_landing),
+            lambda: _bars_raw(events)
+            .withColumn(
+                "timestamp",
+                F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            )
+            .drop("event_id").coalesce(1).write.parquet(bars_landing),
+        ]
 
-        # The three flows are independent DAGs on disjoint targets —
-        # run them concurrently (Spark's scheduler interleaves the
-        # jobs), exactly how independent flows share a production
-        # cluster; each flow's rerun stays serial after its first run
-        # (the idempotence contract is per-target).
+        # The landing drops and the three flows are independent DAGs on
+        # disjoint targets — run each stage concurrently (Spark's
+        # scheduler interleaves the jobs), exactly how independent flows
+        # share a production cluster; each flow's rerun stays serial
+        # after its first run (the idempotence contract is per-target).
+        # The whole block runs under a narrowed shuffle width: at
+        # harness scale the flows' dedup-window + anti-join shuffles are
+        # a few MB each, and 32-wide shuffles made task scheduling, not
+        # data, the dominant cost (10.5 s → the bulk of this query's
+        # wall time). Production sizes this to the cluster.
         from concurrent.futures import ThreadPoolExecutor
 
         def run_twice(flow_and_fn):
@@ -86,7 +98,9 @@ def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("posts", lambda t: posts_flow(spark, posts_landing, t, flairs=["DD", "News"])),
             ("bars", lambda t: bars_flow(spark, bars_landing, t, companies)),
         ]
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with _stream_shuffle_width(spark, 8), ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda w: w(), landings):
+                pass
             rows = list(pool.map(run_twice, flows))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -634,6 +648,152 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# txlog_cdc_replay — the txlog family's HASH-CHECKED row: the CDC feed's
+# replayed insert set is a deterministic relation DuckDB can recompute
+# from the same seed data, so the driver gets a value-hash row for the
+# table format (txlog_e2e stays the rows-only lifecycle exercise).
+# --------------------------------------------------------------------------
+_TXLOG_CDC_ORACLE = """
+    SELECT doc_id, source,
+           CASE WHEN doc_id < 80 THEN 2 ELSE 4 END AS _commit_version
+    FROM documents
+    WHERE doc_id >= 40 AND doc_id < 100
+    """
+
+
+def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
+    """Four commits on a scratch txlog table: merge doc_id<40 (v1),
+    merge doc_id<80 (v2), compaction (v3), merge doc_id<100 (v4).
+    Returns v1 — the CDC subscription point. Shared seed for the two
+    CDC surfaces (batch replay + streaming source) so both compare
+    against the same DuckDB relation."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        compact,
+        merge_append,
+    )
+
+    merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+    v1 = _committed_version(target)
+    merge_append(spark, target, docs.filter(F.col("doc_id") < 80), ["doc_id"])
+    if compact(spark, target) == 0:
+        raise AssertionError("compaction found nothing to rewrite")
+    merge_append(spark, target, docs.filter(F.col("doc_id") < 100), ["doc_id"])
+    return v1
+
+
+@register("txlog_cdc_replay", oracle=_TXLOG_CDC_ORACLE)
+def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay under the value hash: build a txlog table with four
+    commits — merge doc_id<40 (v1), merge doc_id<80 (v2), compaction
+    (v3), merge doc_id<100 (v4) — then read ``table_changes`` from v1
+    with commit attribution. The feed must replay EXACTLY the rows the
+    later merges inserted ([40,80) tagged v2, [80,100) tagged v4),
+    excluding both the v1 baseline and the compaction rewrite; the
+    DuckDB twin recomputes that set from `documents` directly. A feed
+    that leaked compaction rewrites (duplicating every pre-v3 row) or
+    replayed anti-join survivors wrongly hash-fails here.
+
+    Scale: the CDC read opens only the files the polled commits added —
+    O(delta), never a table scan; commit attribution adds one scan node
+    per commit in the window."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import table_changes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_cdc_")
+    try:
+        target = f"{scratch}/t"
+        v1 = _build_cdc_table(spark, docs, target)
+        cdc = table_changes(spark, target, from_version=v1, with_version=True)
+        if cdc is None:
+            raise AssertionError("CDC feed empty after two post-v1 merges")
+        # Materialize before the scratch dir is deleted: the returned
+        # plan must not lazily re-read vanished files.
+        rows = cdc.select("doc_id", "source", "_commit_version").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, _commit_version bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# txlog_stream_cdc — the SAME change feed consumed through readStream:
+# the txlog as a Spark 4 streaming DATA SOURCE (sources/txlog_stream.py),
+# offsets = commit versions, drained availableNow. Same oracle as the
+# batch replay — the two consumption paths must agree to the value hash.
+# --------------------------------------------------------------------------
+_txlog_stream_runs = 0
+
+
+@register("txlog_stream_cdc", oracle=_TXLOG_CDC_ORACLE)
+def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumed BY THE STREAMING PATH: the same four-commit table as
+    txlog_cdc_replay, subscribed from v1 via
+    ``readStream.format("stonkw_txlog_cdc")`` — a full Python
+    DataSourceStreamReader whose offsets are txlog commit versions,
+    partition planning is one InputPartition per committed file, and the
+    executor-side read yields Arrow RecordBatches tagged with
+    ``_commit_version``. Drained availableNow into an append-mode memory
+    sink and hash-compared to the identical DuckDB relation, proving
+    batch replay and streaming subscription agree row-for-row (and that
+    compaction rewrites stay invisible to subscribers). (Spark's Python
+    micro-batch bridge downgrades availableNow to single-batch execution
+    — correct here because every commit exists before the stream starts;
+    a live tail would run the processingTime trigger instead.)
+
+    Scale: offset resolution is O(#commits) driver-side metadata; the
+    data plane schedules exactly the files the polled commits added —
+    the property that makes a 100 TB merge-append table tailable."""
+    global _txlog_stream_runs
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sources.txlog_stream import TxlogChangeFeedDataSource
+
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_stream_")
+    try:
+        target = f"{scratch}/t"
+        v1 = _build_cdc_table(spark, docs, target)
+        _txlog_stream_runs += 1
+        name = f"txlog_stream_{_txlog_stream_runs}"
+        feed = (
+            spark.readStream.format("stonkw_txlog_cdc")
+            .option("path", target)
+            .option("startingVersion", v1)
+            .load()
+        )
+        with _stream_shuffle_width(spark):
+            q = (
+                feed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("txlog_stream_cdc did not drain within 300s")
+            finally:
+                q.stop()
+        rows = spark.table(name).select("doc_id", "source", "_commit_version").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, _commit_version bigint"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -48,8 +48,8 @@ _RUNS_SCHEMA = T.StructType(
     agg AS (
       SELECT user_id,
              count(*) AS n_events,
-             sum(CASE WHEN prev_type IS NULL OR event_type != prev_type
-                      THEN 1 ELSE 0 END)                          AS n_runs,
+             CAST(sum(CASE WHEN prev_type IS NULL OR event_type != prev_type
+                      THEN 1 ELSE 0 END) AS BIGINT)               AS n_runs,
              max(CASE WHEN rn = 1 THEN event_type END)            AS first_type,
              max(CASE WHEN rn = n_events THEN event_type END)     AS last_type
       FROM ordered GROUP BY user_id

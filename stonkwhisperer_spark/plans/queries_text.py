@@ -382,14 +382,15 @@ _PACK_SHARDS = 8
     ),
     cum AS (
       SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY shard ORDER BY shuffle_key, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) - n_tokens AS tokens_before
+             ) - n_tokens AS BIGINT) AS tokens_before
       FROM sized
     )
     SELECT doc_id, shard, n_tokens, tokens_before,
-           shard * 1000000 + tokens_before // {_PACK_CTX} AS pack_id
+           CAST(shard * 1000000 + tokens_before // {_PACK_CTX} AS BIGINT)
+             AS pack_id
     FROM cum
     """,
 )

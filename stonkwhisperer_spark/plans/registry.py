@@ -62,60 +62,62 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- never had a correctness row in any round (r4 rotation targets) --
-    "quality_filter",
+    # -- r4 red rows; oracle CAST(... AS BIGINT) fixed this round --
     "pack_documents",
-    "mixture_sample",
-    "doc_split_assign",
-    "source_capped_sample",
-    "token_stats",
-    "media_headers",
-    "revenue_cube",
-    "cust_order_dist",
-    "idle_rich_customers",
-    "part_value_share",
-    "priority_order_counts",
-    "promo_revenue_share",
-    "steel_part_suppliers",
-    "top_customer_per_nation",
-    # -- new or changed in round 4 --
-    "streaming_join",
-    "streaming_sessions",
-    "streaming_dedup",
-    "sql_top_brands_by_region",
-    "purchase_funnel",
-    "weekly_cohort_retention",
-    "nation_trade_volume",
-    "top_supplier_revenue",
-    "disjunctive_promo_revenue",
-    "event_type_enrich_salted",
-    "kmv_distinct_estimate",
-    "media_pixel_stats",
     "user_event_runs",
-    "doc_token_positions_udtf",
+    # -- registered outside the r4 window; never driver-checked --
+    "nation_market_share",
+    "product_profit_by_nation",
+    "returned_item_customers",
+    "shipping_delay_priority",
+    "part_supplier_counts",
+    # -- new in round 5: hash-checked CDC rows for the txlog family --
+    "txlog_cdc_replay",
+    "txlog_stream_cdc",
+    # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
-    "benchmark_contamination",
-    "pii_scrub",
-    "big_order_customers",
-    "sole_return_suppliers",
-    "small_order_part_revenue",
-    "price_qty_correlation",
     "flows_e2e",
-    "streaming_ohlcv",
     "sentiment_scores",
-    # -- operator code changed this round (dedup.py convergence guard) --
-    "dup_clusters",
-    # -- green in r02 but never re-confirmed since --
-    "event_sessions",
-    "text_quality",
-    "doc_constraints",
-    "media_manifest",
-    "gapfill_events",
-    "forecast_revenue",
-    "shipping_priority",
-    "revenue_rollup",
-    "customer_order_ranks",
-    "large_orders",
+    # -- oldest archived-green (last recorded row: round 2) --
+    "distinct_event_types",
+    "profile_documents",
+    # -- r3-green rotation: unchanged code, re-confirm oldest first --
+    "api_ingest_e2e",
+    "asof_next_sentiment",
+    "asof_sentiment_bars",
+    "bars_clean",
+    "bars_enrich",
+    "clean_documents",
+    "click_buy_reconcile",
+    "clickers_minus_buyers",
+    "dedup_keep_first",
+    "dedup_low_card",
+    "doc_fingerprints",
+    "doc_shingles",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "event_type_stats_salted",
+    "events_in_promo_windows",
+    "events_in_promo_windows_grid",
+    "events_props_parsed",
+    "events_schema_evolution_union",
+    "fuzzy_near_dups",
+    "ivf_topk_embeddings",
+    "knn_embeddings",
+    "minhash_band_candidates",
+    "near_dup_jaccard",
+    "new_urls_anti",
+    "news_clean",
+    "ohlcv_1min",
+    "order_deciles",
+    "order_price_quantiles",
+    "orders_monthly",
+    "posts_clean",
+    "posts_link_articles",
+    "pricing_summary",
+    "region_revenue",
+    "simhash_signatures",
+    "topk_newest_events",
 ]
 
 

@@ -226,7 +226,10 @@ def read_committed(
 
 
 def table_changes(
-    spark: SparkSession, target_path: str, from_version: int
+    spark: SparkSession,
+    target_path: str,
+    from_version: int,
+    with_version: bool = False,
 ) -> DataFrame | None:
     """Change-data-feed read: the rows INSERTED by every commit with
     version > ``from_version`` (the log is insert-only, so the feed is
@@ -234,17 +237,39 @@ def table_changes(
     without changing table contents, so they are excluded. Incremental
     consumers poll ``_committed_version`` and read only the delta —
     the pattern that turns a 100 TB table into a streamable source
-    without rescanning history."""
-    files: list[str] = []
+    without rescanning history.
+
+    ``with_version=True`` tags every row with its originating commit as
+    ``_commit_version`` (Delta CDF's column of the same name) — one scan
+    node per commit unioned together, bounded by the polled version
+    delta, so consumers can attribute rows to commits."""
+    if not with_version:
+        files: list[str] = []
+        for c in _commits(target_path):
+            if c["version"] > from_version and not c.get("compaction"):
+                files.extend(c["add"])
+        if not files:
+            return None
+        return (
+            spark.read.option("basePath", target_path)
+            .parquet(*[os.path.join(target_path, f) for f in files])
+        )
+    parts: list[DataFrame] = []
     for c in _commits(target_path):
-        if c["version"] > from_version and not c.get("compaction"):
-            files.extend(c["add"])
-    if not files:
+        if c["version"] > from_version and not c.get("compaction") and c["add"]:
+            parts.append(
+                spark.read.option("basePath", target_path)
+                .parquet(*[os.path.join(target_path, f) for f in c["add"]])
+                .withColumn(
+                    "_commit_version", F.lit(c["version"]).cast("bigint")
+                )
+            )
+    if not parts:
         return None
-    return (
-        spark.read.option("basePath", target_path)
-        .parquet(*[os.path.join(target_path, f) for f in files])
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def compact(

@@ -72,13 +72,37 @@ def audit_schema(spark_df, name: str = "?") -> None:
     )
 
 
+def audit_oracle_schema(arrow_table, name: str = "?") -> None:
+    """Mirror of :func:`audit_schema` for the DuckDB side: the driver
+    pulls oracle results through arrow/pandas, where DuckDB HUGEINT
+    (e.g. ``sum(BIGINT)``) surfaces as decimal128 → ``Decimal`` and
+    hash-mismatches Spark's int64 even when every value is equal
+    (CORRECTNESS_r04 pack_documents / user_event_runs). Ban decimal in
+    the oracle's final projection — ``CAST(... AS BIGINT/DOUBLE)``."""
+    import pyarrow as pa
+
+    bad = [
+        f"{f.name}:{f.type}"
+        for f in arrow_table.schema
+        if pa.types.is_decimal(f.type)
+    ]
+    assert not bad, (
+        f"[{name}] oracle emits decimal columns (DuckDB HUGEINT?): {bad} "
+        "— wrap in CAST(... AS BIGINT) / CAST(... AS DOUBLE) in the SQL"
+    )
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     audit_schema(spark_df, name)
     srows = [tuple(r) for r in spark_df.collect()]
     scols = spark_df.columns
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = [tuple(r) for r in res.fetchall()]
+    # Fetch the oracle through arrow — the driver's path. fetchall()
+    # converts HUGEINT to Python int and would mask the drift audited
+    # above, leaving this suite green while the driver hash is red.
+    tbl = con.execute(sql).fetch_arrow_table()
+    audit_oracle_schema(tbl, name)
+    dcols = list(tbl.column_names)
+    drows = [tuple(rec[c] for c in dcols) for rec in tbl.to_pylist()]
 
     assert sorted(scols) == sorted(dcols), (
         f"[{name}] column mismatch: spark={sorted(scols)} duckdb={sorted(dcols)}"

@@ -84,13 +84,14 @@ def test_knn_scoring_has_no_interpreted_lambdas(spark, qmap):
 
 def test_gate_window_rotation(qmap):
     """The driver's correctness gate records the FIRST 50 registered
-    queries; the r4 rotation must place every never-yet-checked query
-    and every query added/changed this round inside that window, and
-    everything beyond it must be archived-green (r02/r03)."""
+    queries; the rotation must place every never-yet-checked, fixed, or
+    newly added query inside that window (everything before the
+    archived-green re-confirmation section of _GATE_ORDER), and the
+    window must be exactly the list's head."""
     from stonkwhisperer_spark.plans.registry import _GATE_ORDER
 
     names = list(qmap)
     window = set(names[:50])
-    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("event_sessions")]
+    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("api_ingest_e2e")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted

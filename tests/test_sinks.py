@@ -245,6 +245,29 @@ def test_table_changes_cdc_and_time_travel(spark, tmp_path):
     assert read_committed(spark, target).count() == 3
 
 
+def test_table_changes_commit_attribution(spark, tmp_path):
+    """with_version=True tags every CDC row with its originating commit
+    (_commit_version, the Delta CDF column) and still excludes
+    compaction rewrites."""
+    from stonkwhisperer_spark.sinks.writers import compact, merge_append, table_changes
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    b2 = spark.createDataFrame([("k3", 3)], "k string, v int")
+    b3 = spark.createDataFrame([("k4", 4)], "k string, v int")
+    assert merge_append(spark, target, b1, ["k"]) == 2  # v1
+    assert merge_append(spark, target, b2, ["k"]) == 1  # v2
+    assert compact(spark, target) > 0                   # v3 (excluded)
+    assert merge_append(spark, target, b3, ["k"]) == 1  # v4
+
+    feed = table_changes(spark, target, from_version=1, with_version=True)
+    assert feed.schema["_commit_version"].dataType.simpleString() == "bigint"
+    assert sorted((r.k, r.v, r._commit_version) for r in feed.collect()) == [
+        ("k3", 3, 2),
+        ("k4", 4, 4),
+    ]
+
+
 def test_compact_swaps_files_atomically(spark, tmp_path):
     """Compaction rewrites N small committed files into fewer parts in
     ONE commit (add+remove): contents identical, committed file count
