@@ -202,3 +202,76 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — the SURVEY §7 M6 scale technique as a
+# verified surface: both fact tables written bucketBy(orderkey) into the
+# warehouse, then sort-merge-joined with ZERO exchanges (asserted on the
+# physical plan in-query). At 100 TB this is the pattern that amortizes
+# the fact⋈fact shuffle across every downstream join on the same key:
+# pay the partitioned write once at ingest, join shuffle-free forever.
+# --------------------------------------------------------------------------
+_BUCKETS = 16  # cluster-sized in production (e.g. 4096 at 100 TB)
+
+
+@register(
+    "bucketed_order_lineitem_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           cast(sum(cast(l.l_extendedprice AS {_D122})) AS double) AS gross
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact: orders and lineitem are written as
+    bucketed+sorted catalog tables on the join key, and the sort-merge
+    join then reads bucket i against bucket i directly — the physical
+    plan is REQUIRED (asserted below) to contain zero Exchange nodes
+    between the scans and the join; a Spark upgrade or conf drift that
+    silently reintroduced the shuffle fails loudly here rather than
+    costing a 100-TB re-shuffle in production. The MERGE hint pins SMJ
+    (a broadcast would also be shuffle-free but wouldn't prove bucket
+    co-location). The post-join priority aggregation shuffles ~5 keys —
+    negligible by construction."""
+    import shutil
+    from urllib.parse import urlparse
+
+    # A fresh session's in-memory catalog forgets the table while its
+    # warehouse directory persists — drop both or saveAsTable raises
+    # LOCATION_ALREADY_EXISTS on the next session.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bucketed_orders", "bucketed_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bucketed_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bucketed_lineitem")
+    )
+    bo, bl = spark.table("bucketed_orders"), spark.table("bucketed_lineitem")
+    joined = bo.hint("MERGE").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan or "SortMergeJoin" not in plan:
+        raise AssertionError(
+            "bucketed join lost co-location (Exchange in plan or SMJ not chosen):\n"
+            + plan
+        )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(_D122)).cast("double").alias("gross"),
+    )

@@ -535,3 +535,67 @@ def q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, graded directly. Window-lead codegen formulation, one
     shuffle on doc_id (see _postings); oracle is the unnest twin."""
     return _postings(spark, sf_dir).select("doc_id", "shingle")
+
+
+# --------------------------------------------------------------------------
+# Canonical-document selection: the curation step AFTER clustering — one
+# survivor per near-dup cluster (longest text wins, doc_id tie-break),
+# everything else becomes the kill list. This is the frame a production
+# dedup pipeline actually joins back against the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8),
+    cc_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cc_nodes AS (SELECT a AS n FROM cc_edges UNION SELECT b FROM cc_edges),
+    reach(s, d) AS (
+      SELECT n, n FROM cc_nodes
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN cc_edges e ON r.d = e.a
+    ),
+    clusters AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rk
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, rk = 1 AS keep FROM ranked
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per clustered document: connected components
+    over the near-dup pair graph, then ONE canonical survivor per
+    cluster — longest text, doc_id tie-break (the "keep longest"
+    heuristic most corpus dedups use; swap the ORDER BY for a quality
+    score to change policy). ``keep=false`` rows are the kill list an
+    anti-join applies to the corpus.
+
+    Scale: the clustered frame is tiny relative to the corpus (only
+    docs that had a near-dup pair), so the ranking window shuffles a
+    frame orders of magnitude smaller than the input; the length
+    lookup is a broadcast-size join back to documents at this frame
+    size and an equi-join at corpus scale."""
+    from stonkwhisperer_spark.operators.dedup import connected_components
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    pairs = jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("_len").desc(), F.col("doc_id"))
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("keep", rk == 1)
+        .select("doc_id", "cluster_id", "keep")
+    )

@@ -626,3 +626,74 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g",
         "mean_b",
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition (C4/Gopher-style quality rule): repeated
+# trigram + repeated word fractions. Boilerplate, keyboard-mash, and
+# template spam score high; the downstream filter thresholds on these.
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    t AS (
+      SELECT doc_id, words, len(words) AS n_words,
+             CASE WHEN len(words) >= 3 THEN
+               [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                FOR i IN generate_series(1, len(words) - 2)]
+             ELSE [] END AS tg
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)                AS n_words,
+           CAST(len(tg) AS BIGINT)                AS n_trigrams,
+           CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+           CASE WHEN len(tg) > 0
+                THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                ELSE 0.0 END                      AS dup_trigram_frac,
+           CASE WHEN n_words > 0
+                THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words
+                ELSE 0.0 END                      AS dup_word_frac
+    FROM t
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the C4/Gopher repetition rules):
+    fraction of duplicate trigrams and duplicate words. All JVM array
+    expressions — split → sequence/transform trigram build →
+    array_distinct — one map-only pass, no shuffle, no Python; the
+    interpreted higher-order lambdas are amortized by spread() like the
+    other text scorers. Both engines compute the ratios as
+    double(distinct)/count so the value hash cannot drift.
+
+    Scale: embarrassingly parallel scan; at 100 TB this composes into
+    quality_filter's cascade as one more codegen'd projection."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = docs.withColumn("words", F.split("text", " "))
+    t = w.withColumn(
+        "tg",
+        F.expr(
+            "CASE WHEN size(words) >= 3 THEN"
+            " transform(sequence(1, size(words) - 2),"
+            "  i -> concat_ws(' ', element_at(words, i),"
+            "   element_at(words, i + 1), element_at(words, i + 2)))"
+            " ELSE array() END"
+        ),
+    )
+    n_tg, n_w = F.size("tg"), F.size("words")
+    d_tg, d_w = F.size(F.array_distinct("tg")), F.size(F.array_distinct("words"))
+    return t.select(
+        "doc_id",
+        n_w.cast("bigint").alias("n_words"),
+        n_tg.cast("bigint").alias("n_trigrams"),
+        d_tg.cast("bigint").alias("n_distinct_trigrams"),
+        F.when(n_tg > 0, F.lit(1.0) - d_tg.cast("double") / n_tg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+        F.when(n_w > 0, F.lit(1.0) - d_w.cast("double") / n_w)
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )

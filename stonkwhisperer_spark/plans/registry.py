@@ -74,6 +74,9 @@ _GATE_ORDER: list[str] = [
     # -- new in round 5: hash-checked CDC rows for the txlog family --
     "txlog_cdc_replay",
     "txlog_stream_cdc",
+    "bucketed_order_lineitem_join",
+    "doc_repetition",
+    "dedup_canonical",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -115,9 +118,6 @@ _GATE_ORDER: list[str] = [
     "posts_clean",
     "posts_link_articles",
     "pricing_summary",
-    "region_revenue",
-    "simhash_signatures",
-    "topk_newest_events",
 ]
 
 

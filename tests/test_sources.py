@@ -192,3 +192,41 @@ def test_extract_article_text_pure():
         "<div>A &lt;tagged&gt; story.</div>\n\n<p>Second   para.</p></body></html>"
     )
     assert extract_article_text(html_doc) == "A <tagged> story. Second para."
+
+
+def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
+    """The txlog streaming source's control plane: offsets are commit
+    versions, partitions cover exactly the files the polled commits
+    added (compaction rewrites excluded), and the executor read yields
+    Arrow batches tagged with the originating commit."""
+    from stonkwhisperer_spark.sinks.writers import compact, merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        VERSION_COL,
+        _table_schema,
+        _TxlogStreamReader,
+    )
+
+    target = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    b2 = spark.createDataFrame([(3, "c")], "k long, s string")
+    merge_append(spark, target, b1, ["k"])  # v1
+    merge_append(spark, target, b2, ["k"])  # v2
+    assert compact(spark, target) > 0       # v3 — must stay invisible
+
+    schema = _table_schema(target)
+    assert [f.name for f in schema.fields] == ["k", "s"]
+    reader = _TxlogStreamReader(schema, {"path": target, "startingVersion": "1"})
+    assert reader.initialOffset() == {"version": 1}
+    assert reader.latestOffset() == {"version": 3}
+
+    parts = reader.partitions({"version": 1}, {"version": 3})
+    assert parts and all(p.version == 2 for p in parts)
+
+    rows = []
+    for p in parts:
+        for rb in reader.read(p):
+            rows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["s"], r[VERSION_COL]) for r in rows) == [(3, "c", 2)]
+
+    # Nothing new past the latest offset.
+    assert reader.partitions({"version": 3}, {"version": 3}) == []
