@@ -887,3 +887,58 @@ def q_txlog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         " loser_inserted bigint, pre_compact_version int, files_before int,"
         " files_after int, files_replaced int, cdc_rows bigint, vacuumed int",
     )
+
+
+# --------------------------------------------------------------------------
+# txlog_skipping — zone-map data skipping on the transaction log under
+# the value hash: range reads open only the files whose commit-time
+# min/max stats admit the predicate, asserted in-query.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_skipping",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= 250 AND doc_id < 350
+    """,
+)
+def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping on the K2 table format: five merges commit five
+    disjoint doc_id ranges ([0,100) ... [400,500)), each commit
+    recording per-file min/max zone maps from the parquet footers it
+    just wrote; ``read_committed_pruned`` then serves
+    ``doc_id BETWEEN 250 AND 349`` by opening ONLY the files whose
+    stats intersect the range. The query raises unless pruning actually
+    skipped files (files_read < files_total), and the surviving rows
+    are hash-compared against DuckDB recomputing the range from the
+    seed table — so both the pruning DECISION and the result are gated.
+
+    Scale: the skip decision is driver-side manifest metadata — at
+    100 TB a selective range touches O(selected) files before any task
+    is scheduled, the same mechanism as Delta/Iceberg file skipping."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed_pruned
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_skip_")
+    try:
+        target = f"{scratch}/t"
+        for lo in range(0, 500, 100):
+            merge_append(
+                spark,
+                target,
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)),
+                ["doc_id"],
+            )
+        pruned, n_read, n_total = read_committed_pruned(
+            spark, target, "doc_id", 250, 349
+        )
+        if not n_read < n_total:
+            raise AssertionError(
+                f"zone maps pruned nothing: read {n_read} of {n_total} files"
+            )
+        rows = pruned.select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")

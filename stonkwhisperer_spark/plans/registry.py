@@ -77,6 +77,7 @@ _GATE_ORDER: list[str] = [
     "bucketed_order_lineitem_join",
     "doc_repetition",
     "dedup_canonical",
+    "txlog_skipping",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -117,7 +118,6 @@ _GATE_ORDER: list[str] = [
     "orders_monthly",
     "posts_clean",
     "posts_link_articles",
-    "pricing_summary",
 ]
 
 

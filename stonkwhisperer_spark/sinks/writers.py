@@ -144,6 +144,7 @@ def _try_commit(
     n: int,
     remove: list[str] | None = None,
     compaction: bool = False,
+    stats: dict[str, dict] | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -159,6 +160,8 @@ def _try_commit(
         body["remove"] = remove
     if compaction:
         body["compaction"] = True
+    if stats:
+        body["stats"] = stats
     with os.fdopen(fd, "w") as fh:
         json.dump(body, fh)
         fh.flush()
@@ -205,6 +208,98 @@ def _staged_row_count(target_path: str, staged: list[str]) -> int:
         pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows
         for rel in staged
     )
+
+
+def _collect_stats(target_path: str, staged: list[str]) -> dict[str, dict]:
+    """Per-file zone maps from the parquet footers the writer just
+    produced: {rel_path: {column: [min, max]}} for int/float/string
+    leaf columns. Read cost is the same footer range already fetched
+    for the row count — no data pages. Columns without parquet
+    statistics (or with exotic types) are simply absent, which readers
+    treat as unprunable (safe)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in staged:
+        md = pq.ParquetFile(os.path.join(target_path, rel)).metadata
+        cols: dict[str, list] = {}
+        for rg_idx in range(md.num_row_groups):
+            rg = md.row_group(rg_idx)
+            for c_idx in range(rg.num_columns):
+                col = rg.column(c_idx)
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                except Exception:  # noqa: BLE001 — pyarrow raises on
+                    continue  # types it can't extract stats for (arrays…)
+                if not isinstance(lo, (int, float, str)) or not isinstance(
+                    hi, (int, float, str)
+                ):
+                    continue
+                name = col.path_in_schema
+                if name in cols:
+                    cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                else:
+                    cols[name] = [lo, hi]
+        if cols:
+            out[rel] = cols
+    return out
+
+
+def file_stats(target_path: str, version: int | None = None) -> dict[str, dict]:
+    """Zone maps of the committed file view: {rel_path: {col: [min,
+    max]}}, add/remove applied in version order. Files committed before
+    stats existed (or via legacy adoption) are absent — unprunable."""
+    stats: dict[str, dict] = {}
+    for c in _commits(target_path, version):
+        for rel in c.get("remove", []):
+            stats.pop(rel, None)
+        stats.update(c.get("stats", {}))
+    return stats
+
+
+def read_committed_pruned(
+    spark: SparkSession,
+    target_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """Data-skipping read: the committed view restricted to
+    ``col BETWEEN lo AND hi``, opening ONLY the files whose commit-time
+    zone map intersects the range (files without stats are kept —
+    pruning is an optimization, never a correctness device). Returns
+    (frame, files_read, files_total); the residual BETWEEN filter still
+    applies row-level inside the kept files.
+
+    This is the txlog's answer to Delta/Iceberg file skipping: at
+    100 TB a selective range predicate touches the handful of files
+    whose footer stats admit it — O(selected data), not O(table) —
+    and the decision happens driver-side on manifest metadata, before
+    any task is scheduled."""
+    files = committed_files(target_path, version)
+    if not files:
+        return None, 0, 0
+    stats = file_stats(target_path, version)
+    kept = [
+        f
+        for f in files
+        if col not in stats.get(f, {})
+        or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+    ]
+    if not kept:
+        # Valid empty result with the right schema: scan one file, keep
+        # nothing (the predicate excluded every zone).
+        kept = files[:1]
+    df = (
+        spark.read.option("basePath", target_path)
+        .parquet(*[os.path.join(target_path, f) for f in kept])
+        .filter(F.col(col).between(lo, hi))
+    )
+    return df, len(kept), len(files)
 
 
 def read_committed(
@@ -314,7 +409,13 @@ def compact(
             snapshot.coalesce(n_parts), target_path, partition_cols
         )
         if _try_commit(
-            target_path, version + 1, staged, 0, remove=old, compaction=True
+            target_path,
+            version + 1,
+            staged,
+            0,
+            remove=old,
+            compaction=True,
+            stats=_collect_stats(target_path, staged),
         ):
             return len(old)
         for rel in staged:
@@ -409,7 +510,13 @@ def merge_append(
             _pre_commit_hook()
         # Adopt legacy files into the log so later committed-view reads
         # and vacuums account for them.
-        if _try_commit(target_path, version + 1, legacy + staged, n):
+        if _try_commit(
+            target_path,
+            version + 1,
+            legacy + staged,
+            n,
+            stats=_collect_stats(target_path, staged),
+        ):
             return n
         # Lost the race: another writer committed this version. Remove
         # our staged files (they may now contain duplicate keys) and

@@ -315,3 +315,39 @@ def test_compact_swaps_files_atomically(spark, tmp_path):
     assert merge_append(spark, target, again, ["k"]) == 1
     assert read_committed(spark, target).count() == 5
     assert _os.path.isdir(target)
+
+
+def test_txlog_zone_map_skipping(spark, tmp_path):
+    """Commits record per-file min/max zone maps; read_committed_pruned
+    opens only intersecting files, keeps stats-less files (safe), and
+    returns exact rows. Compaction rewrites carry fresh stats."""
+    from stonkwhisperer_spark.sinks.writers import (
+        compact,
+        file_stats,
+        merge_append,
+        read_committed_pruned,
+    )
+
+    target = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        batch = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        merge_append(spark, target, batch, ["k"])
+
+    stats = file_stats(target)
+    assert stats, "no zone maps recorded"
+    assert all("k" in s for s in stats.values())
+
+    df, n_read, n_total = read_committed_pruned(spark, target, "k", 150, 160)
+    assert n_read < n_total
+    assert sorted(r.k for r in df.collect()) == list(range(150, 161))
+
+    # Out-of-range predicate: zero matching zones, empty exact result.
+    empty, _, _ = read_committed_pruned(spark, target, "k", 5000, 6000)
+    assert empty.count() == 0
+
+    # Compaction rewrites keep the table prunable.
+    assert compact(spark, target) > 0
+    df2, n_read2, n_total2 = read_committed_pruned(spark, target, "k", 150, 160)
+    assert sorted(r.k for r in df2.collect()) == list(range(150, 161))
