@@ -942,3 +942,64 @@ def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
+# txlog_schema_evolution — additive schema evolution on the table format
+# under the value hash: a later merge adds a column; the committed read
+# resolves the union schema FROM THE LOG and null-fills older files.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_schema_evolution",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN doc_id >= 50 THEN lang END AS lang
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: commit 1 merges (doc_id, source),
+    commit 2 merges (doc_id, source, lang) — each commit records its
+    writer schema in the manifest, and ``read_committed`` reads under
+    the log's UNION schema, so commit-1 rows surface lang=NULL without
+    any per-file footer merge (the mergeSchema-option scan Delta also
+    avoids by logging schemas). The DuckDB twin recomputes exactly that
+    relation from the seed table; a reader that inferred schema from
+    the wrong file (dropping lang) or leaked non-null lang into old
+    rows hash-fails.
+
+    Scale: schema resolution is O(#commits) driver-side manifest
+    metadata — no footer round-trip per file, which at 100 TB is the
+    difference between instant and a listing-wide metadata storm."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_evo_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 50).select("doc_id", "source"),
+            ["doc_id"],
+        )
+        merge_append(
+            spark,
+            target,
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+                "doc_id", "source", "lang"
+            ),
+            ["doc_id"],
+        )
+        snap = read_committed(spark, target)
+        if set(snap.columns) != {"doc_id", "source", "lang"}:
+            raise AssertionError(f"union schema not resolved: {snap.columns}")
+        rows = snap.select("doc_id", "source", "lang").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string"
+    )

@@ -78,6 +78,7 @@ _GATE_ORDER: list[str] = [
     "doc_repetition",
     "dedup_canonical",
     "txlog_skipping",
+    "txlog_schema_evolution",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -112,7 +113,6 @@ _GATE_ORDER: list[str] = [
     "near_dup_jaccard",
     "new_urls_anti",
     "news_clean",
-    "ohlcv_1min",
     "order_deciles",
     "order_price_quantiles",
     "orders_monthly",

@@ -145,6 +145,7 @@ def _try_commit(
     remove: list[str] | None = None,
     compaction: bool = False,
     stats: dict[str, dict] | None = None,
+    schema: str | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -162,6 +163,8 @@ def _try_commit(
         body["compaction"] = True
     if stats:
         body["stats"] = stats
+    if schema is not None:
+        body["schema"] = schema
     with os.fdopen(fd, "w") as fh:
         json.dump(body, fh)
         fh.flush()
@@ -248,6 +251,34 @@ def _collect_stats(target_path: str, staged: list[str]) -> dict[str, dict]:
     return out
 
 
+def table_schema(target_path: str, version: int | None = None):
+    """The table's evolved schema: the union of every commit's recorded
+    writer schema in version order — additive evolution only (an
+    insert-only log never narrows; a field re-declared with a DIFFERENT
+    type raises rather than silently widening, Delta's
+    default-off autoMerge stance). Returns None when no commit recorded
+    a schema (pre-evolution tables read with file-inferred schemas)."""
+    from pyspark.sql.types import StructType
+
+    merged: list = []
+    seen: dict[str, str] = {}
+    for c in _commits(target_path, version):
+        if "schema" not in c:
+            continue
+        for f in StructType.fromJson(json.loads(c["schema"])).fields:
+            sig = f.dataType.json()
+            if f.name in seen:
+                if seen[f.name] != sig:
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}' at "
+                        f"{target_path}: {seen[f.name]} vs {sig}"
+                    )
+                continue
+            seen[f.name] = sig
+            merged.append(f)
+    return StructType(merged) if merged else None
+
+
 def file_stats(target_path: str, version: int | None = None) -> dict[str, dict]:
     """Zone maps of the committed file view: {rel_path: {col: [min,
     max]}}, add/remove applied in version order. Files committed before
@@ -310,14 +341,21 @@ def read_committed(
     Pass ``version`` for time travel (the snapshot as of that commit;
     earlier files must not have been vacuumed yet, same rule as Delta's
     retention window). ``basePath`` keeps partition-directory columns
-    recoverable."""
+    recoverable.
+
+    Schema comes from the LOG when commits recorded one (the union of
+    writer schemas — additive evolution): files written before a column
+    existed null-fill it, and no footer round-trip per file is needed
+    (the mergeSchema-option cost Delta also avoids by logging schemas).
+    """
     files = committed_files(target_path, version)
     if not files:
         return None
-    return (
-        spark.read.option("basePath", target_path)
-        .parquet(*[os.path.join(target_path, f) for f in files])
-    )
+    reader = spark.read.option("basePath", target_path)
+    evolved = table_schema(target_path, version)
+    if evolved is not None:
+        reader = reader.schema(evolved)
+    return reader.parquet(*[os.path.join(target_path, f) for f in files])
 
 
 def table_changes(
@@ -363,7 +401,9 @@ def table_changes(
         return None
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: commits on either side of an additive
+        # schema evolution union cleanly (older rows null-fill).
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -400,10 +440,16 @@ def compact(
         )
         n_parts = max(1, int(total // target_bytes) + (1 if total % target_bytes else 0))
         # Partitioned tables must re-write under partitionBy (pass the
-        # table's partition_cols) or the layout flattens.
-        snapshot = (
-            spark.read.option("basePath", target_path)
-            .parquet(*[os.path.join(target_path, f) for f in old])
+        # table's partition_cols) or the layout flattens. The snapshot
+        # reads under the log's evolved schema so a compaction of a
+        # schema-evolved table rewrites the UNION schema (null-filled),
+        # not whichever file schema inference happened to pick.
+        snapshot_reader = spark.read.option("basePath", target_path)
+        evolved = table_schema(target_path)
+        if evolved is not None:
+            snapshot_reader = snapshot_reader.schema(evolved)
+        snapshot = snapshot_reader.parquet(
+            *[os.path.join(target_path, f) for f in old]
         )
         staged = _stage_files(
             snapshot.coalesce(n_parts), target_path, partition_cols
@@ -477,6 +523,21 @@ def merge_append(
         # reads makes the file list a superset of the version — the CAS
         # then fails and we retry; the anti-join is never under-informed.
         version = _committed_version(target_path)
+        # Write-side schema validation (Delta's stance): NEW columns are
+        # additive evolution and commit fine; a column re-declared with
+        # a different type fails the WRITER, not some later reader.
+        # Re-checked per retry attempt — the schema may have evolved
+        # under a concurrent winner.
+        declared = table_schema(target_path)
+        if declared is not None:
+            types = {f.name: f.dataType.json() for f in declared.fields}
+            for f in batch.schema.fields:
+                if f.name in types and types[f.name] != f.dataType.json():
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}' at "
+                        f"{target_path}: table has {types[f.name]}, "
+                        f"batch has {f.dataType.json()}"
+                    )
         committed = committed_files(target_path)
         legacy: list[str] = []
         if not committed:
@@ -516,6 +577,7 @@ def merge_append(
             legacy + staged,
             n,
             stats=_collect_stats(target_path, staged),
+            schema=json.dumps(new_rows.schema.jsonValue()),
         ):
             return n
         # Lost the race: another writer committed this version. Remove

@@ -351,3 +351,49 @@ def test_txlog_zone_map_skipping(spark, tmp_path):
     assert compact(spark, target) > 0
     df2, n_read2, n_total2 = read_committed_pruned(spark, target, "k", 150, 160)
     assert sorted(r.k for r in df2.collect()) == list(range(150, 161))
+
+
+def test_txlog_schema_evolution(spark, tmp_path):
+    """Commits record writer schemas; reads resolve the additive union
+    from the log (old files null-fill new columns), compaction rewrites
+    under the union schema, and a type CONFLICT raises instead of
+    silently widening."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        compact,
+        merge_append,
+        read_committed,
+        table_schema,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark, target, spark.createDataFrame([("k1", 1)], "k string, v int"), ["k"]
+    )
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([("k2", 2, "x")], "k string, v int, w string"),
+        ["k"],
+    )
+    assert [f.name for f in table_schema(target).fields] == ["k", "v", "w"]
+    snap = read_committed(spark, target)
+    got = {r.k: (r.v, r.w) for r in snap.collect()}
+    assert got == {"k1": (1, None), "k2": (2, "x")}
+
+    # Compaction must preserve the union schema and contents.
+    assert compact(spark, target) > 0
+    snap2 = read_committed(spark, target)
+    assert {r.k: (r.v, r.w) for r in snap2.collect()} == got
+
+    # Additive only: re-declaring v with another type fails the WRITER
+    # (Delta's stance) — the log never records the conflict.
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([("k3", "oops")], "k string, v string"),
+            ["k"],
+        )
+    assert [f.name for f in table_schema(target).fields] == ["k", "v", "w"]
