@@ -414,6 +414,7 @@ def compact(
     target_bytes: int = 128 * 1024 * 1024,
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
+    cluster_by: Sequence[str] | None = None,
 ) -> int:
     """Small-file compaction (Delta OPTIMIZE analog): rewrite the
     committed files into ~``target_bytes`` parts and commit the swap as
@@ -422,6 +423,13 @@ def compact(
     The replaced files stay on disk for older-version readers until
     ``vacuum_orphans`` reclaims them (the retention-window trade).
 
+    ``cluster_by`` is OPTIMIZE ZORDER's single-dimension analog: the
+    rewrite range-partitions + sorts on the given columns, so each
+    output file covers a narrow value range and the commit's zone maps
+    (``stats``) become maximally selective — ingestion-ordered files
+    answer a range predicate by reading everything, clustered files by
+    reading one or two (see test_compact_cluster_by_tightens_zone_maps).
+
     Merge-writers racing the compactor are safe: both CAS the same
     version sequence, the loser recomputes. Returns the number of files
     replaced (0 = nothing to do).
@@ -429,7 +437,8 @@ def compact(
     At 100 TB this is THE operational lever against the small-file
     problem streaming ingest creates: per-micro-batch commits make many
     small parts; periodic compaction restores scan efficiency without
-    pausing ingest."""
+    pausing ingest — and clustered compaction is the background job
+    that turns an append-ordered table into a range-skippable one."""
     for _ in range(max_retries):
         version = _committed_version(target_path)
         old = committed_files(target_path)
@@ -451,9 +460,15 @@ def compact(
         snapshot = snapshot_reader.parquet(
             *[os.path.join(target_path, f) for f in old]
         )
-        staged = _stage_files(
-            snapshot.coalesce(n_parts), target_path, partition_cols
-        )
+        if cluster_by:
+            # repartitionByRange + sortWithinPartitions = disjoint,
+            # internally-ordered value ranges per output file.
+            arranged = snapshot.repartitionByRange(
+                n_parts, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            arranged = snapshot.coalesce(n_parts)
+        staged = _stage_files(arranged, target_path, partition_cols)
         if _try_commit(
             target_path,
             version + 1,

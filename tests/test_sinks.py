@@ -397,3 +397,37 @@ def test_txlog_schema_evolution(spark, tmp_path):
             ["k"],
         )
     assert [f.name for f in table_schema(target).fields] == ["k", "v", "w"]
+
+
+def test_compact_cluster_by_tightens_zone_maps(spark, tmp_path):
+    """Clustered compaction (OPTIMIZE ZORDER's 1-D analog): after
+    interleaved-key commits, compact(cluster_by=['k']) rewrites into
+    disjoint sorted ranges, so a range read prunes to a strict subset
+    of files — where the unclustered layout had to read every file."""
+    from stonkwhisperer_spark.sinks.writers import (
+        compact,
+        merge_append,
+        read_committed_pruned,
+    )
+
+    target = str(tmp_path / "t")
+    # Three commits whose key ranges all INTERLEAVE (k % 3 stripes),
+    # one file each — every file's zone map spans nearly the full
+    # domain, so range predicates can prune nothing.
+    for stripe in range(3):
+        batch = spark.range(300).filter(F.col("id") % 3 == stripe).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        merge_append(spark, target, batch, ["k"])
+
+    _, n_read_before, n_total_before = read_committed_pruned(
+        spark, target, "k", 10, 20
+    )
+    assert n_read_before == n_total_before  # interleaved: nothing prunable
+
+    # Small target_bytes forces multiple output files so clustering has
+    # something to separate.
+    assert compact(spark, target, target_bytes=2048, cluster_by=["k"]) > 0
+    df, n_read, n_total = read_committed_pruned(spark, target, "k", 10, 20)
+    assert n_total > 1 and n_read < n_total
+    assert sorted(r.k for r in df.collect()) == list(range(10, 21))
