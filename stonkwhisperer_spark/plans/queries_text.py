@@ -697,3 +697,63 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_word_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature sampling: DATA-DEPENDENT mixture rates — downsample
+# common languages toward balance (T=0.5), rates derived from corpus
+# counts rather than the fixed literals of mixture_sample.
+# --------------------------------------------------------------------------
+@register(
+    "temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM c),
+    t AS (
+      SELECT lang,
+             CAST(floor(10000 * sqrt(CAST(mn AS DOUBLE) / n)) AS BIGINT)
+               AS keep_threshold
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, t.keep_threshold
+    FROM documents d JOIN t USING (lang)
+    WHERE {portable_hash64_sql("'tmix|' || cast(doc_id AS varchar)")} % 10000
+          < t.keep_threshold
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture sampling with rates DERIVED FROM THE
+    DATA: per-language keep rate sqrt(n_min/n_lang), so the rarest
+    language keeps 100% and common ones downsample toward balance —
+    the UNIMAX/temperature-resampling shape of multilingual training
+    mixes. Selection stays a keyed-hash threshold (same discipline as
+    mixture_sample): deterministic across engines, re-ingestions, and
+    repartitioning. Cross-engine double discipline: n_min/n is one IEEE
+    division, sqrt is correctly rounded, floor(×10000) pins the
+    threshold to an integer — both engines compute the identical
+    BIGINT, so the hash compare cannot drift.
+
+    Scale: phase 1 is a 5-key partial-aggregated count (map-side
+    combine, tiny exchange); phase 2 broadcasts the 5-row rate table
+    back and filters map-only — the corpus is touched twice, shuffled
+    never."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("mn"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.lit(10000)
+            * F.sqrt(F.col("mn").cast("double") / F.col("n"))
+        ).cast("bigint").alias("keep_threshold"),
+    )
+    bucket = portable_hash64(
+        F.concat(F.lit("tmix|"), F.col("doc_id").cast("string"))
+    ) % 10000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_threshold"))
+        .select("doc_id", "lang", "keep_threshold")
+    )

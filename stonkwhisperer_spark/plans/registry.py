@@ -79,6 +79,7 @@ _GATE_ORDER: list[str] = [
     "dedup_canonical",
     "txlog_skipping",
     "txlog_schema_evolution",
+    "temperature_mixture",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -114,7 +115,6 @@ _GATE_ORDER: list[str] = [
     "new_urls_anti",
     "news_clean",
     "order_deciles",
-    "order_price_quantiles",
     "orders_monthly",
     "posts_clean",
     "posts_link_articles",
