@@ -125,16 +125,66 @@ def _commits(target_path: str, through_version: int | None = None) -> list[dict]
     return out
 
 
-def committed_files(target_path: str, version: int | None = None) -> list[str]:
-    """The committed file view — adds minus removes applied in version
-    order (excludes files staged by an in-flight or crashed writer).
-    Pass ``version`` to time-travel to an earlier snapshot."""
+def _files_from(commits: list[dict]) -> list[str]:
     files: list[str] = []
-    for c in _commits(target_path, version):
+    for c in commits:
         for rel in c.get("remove", []):
             files.remove(rel)
         files.extend(c["add"])
     return files
+
+
+def _stats_from(commits: list[dict]) -> dict[str, dict]:
+    stats: dict[str, dict] = {}
+    for c in commits:
+        for rel in c.get("remove", []):
+            stats.pop(rel, None)
+        stats.update(c.get("stats", {}))
+    return stats
+
+
+def _union_structs(structs):
+    """Additive union of StructTypes in order; a field re-declared with
+    a different type raises. None for an empty union."""
+    from pyspark.sql.types import StructType
+
+    merged: list = []
+    seen: dict[str, str] = {}
+    for s in structs:
+        for f in s.fields:
+            sig = f.dataType.json()
+            if f.name in seen:
+                if seen[f.name] != sig:
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}': "
+                        f"{seen[f.name]} vs {sig}"
+                    )
+                continue
+            seen[f.name] = sig
+            merged.append(f)
+    return StructType(merged) if merged else None
+
+
+def _schema_from(commits: list[dict]):
+    """Union of the commits' recorded writer schemas in version order
+    (additive evolution; type conflict raises) — None when no commit
+    recorded one. See :func:`table_schema`."""
+    from pyspark.sql.types import StructType
+
+    return _union_structs(
+        [
+            StructType.fromJson(json.loads(c["schema"]))
+            for c in commits
+            if "schema" in c
+        ]
+    )
+
+
+def committed_files(target_path: str, version: int | None = None) -> list[str]:
+    """The committed file view — adds minus removes applied in version
+    order (excludes files staged by an in-flight or crashed writer).
+    Pass ``version`` to time-travel to an earlier snapshot."""
+    return _files_from(_commits(target_path, version))
 
 
 def _try_commit(
@@ -258,37 +308,14 @@ def table_schema(target_path: str, version: int | None = None):
     type raises rather than silently widening, Delta's
     default-off autoMerge stance). Returns None when no commit recorded
     a schema (pre-evolution tables read with file-inferred schemas)."""
-    from pyspark.sql.types import StructType
-
-    merged: list = []
-    seen: dict[str, str] = {}
-    for c in _commits(target_path, version):
-        if "schema" not in c:
-            continue
-        for f in StructType.fromJson(json.loads(c["schema"])).fields:
-            sig = f.dataType.json()
-            if f.name in seen:
-                if seen[f.name] != sig:
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}' at "
-                        f"{target_path}: {seen[f.name]} vs {sig}"
-                    )
-                continue
-            seen[f.name] = sig
-            merged.append(f)
-    return StructType(merged) if merged else None
+    return _schema_from(_commits(target_path, version))
 
 
 def file_stats(target_path: str, version: int | None = None) -> dict[str, dict]:
     """Zone maps of the committed file view: {rel_path: {col: [min,
     max]}}, add/remove applied in version order. Files committed before
     stats existed (or via legacy adoption) are absent — unprunable."""
-    stats: dict[str, dict] = {}
-    for c in _commits(target_path, version):
-        for rel in c.get("remove", []):
-            stats.pop(rel, None)
-        stats.update(c.get("stats", {}))
-    return stats
+    return _stats_from(_commits(target_path, version))
 
 
 def read_committed_pruned(
@@ -310,11 +337,15 @@ def read_committed_pruned(
     100 TB a selective range predicate touches the handful of files
     whose footer stats admit it — O(selected data), not O(table) —
     and the decision happens driver-side on manifest metadata, before
-    any task is scheduled."""
-    files = committed_files(target_path, version)
+    any task is scheduled. ONE log parse serves files, zone maps, and
+    the evolved union schema (so a pruned read of a schema-evolved
+    table sees the same columns as read_committed — evolved columns
+    null-fill, and pruning ON an evolved column works)."""
+    commits = _commits(target_path, version)
+    files = _files_from(commits)
     if not files:
         return None, 0, 0
-    stats = file_stats(target_path, version)
+    stats = _stats_from(commits)
     kept = [
         f
         for f in files
@@ -325,11 +356,13 @@ def read_committed_pruned(
         # Valid empty result with the right schema: scan one file, keep
         # nothing (the predicate excluded every zone).
         kept = files[:1]
-    df = (
-        spark.read.option("basePath", target_path)
-        .parquet(*[os.path.join(target_path, f) for f in kept])
-        .filter(F.col(col).between(lo, hi))
-    )
+    reader = spark.read.option("basePath", target_path)
+    evolved = _schema_from(commits)
+    if evolved is not None:
+        reader = reader.schema(evolved)
+    df = reader.parquet(
+        *[os.path.join(target_path, f) for f in kept]
+    ).filter(F.col(col).between(lo, hi))
     return df, len(kept), len(files)
 
 
@@ -348,11 +381,12 @@ def read_committed(
     existed null-fill it, and no footer round-trip per file is needed
     (the mergeSchema-option cost Delta also avoids by logging schemas).
     """
-    files = committed_files(target_path, version)
+    commits = _commits(target_path, version)
+    files = _files_from(commits)
     if not files:
         return None
     reader = spark.read.option("basePath", target_path)
-    evolved = table_schema(target_path, version)
+    evolved = _schema_from(commits)
     if evolved is not None:
         reader = reader.schema(evolved)
     return reader.parquet(*[os.path.join(target_path, f) for f in files])
@@ -375,24 +409,30 @@ def table_changes(
     ``with_version=True`` tags every row with its originating commit as
     ``_commit_version`` (Delta CDF's column of the same name) — one scan
     node per commit unioned together, bounded by the polled version
-    delta, so consumers can attribute rows to commits."""
+    delta, so consumers can attribute rows to commits.
+
+    Both branches read under the log's evolved union schema when
+    recorded, so a feed spanning a schema-evolution boundary delivers
+    the current table schema with older rows null-filled — never the
+    schema of whichever file inference happened to open first."""
+    commits = _commits(target_path)
+    evolved = _schema_from(commits)
+    reader = spark.read.option("basePath", target_path)
+    if evolved is not None:
+        reader = reader.schema(evolved)
     if not with_version:
         files: list[str] = []
-        for c in _commits(target_path):
+        for c in commits:
             if c["version"] > from_version and not c.get("compaction"):
                 files.extend(c["add"])
         if not files:
             return None
-        return (
-            spark.read.option("basePath", target_path)
-            .parquet(*[os.path.join(target_path, f) for f in files])
-        )
+        return reader.parquet(*[os.path.join(target_path, f) for f in files])
     parts: list[DataFrame] = []
-    for c in _commits(target_path):
+    for c in commits:
         if c["version"] > from_version and not c.get("compaction") and c["add"]:
             parts.append(
-                spark.read.option("basePath", target_path)
-                .parquet(*[os.path.join(target_path, f) for f in c["add"]])
+                reader.parquet(*[os.path.join(target_path, f) for f in c["add"]])
                 .withColumn(
                     "_commit_version", F.lit(c["version"]).cast("bigint")
                 )
@@ -440,8 +480,9 @@ def compact(
     pausing ingest — and clustered compaction is the background job
     that turns an append-ordered table into a range-skippable one."""
     for _ in range(max_retries):
-        version = _committed_version(target_path)
-        old = committed_files(target_path)
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        old = _files_from(commits)
         if len(old) < min_files:
             return 0
         total = sum(
@@ -454,7 +495,7 @@ def compact(
         # schema-evolved table rewrites the UNION schema (null-filled),
         # not whichever file schema inference happened to pick.
         snapshot_reader = spark.read.option("basePath", target_path)
-        evolved = table_schema(target_path)
+        evolved = _schema_from(commits)
         if evolved is not None:
             snapshot_reader = snapshot_reader.schema(evolved)
         snapshot = snapshot_reader.parquet(
@@ -534,16 +575,18 @@ def merge_append(
     """
     batch = batch.dropDuplicates(list(keys))
     for _ in range(max_retries):
-        # Version BEFORE manifests: a commit landing between the two
-        # reads makes the file list a superset of the version — the CAS
-        # then fails and we retry; the anti-join is never under-informed.
-        version = _committed_version(target_path)
+        # ONE log parse per attempt serves the version, the committed
+        # file view, and the declared schema — the CAS on version+1
+        # still catches any commit that lands after this snapshot (the
+        # anti-join is then recomputed on retry, never under-informed).
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
         # Write-side schema validation (Delta's stance): NEW columns are
         # additive evolution and commit fine; a column re-declared with
         # a different type fails the WRITER, not some later reader.
         # Re-checked per retry attempt — the schema may have evolved
         # under a concurrent winner.
-        declared = table_schema(target_path)
+        declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
             for f in batch.schema.fields:
@@ -553,16 +596,28 @@ def merge_append(
                         f"{target_path}: table has {types[f.name]}, "
                         f"batch has {f.dataType.json()}"
                     )
-        committed = committed_files(target_path)
+        committed = _files_from(commits)
         legacy: list[str] = []
         if not committed:
             legacy = _data_files(target_path)
         snapshot_files = committed or legacy
+        legacy_schema = None
         if snapshot_files:
             existing = (
                 spark.read.option("basePath", target_path)
                 .parquet(*[os.path.join(target_path, f) for f in snapshot_files])
             )
+            if legacy:
+                # Adoption must record the FULL legacy schema, not just
+                # the batch's — otherwise legacy-only columns become
+                # permanently invisible to the log-schema reads, and
+                # legacy/batch type conflicts dodge the writer check.
+                legacy_schema = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(target_path, f) for f in legacy])
+                    .schema
+                )
+                _union_structs([legacy_schema, batch.schema])  # conflict → raise
             if target_partition_filter is not None:
                 existing = existing.filter(target_partition_filter)
             new_rows = new_rows_anti(batch, existing, keys)
@@ -586,13 +641,18 @@ def merge_append(
             _pre_commit_hook()
         # Adopt legacy files into the log so later committed-view reads
         # and vacuums account for them.
+        commit_schema = (
+            _union_structs([legacy_schema, new_rows.schema])
+            if legacy_schema is not None
+            else new_rows.schema
+        )
         if _try_commit(
             target_path,
             version + 1,
             legacy + staged,
             n,
             stats=_collect_stats(target_path, staged),
-            schema=json.dumps(new_rows.schema.jsonValue()),
+            schema=json.dumps(commit_schema.jsonValue()),
         ):
             return n
         # Lost the race: another writer committed this version. Remove

@@ -55,12 +55,19 @@ class _FilePartition(InputPartition):
 
 
 def _table_schema(path: str) -> StructType:
-    """Spark schema of the committed table: read ONE committed file's
-    parquet footer (no Spark job, no full scan) and convert. The txlog
-    is insert-only, so every committed file shares the table schema."""
+    """Spark schema of the committed table: the LOG's evolved union
+    schema when commits recorded one (see writers.table_schema — the
+    authoritative source once schema evolution exists, and no footer
+    round-trip), else ONE committed file's parquet footer as the
+    pre-evolution fallback (no Spark job, no full scan)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    from stonkwhisperer_spark.sinks.writers import table_schema
+
+    evolved = table_schema(path)
+    if evolved is not None:
+        return evolved
     files = committed_files(path)
     if not files:
         raise ValueError(
@@ -73,12 +80,20 @@ def _table_schema(path: str) -> StructType:
 
 class _TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         opts = {k.lower(): v for k, v in options.items()}
         self._path = opts["path"]
         self._start = int(opts.get("startingversion", 0))
-        # Field order of the OUTPUT schema; the version column is
-        # appended by read(), the rest come from the parquet files.
-        self._fields = [f.name for f in schema.fields if f.name != VERSION_COL]
+        # Field order + arrow types of the OUTPUT schema; the version
+        # column is appended by read(), the rest come from the parquet
+        # files — files written before a schema evolution may lack some
+        # fields, which read() null-fills at these declared types.
+        data_schema = StructType(
+            [f for f in schema.fields if f.name != VERSION_COL]
+        )
+        self._fields = [f.name for f in data_schema.fields]
+        self._arrow_schema = to_arrow_schema(data_schema)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -97,13 +112,26 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition) -> Iterator:
         # Executor-side data plane: stream the file as Arrow batches,
-        # project to the declared field order, append the commit tag.
+        # project to the declared field order (null-filling fields the
+        # file predates — additive schema evolution), cast to the
+        # declared types, append the commit tag.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches(columns=self._fields):
-            arrays = [batch.column(name) for name in self._fields]
+        present = set(pf.schema_arrow.names)
+        want = [n for n in self._fields if n in present]
+        for batch in pf.iter_batches(columns=want):
+            arrays = []
+            for name in self._fields:
+                typ = self._arrow_schema.field(name).type
+                if name in present:
+                    arr = batch.column(name)
+                    if arr.type != typ:
+                        arr = arr.cast(typ)
+                    arrays.append(arr)
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, typ))
             arrays.append(pa.array([partition.version] * batch.num_rows, pa.int64()))
             yield pa.RecordBatch.from_arrays(arrays, self._fields + [VERSION_COL])
 

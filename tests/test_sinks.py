@@ -431,3 +431,70 @@ def test_compact_cluster_by_tightens_zone_maps(spark, tmp_path):
     df, n_read, n_total = read_committed_pruned(spark, target, "k", 10, 20)
     assert n_total > 1 and n_read < n_total
     assert sorted(r.k for r in df.collect()) == list(range(10, 21))
+
+
+def test_schema_evolution_covers_all_read_surfaces(spark, tmp_path):
+    """Every read surface resolves the log's union schema on an evolved
+    table: pruned reads, both table_changes branches, and pruning ON
+    the evolved column itself (regression: these inferred schemas from
+    an arbitrary file and nondeterministically dropped columns)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        read_committed_pruned,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(3, "c", 30)], "k long, s string, w long"),
+        ["k"],
+    )
+
+    pruned, _, _ = read_committed_pruned(spark, target, "k", 1, 3)
+    assert set(pruned.columns) == {"k", "s", "w"}
+    assert {r.k: r.w for r in pruned.collect()} == {1: None, 2: None, 3: 30}
+
+    # Pruning ON the evolved column: old files have no w stats (kept,
+    # null-filled, then row-filtered); result exact.
+    by_w, _, _ = read_committed_pruned(spark, target, "w", 30, 30)
+    assert [(r.k, r.w) for r in by_w.collect()] == [(3, 30)]
+
+    flat = table_changes(spark, target, from_version=0)
+    assert set(flat.columns) == {"k", "s", "w"}
+    assert flat.count() == 3
+    tagged = table_changes(spark, target, from_version=0, with_version=True)
+    assert {r.k: (r.w, r._commit_version) for r in tagged.collect()} == {
+        1: (None, 1),
+        2: (None, 1),
+        3: (30, 2),
+    }
+
+
+def test_legacy_adoption_preserves_legacy_columns(spark, tmp_path):
+    """Adopting a plain-parquet table records the legacy UNION batch
+    schema, so legacy-only columns stay visible to log-schema reads
+    (regression: only the batch schema was recorded, hiding them)."""
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 9.5)], "k long, s string, extra double"
+    ).coalesce(1).write.parquet(target)
+
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(2, "b")], "k long, s string"),
+        ["k"],
+    )
+    snap = read_committed(spark, target)
+    assert set(snap.columns) == {"k", "s", "extra"}
+    assert {r.k: r.extra for r in snap.collect()} == {1: 9.5, 2: None}

@@ -230,3 +230,39 @@ def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
 
     # Nothing new past the latest offset.
     assert reader.partitions({"version": 3}, {"version": 3}) == []
+
+
+def test_txlog_stream_reader_schema_evolution(spark, tmp_path):
+    """The streaming CDC source resolves the log's union schema and
+    null-fills fields a file predates, agreeing with the batch feed
+    (regression: footer-inferred schema from the oldest commit dropped
+    evolved columns; reading a declared-but-absent column crashed)."""
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        VERSION_COL,
+        _table_schema,
+        _TxlogStreamReader,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark, target, spark.createDataFrame([(1, "a")], "k long, s string"), ["k"]
+    )
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(2, "b", "en")], "k long, s string, lang string"),
+        ["k"],
+    )
+
+    schema = _table_schema(target)
+    assert [f.name for f in schema.fields] == ["k", "s", "lang"]
+    reader = _TxlogStreamReader(schema, {"path": target})
+    rows = []
+    for p in reader.partitions({"version": 0}, reader.latestOffset()):
+        for rb in reader.read(p):
+            rows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["lang"], r[VERSION_COL]) for r in rows) == [
+        (1, None, 1),
+        (2, "en", 2),
+    ]
