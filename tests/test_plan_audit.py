@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "top_supplier_revenue": 1,    # 1-row MAX threshold
     "purchase_funnel": 2,         # three 1-row stage counts cross-joined
     "click_buy_reconcile": 0,
+    "temperature_mixture": 1,     # 1-row MIN(lang count) into the rate table
 }
 
 
