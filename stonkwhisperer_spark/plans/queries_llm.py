@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.functions.hashing import (
+    portable_hash64,
     portable_hash64_sql,
     shingle_postings,
     shingles_sql,
@@ -598,4 +599,171 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(docs, "doc_id")
         .withColumn("keep", rk == 1)
         .select("doc_id", "cluster_id", "keep")
+    )
+
+
+# --------------------------------------------------------------------------
+# curation_e2e — the WHOLE training-data curation pipeline as ONE
+# declarative plan: quality gate → near-dup kill list → sequence
+# packing, each stage individually oracle-verified elsewhere
+# (quality_filter, dedup_canonical, pack_documents), composed here so
+# the driver hash-checks the system COMPOSING, not just the parts.
+# --------------------------------------------------------------------------
+_CUR_CTX = 2048
+_CUR_SHARDS = 8
+
+
+def _curation_oracle() -> str:
+    from stonkwhisperer_spark.functions.text import (
+        language_id_sql,
+        quality_signals_sql,
+    )
+
+    return _CURATION_ORACLE_TEMPLATE.format(
+        lang_pred=language_id_sql("text"),
+        n_tokens=quality_signals_sql("text")["n_tokens"],
+        shard_hash=portable_hash64_sql("'shard|' || cast(doc_id AS varchar)"),
+        order_hash=portable_hash64_sql("'order|' || cast(doc_id AS varchar)"),
+    )
+
+
+_CURATION_ORACLE_TEMPLATE = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8),
+    cc_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cc_nodes AS (SELECT a AS n FROM cc_edges UNION SELECT b FROM cc_edges),
+    reach(s, d) AS (
+      SELECT n, n FROM cc_nodes
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN cc_edges e ON r.d = e.a
+    ),
+    clusters AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+    kill AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)
+      ) WHERE rk > 1
+    ),
+    survivors AS (
+      SELECT doc_id,
+             {{lang_pred}}                            AS lang_pred,
+             {{n_tokens}}                             AS n_tokens
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM kill)
+        AND {{lang_pred}} = 'en'
+        AND {{n_tokens}} BETWEEN 20 AND 100000
+    ),
+    sized AS (
+      SELECT doc_id, lang_pred, n_tokens,
+             {{shard_hash}} % {_CUR_SHARDS}           AS shard,
+             {{order_hash}}                           AS shuffle_key
+      FROM survivors
+    ),
+    cum AS (
+      SELECT doc_id, lang_pred, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS tokens_before
+      FROM sized
+    )
+    SELECT doc_id, lang_pred, shard, n_tokens, tokens_before,
+           CAST(shard * 1000000 + tokens_before // {_CUR_CTX} AS BIGINT)
+             AS pack_id
+    FROM cum
+    """
+
+
+@register("curation_e2e", oracle=_curation_oracle())
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE lazy plan: (1) quality gate —
+    English-predicted, length-bounded (the quality_filter stage);
+    (2) near-dup kill list — exact-Jaccard pairs → connected
+    components → keep-longest canonical per cluster, everything else
+    anti-joined away (the dedup_canonical stage); (3) sequence packing
+    of the survivors into 2048-token shard-local context windows (the
+    pack_documents stage). The DuckDB twin recomposes all three stages
+    in one SQL text, so the hash gates stage INTERACTIONS — a dedup
+    that dropped the wrong cluster member or a pack that ran before the
+    kill-list would shift every downstream pack_id.
+
+    Scale: quality gate is the map-only regexp_count pass; dedup
+    shuffles the shingle inverted index and the (tiny) clustered
+    subset; packing adds ONE shuffle on shard with an O(n) running
+    frame. The whole pipeline is Catalyst-visible end to end — filters
+    push to the corpus scan, the kill-list anti-join prunes to its key
+    column, nothing materializes between stages."""
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.functions.text import language_id, quality_signals
+    from stonkwhisperer_spark.operators.dedup import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    # Stage 2 first (it reads the full corpus): canonical-survivor kill
+    # list over the near-dup graph.
+    lengths = docs.select("doc_id", F.length("text").alias("_len"))
+    clusters = connected_components(
+        jaccard_pairs(_postings(spark, sf_dir), threshold=0.8), "doc_a", "doc_b"
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("_len").desc(), F.col("doc_id"))
+    )
+    kill = (
+        clusters.join(lengths, "doc_id")
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") > 1)
+        .select("doc_id")
+    )
+
+    # Stage 1 + 3: quality gate, then pack the survivors.
+    qs = quality_signals("text")
+    survivors = (
+        docs.select(
+            "doc_id",
+            language_id("text").alias("lang_pred"),
+            qs["n_tokens"].alias("n_tokens"),
+        )
+        .join(kill, "doc_id", "left_anti")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(20, 100000)
+        )
+    )
+    sized = survivors.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        (
+            portable_hash64(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+            % _CUR_SHARDS
+        ).alias("shard"),
+        portable_hash64(
+            F.concat(F.lit("order|"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sized.withColumn(
+        "tokens_before",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+    )
+    return cum.select(
+        "doc_id",
+        "lang_pred",
+        "shard",
+        "n_tokens",
+        "tokens_before",
+        (
+            F.col("shard") * 1000000
+            + F.floor(F.col("tokens_before") / _CUR_CTX)
+        ).cast("bigint").alias("pack_id"),
     )

@@ -80,6 +80,7 @@ _GATE_ORDER: list[str] = [
     "txlog_skipping",
     "txlog_schema_evolution",
     "temperature_mixture",
+    "curation_e2e",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -115,7 +116,6 @@ _GATE_ORDER: list[str] = [
     "new_urls_anti",
     "news_clean",
     "order_deciles",
-    "orders_monthly",
     "posts_clean",
     "posts_link_articles",
 ]
