@@ -11,6 +11,10 @@ Arrow boundary twice.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves postponed
+# (string) type hints against the defining function's globals, so
+# ``pd.Series`` must be importable from here, not a function local.
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -168,4 +172,73 @@ def q_doc_token_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token, t.token_len
         FROM _udtf_docs d, LATERAL token_positions(d.text) t
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# event_weighted_stats_udaf — the pandas GROUPED_AGG UDAF escape hatch
+# under the gate (the one Python surface shape not yet driver-checked:
+# grouped-map, UDTF, and MLlib already are). Arithmetic kept integer-
+# exact so the hash cannot drift on float partial-agg order.
+# --------------------------------------------------------------------------
+@register(
+    "event_weighted_stats_udaf",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             (event_id % 10) + 1                                  AS wt,
+             CAST(floor(value * 10000) AS BIGINT)                 AS v_cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(wt) AS BIGINT)            AS sum_w,
+           CAST(sum(wt * v_cents) AS BIGINT)  AS sum_wv,
+           CAST(CAST(sum(wt * v_cents) AS DOUBLE)
+                / CAST(sum(wt) AS DOUBLE) / 10000.0 AS DOUBLE)    AS weighted_avg
+    FROM w GROUP BY event_type
+    """,
+)
+def q_event_weighted_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value statistics per event type through a
+    pandas GROUPED_AGG UDAF (``@pandas_udf`` returning a scalar per
+    group, Arrow-batched) — the aggregation escape hatch users take
+    when a built-in aggregate can't express the logic. Here the logic
+    IS expressible (the production shape is plain ``F.sum``, and the
+    DuckDB twin states it), so this query exists to gate the UDAF
+    path's correctness: weights and values are pre-quantized to int64
+    JVM-side (floor to cents), so the Python-side sums are exact
+    integers and immune to float partial-aggregation order; the single
+    final division is one deterministic IEEE op on both engines.
+
+    Scale: GROUPED_AGG ships each group's column slice through Arrow —
+    fine for bounded group counts (5 event types), the wrong tool for
+    billions of groups; partial aggregation does NOT apply (the UDAF
+    sees whole groups), which is exactly the trade this docstring and
+    the JVM twin document."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def int_sum(s: pd.Series) -> int:
+        # int64 sum of int64 inputs — exact, order-free.
+        return int(s.sum())
+
+    events = load_table(spark, sf_dir, "events")
+    w = events.select(
+        "event_type",
+        ((F.col("event_id") % 10) + 1).alias("wt"),
+        F.floor(F.col("value") * 10000).cast("bigint").alias("v_cents"),
+    ).withColumn("wv", F.col("wt") * F.col("v_cents"))
+    agg = w.groupBy("event_type").agg(
+        int_sum("wt").alias("sum_w"),
+        int_sum("wv").alias("sum_wv"),
+    )
+    return agg.select(
+        "event_type",
+        "sum_w",
+        "sum_wv",
+        (
+            F.col("sum_wv").cast("double")
+            / F.col("sum_w").cast("double")
+            / F.lit(10000.0)
+        ).alias("weighted_avg"),
     )

@@ -81,6 +81,7 @@ _GATE_ORDER: list[str] = [
     "txlog_schema_evolution",
     "temperature_mixture",
     "curation_e2e",
+    "event_weighted_stats_udaf",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
@@ -115,7 +116,6 @@ _GATE_ORDER: list[str] = [
     "near_dup_jaccard",
     "new_urls_anti",
     "news_clean",
-    "order_deciles",
     "posts_clean",
     "posts_link_articles",
 ]
