@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stonkwhisperer_spark.flows import bars_flow, news_flow, posts_flow
 from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_for_nlp_sql
@@ -232,6 +233,88 @@ def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_sentiment(labeled)
     return score_sentiment(model, labeled).select(
         "doc_id", "label", "prediction", "p_positive"
+    )
+
+
+# --------------------------------------------------------------------------
+# sentiment_closed_form — the ML family's HASH-CHECKED row: a FIXED
+# closed-form linear sentiment model (pinned integer milli-weights over
+# lexicon hit counts) that DuckDB recomputes exactly. The trained-LR
+# surface (sentiment_scores) stays rows-only — iterative training isn't
+# SQL; this companion gates the scoring semantics the pipeline shares.
+# --------------------------------------------------------------------------
+_SENT_SQL_HITS = (
+    "CAST((length(lower(text)) - length(replace(lower(text), '{w}', ''))) / "
+    "{n} AS BIGINT)"
+)
+
+
+@register(
+    "sentiment_closed_form",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             {_SENT_SQL_HITS.format(w="fast", n=4)} AS pos_hits,
+             {_SENT_SQL_HITS.format(w="slow", n=4)} AS neg_hits
+      FROM documents
+    )
+    SELECT doc_id, source, pos_hits, neg_hits,
+           1200 * pos_hits - 800 * neg_hits - 150 AS logit_milli,
+           CASE WHEN 1200 * pos_hits - 800 * neg_hits - 150 > 0
+                THEN 1 ELSE 0 END AS pred,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY 1200 * pos_hits - 800 * neg_hits - 150 DESC, doc_id
+           ) AS BIGINT) AS sent_rank
+    FROM s
+    """,
+)
+def q_sentiment_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ML scoring under the value hash: a pinned-weight
+    linear sentiment model — logit = 1.2·pos − 0.8·neg − 0.15 in
+    integer MILLI-units over lexicon hit counts — scored corpus-wide,
+    with the per-source sentiment ranking (row_number on the logit).
+    The weights are literals, the arithmetic is exact BIGINT, and the
+    ranking is tie-broken on doc_id, so the DuckDB twin reproduces
+    every value bit-for-bit. Integer milli-weights instead of a float
+    sigmoid are deliberate: java.lang.Math.exp and C libm disagree in
+    the last ulp, and the sigmoid is monotone in this logit — the
+    ranking and the decision boundary (pred = logit > 0) ARE the
+    model's observable behavior. The trained TF-IDF+LR pipeline keeps
+    its rows-only row (sentiment_scores); this gates the shared scoring
+    shape with a hash.
+
+    Scale: hit counting is a map-only JVM expression pass; the ranking
+    windows per source (bounded partitions), never globally."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = F.lower(F.col("text"))
+
+    def hits(word: str):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(word), F.lit(""))))
+            / F.lit(len(word))
+        ).cast("bigint")
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        hits("fast").alias("pos_hits"),
+        hits("slow").alias("neg_hits"),
+    ).withColumn(
+        "logit_milli",
+        F.lit(1200) * F.col("pos_hits") - F.lit(800) * F.col("neg_hits") - F.lit(150),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit_milli").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "pos_hits",
+        "neg_hits",
+        "logit_milli",
+        F.when(F.col("logit_milli") > 0, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
+        F.row_number().over(w).cast("bigint").alias("sent_rank"),
     )
 
 
@@ -724,6 +807,86 @@ def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_cdc_update_replay — the UPDATE half of the CDC contract under the
+# value hash: a MERGE-upsert commit replays as typed pre/post-image +
+# insert rows whose DuckDB twin recomputes all three images from seed.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_cdc_update_replay",
+    oracle="""
+    SELECT doc_id, source,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id >= 30 AND doc_id < 60
+    UNION ALL
+    SELECT doc_id, source || '_u' AS source,
+           'update_postimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id >= 30 AND doc_id < 60
+    UNION ALL
+    SELECT doc_id, source || '_u' AS source,
+           'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id >= 60 AND doc_id < 90
+    """,
+)
+def q_txlog_cdc_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN MATCHED UPDATE under the value hash: seed a txlog table with
+    doc_id<60 (v1), then ``merge_upsert`` a batch covering [30,90) with
+    rewritten source values — [30,60) matches and UPDATES in place
+    (file-level copy-on-write), [60,90) inserts. ``table_changes`` from
+    v1 must replay the upsert commit as Delta-CDF-typed rows: one
+    ``update_preimage`` per matched key carrying the OLD value, one
+    ``update_postimage`` carrying the NEW value, one ``insert`` per new
+    key — and never the carried-over rows the rewrite copied into new
+    files. The DuckDB twin recomputes all three images from the seed
+    table; a feed that leaked carried rows, lost a pre-image, or swapped
+    old/new values hash-fails.
+
+    Scale: the upsert rewrites only the files owning matched keys
+    (O(matched data)); the feed reads only the commit's change files —
+    both O(delta) at 100 TB, the Delta MERGE + CDF contract
+    (reference trigger_databricks_job.py:10 is exactly this shape)."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        merge_upsert,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_upd_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
+        v1 = _committed_version(target)
+        batch = (
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 90))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u")))
+        )
+        inserted, updated = merge_upsert(spark, target, batch, ["doc_id"])
+        if (inserted, updated) != (30, 30):
+            raise AssertionError(
+                f"upsert split wrong: inserted={inserted} updated={updated}"
+            )
+        feed = table_changes(spark, target, from_version=v1, with_version=True)
+        if feed is None:
+            raise AssertionError("CDC feed empty after upsert commit")
+        rows = feed.select(
+            "doc_id", "source", "_change_type", "_commit_version"
+        ).collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, source string, _change_type string, _commit_version bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # txlog_stream_cdc — the SAME change feed consumed through readStream:
 # the txlog as a Spark 4 streaming DATA SOURCE (sources/txlog_stream.py),
 # offsets = commit versions, drained availableNow. Same oracle as the
@@ -735,7 +898,7 @@ _txlog_stream_runs = 0
 @register("txlog_stream_cdc", oracle=_TXLOG_CDC_ORACLE)
 def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC consumed BY THE STREAMING PATH: the same four-commit table as
-    txlog_cdc_replay, subscribed from v1 via
+    txlog_cdc_replay, subscribed strictly after v1 via
     ``readStream.format("stonkw_txlog_cdc")`` — a full Python
     DataSourceStreamReader whose offsets are txlog commit versions,
     partition planning is one InputPartition per committed file, and the
@@ -771,7 +934,9 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = (
             spark.readStream.format("stonkw_txlog_cdc")
             .option("path", target)
-            .option("startingVersion", v1)
+            # inclusive startingVersion (Delta semantics): the feed
+            # must start strictly AFTER the v1 baseline merge.
+            .option("startingVersion", v1 + 1)
             .load()
         )
         with _stream_shuffle_width(spark):

@@ -237,15 +237,16 @@ def q_bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFram
     co-location). The post-join priority aggregation shuffles ~5 keys —
     negligible by construction."""
     import shutil
+    import uuid
     from urllib.parse import urlparse
 
-    # A fresh session's in-memory catalog forgets the table while its
-    # warehouse directory persists — drop both or saveAsTable raises
-    # LOCATION_ALREADY_EXISTS on the next session.
+    # Per-run table names: two sessions sharing a warehouse dir must not
+    # race on a fixed name (one could delete files the other's scan is
+    # reading, or hit LOCATION_ALREADY_EXISTS) — same scratch-dir
+    # discipline as the txlog queries, dropped in the finally block.
+    run = uuid.uuid4().hex[:12]
+    t_orders, t_li = f"bucketed_orders_{run}", f"bucketed_lineitem_{run}"
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bucketed_orders", "bucketed_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -253,25 +254,40 @@ def q_bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFram
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    (
-        orders.write.mode("overwrite")
-        .bucketBy(_BUCKETS, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bucketed_orders")
-    )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(_BUCKETS, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bucketed_lineitem")
-    )
-    bo, bl = spark.table("bucketed_orders"), spark.table("bucketed_lineitem")
-    joined = bo.hint("MERGE").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan or "SortMergeJoin" not in plan:
-        raise AssertionError(
-            "bucketed join lost co-location (Exchange in plan or SMJ not chosen):\n"
-            + plan
+    try:
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(t_orders)
         )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast(_D122)).cast("double").alias("gross"),
+        (
+            li.write.mode("overwrite")
+            .bucketBy(_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(t_li)
+        )
+        bo, bl = spark.table(t_orders), spark.table(t_li)
+        joined = bo.hint("MERGE").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "SortMergeJoin" not in plan:
+            raise AssertionError(
+                "bucketed join lost co-location (Exchange in plan or SMJ not chosen):\n"
+                + plan
+            )
+        # Materialize before dropping the tables the plan reads from.
+        rows = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast(_D122))
+                .cast("double")
+                .alias("gross"),
+            )
+            .collect()
+        )
+    finally:
+        for t in (t_orders, t_li):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_items bigint, gross double"
     )

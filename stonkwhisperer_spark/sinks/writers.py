@@ -78,6 +78,8 @@ def write_partitioned(
 # Transaction log: optimistic-concurrency commits on plain parquet.
 # ---------------------------------------------------------------------------
 _TXLOG_DIR = "_txlog"
+_CDC_DIR = "_change_data"
+_CHANGE_COL = "_change_type"
 
 
 def _txlog_path(target_path: str) -> str:
@@ -145,8 +147,12 @@ def _stats_from(commits: list[dict]) -> dict[str, dict]:
 
 def _union_structs(structs):
     """Additive union of StructTypes in order; a field re-declared with
-    a different type raises. None for an empty union."""
-    from pyspark.sql.types import StructType
+    a different type raises. None for an empty union. Every field is
+    normalized to nullable=True: evolution implies null-fill (files
+    written before a column existed surface NULLs for it), so a
+    non-nullable first declaration would be a false contract over data
+    that does contain nulls — Delta's union behaves the same way."""
+    from pyspark.sql.types import StructField, StructType
 
     merged: list = []
     seen: dict[str, str] = {}
@@ -161,7 +167,7 @@ def _union_structs(structs):
                     )
                 continue
             seen[f.name] = sig
-            merged.append(f)
+            merged.append(StructField(f.name, f.dataType, True))
     return StructType(merged) if merged else None
 
 
@@ -196,6 +202,7 @@ def _try_commit(
     compaction: bool = False,
     stats: dict[str, dict] | None = None,
     schema: str | None = None,
+    cdc: list[str] | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -215,8 +222,14 @@ def _try_commit(
         body["stats"] = stats
     if schema is not None:
         body["schema"] = schema
+    if cdc:
+        body["cdc"] = cdc
     with os.fdopen(fd, "w") as fh:
-        json.dump(body, fh)
+        # allow_nan=False: the manifest is the table's public format —
+        # strict JSON only (Infinity/NaN tokens would break non-Python
+        # log readers). _collect_stats already drops non-finite bounds,
+        # so this is a loud backstop, not a code path.
+        json.dump(body, fh, allow_nan=False)
         fh.flush()
         os.fsync(fh.fileno())
     return True
@@ -269,33 +282,67 @@ def _collect_stats(target_path: str, staged: list[str]) -> dict[str, dict]:
     leaf columns. Read cost is the same footer range already fetched
     for the row count — no data pages. Columns without parquet
     statistics (or with exotic types) are simply absent, which readers
-    treat as unprunable (safe)."""
+    treat as unprunable (safe).
+
+    A column whose min/max cannot be established for EVERY row group of
+    a file is dropped from that file's map entirely: a partial zone map
+    (some row groups bounded, others not) would understate the file's
+    true range and make read_committed_pruned skip a file that contains
+    matching rows — silent row loss. The one row-group shape that is
+    safe to skip is the provably all-NULL chunk (no non-null values can
+    ever match a range predicate). Non-finite float bounds (±inf/NaN
+    footers) are likewise dropped — they bound nothing useful and would
+    make the commit manifest non-strict JSON."""
+    import math
+
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
     for rel in staged:
         md = pq.ParquetFile(os.path.join(target_path, rel)).metadata
         cols: dict[str, list] = {}
+        bad: set[str] = set()  # columns with any unbounded row group
         for rg_idx in range(md.num_row_groups):
             rg = md.row_group(rg_idx)
             for c_idx in range(rg.num_columns):
                 col = rg.column(c_idx)
+                name = col.path_in_schema
                 try:
                     st = col.statistics
-                    if st is None or not st.has_min_max:
+                    if st is None:
+                        bad.add(name)
+                        continue
+                    if not st.has_min_max:
+                        # All-NULL chunk: zero non-null values, nothing
+                        # to bound — safe to omit. Anything else
+                        # (writer dropped stats on oversized values…)
+                        # poisons the column for this file.
+                        if not (
+                            st.has_null_count
+                            and st.null_count == col.num_values
+                        ):
+                            bad.add(name)
                         continue
                     lo, hi = st.min, st.max
                 except Exception:  # noqa: BLE001 — pyarrow raises on
-                    continue  # types it can't extract stats for (arrays…)
+                    bad.add(name)  # types it can't extract stats for
+                    continue
                 if not isinstance(lo, (int, float, str)) or not isinstance(
                     hi, (int, float, str)
                 ):
+                    bad.add(name)
                     continue
-                name = col.path_in_schema
+                if isinstance(lo, float) and not (
+                    math.isfinite(lo) and math.isfinite(hi)
+                ):
+                    bad.add(name)
+                    continue
                 if name in cols:
                     cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
                 else:
                     cols[name] = [lo, hi]
+        for name in bad:
+            cols.pop(name, None)
         if cols:
             out[rel] = cols
     return out
@@ -398,45 +445,66 @@ def table_changes(
     from_version: int,
     with_version: bool = False,
 ) -> DataFrame | None:
-    """Change-data-feed read: the rows INSERTED by every commit with
-    version > ``from_version`` (the log is insert-only, so the feed is
-    exactly the added files). Compaction commits rewrite existing rows
+    """TYPED change-data-feed read (Delta CDF contract): every row of
+    every commit with version > ``from_version``, tagged with
+    ``_change_type`` ∈ {insert, update_preimage, update_postimage}.
+    Insert-only commits derive the feed from their add files directly
+    (zero extra storage — Delta's same optimization for blind appends)
+    and tag every row ``insert``; upsert commits (:func:`merge_upsert`)
+    read the ``_change_data`` parquet files the writer recorded, which
+    carry their own ``_change_type`` column with pre- AND post-image
+    rows for every update. Compaction commits rewrite existing rows
     without changing table contents, so they are excluded. Incremental
     consumers poll ``_committed_version`` and read only the delta —
     the pattern that turns a 100 TB table into a streamable source
     without rescanning history.
 
-    ``with_version=True`` tags every row with its originating commit as
-    ``_commit_version`` (Delta CDF's column of the same name) — one scan
-    node per commit unioned together, bounded by the polled version
-    delta, so consumers can attribute rows to commits.
+    ``with_version=True`` additionally tags every row with its
+    originating commit as ``_commit_version`` (Delta CDF's column).
 
-    Both branches read under the log's evolved union schema when
-    recorded, so a feed spanning a schema-evolution boundary delivers
-    the current table schema with older rows null-filled — never the
-    schema of whichever file inference happened to open first."""
+    All parts read under the log's evolved union schema when recorded,
+    so a feed spanning a schema-evolution boundary delivers the current
+    table schema with older rows null-filled — never the schema of
+    whichever file inference happened to open first.
+
+    Scale: one scan node per commit in the polled window, each opening
+    only that commit's added (or change-data) files — O(delta), never a
+    table scan."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     commits = _commits(target_path)
     evolved = _schema_from(commits)
-    reader = spark.read.option("basePath", target_path)
-    if evolved is not None:
-        reader = reader.schema(evolved)
-    if not with_version:
-        files: list[str] = []
-        for c in commits:
-            if c["version"] > from_version and not c.get("compaction"):
-                files.extend(c["add"])
-        if not files:
-            return None
-        return reader.parquet(*[os.path.join(target_path, f) for f in files])
     parts: list[DataFrame] = []
     for c in commits:
-        if c["version"] > from_version and not c.get("compaction") and c["add"]:
-            parts.append(
-                reader.parquet(*[os.path.join(target_path, f) for f in c["add"]])
-                .withColumn(
-                    "_commit_version", F.lit(c["version"]).cast("bigint")
+        if c["version"] <= from_version or c.get("compaction"):
+            continue
+        if c.get("cdc"):
+            # Change-data files are flat (partition columns are physical
+            # there) and carry _change_type — no basePath needed.
+            reader = spark.read
+            if evolved is not None:
+                reader = reader.schema(
+                    StructType(
+                        [*evolved.fields, StructField(_CHANGE_COL, StringType(), True)]
+                    )
                 )
+            part = reader.parquet(
+                *[os.path.join(target_path, rel) for rel in c["cdc"]]
             )
+        elif c["add"]:
+            reader = spark.read.option("basePath", target_path)
+            if evolved is not None:
+                reader = reader.schema(evolved)
+            part = reader.parquet(
+                *[os.path.join(target_path, f) for f in c["add"]]
+            ).withColumn(_CHANGE_COL, F.lit("insert"))
+        else:
+            continue
+        if with_version:
+            part = part.withColumn(
+                "_commit_version", F.lit(c["version"]).cast("bigint")
+            )
+        parts.append(part)
     if not parts:
         return None
     out = parts[0]
@@ -533,13 +601,26 @@ def compact(
 def vacuum_orphans(target_path: str) -> list[str]:
     """Delete data files not referenced by any commit (a crashed
     writer's staged leftovers) — Delta's VACUUM, minus the retention
-    window because this log has no deletes/overwrites to time-travel."""
+    window because this log has no deletes/overwrites to time-travel.
+    Change-data files not referenced by any commit's ``cdc`` entry (a
+    crashed upsert's staged leftovers) are reclaimed the same way;
+    committed change files are kept — they are the feed's history."""
     referenced = set(committed_files(target_path))
     removed = []
     for rel in _data_files(target_path):
         if rel not in referenced:
             os.remove(os.path.join(target_path, rel))
             removed.append(rel)
+    cdc_dir = os.path.join(target_path, _CDC_DIR)
+    if os.path.isdir(cdc_dir):
+        cdc_referenced: set[str] = set()
+        for c in _commits(target_path):
+            cdc_referenced.update(c.get("cdc", []))
+        for fn in os.listdir(cdc_dir):
+            rel = os.path.join(_CDC_DIR, fn)
+            if fn.endswith(".parquet") and rel not in cdc_referenced:
+                os.remove(os.path.join(cdc_dir, fn))
+                removed.append(rel)
     return removed
 
 
@@ -666,6 +747,223 @@ def merge_append(
     raise RuntimeError(
         f"merge_append lost the commit race {max_retries} times at {target_path}"
     )
+
+
+def _stage_cdc_files(cdc: DataFrame, target_path: str) -> list[str]:
+    """Write the typed change rows to ``_change_data/`` (underscore
+    prefix: invisible to plain parquet readers and to the data-file
+    walk), returning their table-relative paths for the manifest's
+    ``cdc`` entry. Same stage-then-atomic-rename discipline as
+    :func:`_stage_files`."""
+    dest = os.path.join(target_path, _CDC_DIR)
+    os.makedirs(dest, exist_ok=True)
+    stage = os.path.join(target_path, f".stage-cdc-{uuid.uuid4().hex}")
+    cdc.write.mode("overwrite").parquet(stage)
+    staged: list[str] = []
+    for fn in os.listdir(stage):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        unique = f"cdc-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(stage, fn), os.path.join(dest, unique))
+        staged.append(os.path.join(_CDC_DIR, unique))
+    shutil.rmtree(stage, ignore_errors=True)
+    return staged
+
+
+def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int]:
+    """(inserted, updated) row counts from the staged change files —
+    a single-column read of ``_change_type``, no Spark job."""
+    import pyarrow.parquet as pq
+
+    inserted = updated = 0
+    for rel in cdc_staged:
+        t = pq.read_table(
+            os.path.join(target_path, rel), columns=[_CHANGE_COL]
+        )
+        for v in t.column(0).to_pylist():
+            if v == "insert":
+                inserted += 1
+            elif v == "update_postimage":
+                updated += 1
+    return inserted, updated
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> tuple[int, int]:
+    """K2 full MERGE: ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` on the parquet txlog — a batch row whose ``keys``
+    exist in the target REWRITES that row; absent keys insert. Returns
+    (inserted, updated). The reference's Databricks leg is exactly this
+    shape (trigger_databricks_job.py:10 "load data from s3 into delta
+    lake" = Delta MERGE upsert); :func:`merge_append` keeps the
+    insert-if-absent contract of the Postgres workers.
+
+    File-level copy-on-write, Delta's strategy: one key-only semi-join
+    identifies the data files that contain matched keys; ONLY those
+    files are rewritten (unmatched rows carried over, matched rows
+    replaced by batch values), and the commit atomically records
+    remove=<touched files> + add=<rewritten + insert files>. At 100 TB
+    an upsert touching 50 files rewrites 50 files — O(matched data),
+    never a table rewrite — and the touched-file discovery can prune
+    further via zone maps before the join.
+
+    TYPED CDC: the commit also writes ``_change_data`` parquet files
+    holding the change rows — ``update_preimage`` (old values),
+    ``update_postimage`` (new values), ``insert`` — which
+    :func:`table_changes` and the streaming source replay; carried-over
+    rows are NOT changes and never appear in the feed (the reason add
+    files alone can't serve an upsert commit's feed).
+
+    Concurrency: same optimistic CAS protocol as merge_append — stage
+    data + change files, CAS the next version; on collision delete both
+    staged sets, refresh the snapshot, recompute (so an update-update
+    race serializes: the loser re-reads the winner's rows and rewrites
+    them, last writer wins per key). Additive schema evolution commits
+    fine; a re-typed column fails the writer. A legacy plain-parquet
+    table is adopted: untouched legacy files enter the log, matched
+    legacy files are rewritten and simply not adopted (vacuum reclaims
+    them)."""
+    batch = batch.dropDuplicates(list(keys))
+    key_cols = list(keys)
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        declared = _schema_from(commits)
+        if declared is not None:
+            types = {f.name: f.dataType.json() for f in declared.fields}
+            for f in batch.schema.fields:
+                if f.name in types and types[f.name] != f.dataType.json():
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}' at "
+                        f"{target_path}: table has {types[f.name]}, "
+                        f"batch has {f.dataType.json()}"
+                    )
+        committed = _files_from(commits)
+        legacy: list[str] = []
+        if not committed:
+            legacy = _data_files(target_path)
+        snapshot_files = committed or legacy
+        if snapshot_files:
+            reader = spark.read.option("basePath", target_path)
+            if declared is not None and not legacy:
+                reader = reader.schema(declared)
+            elif legacy:
+                reader = reader.option("mergeSchema", "true")
+                _union_structs(
+                    [
+                        spark.read.option("mergeSchema", "true")
+                        .parquet(
+                            *[os.path.join(target_path, f) for f in legacy]
+                        )
+                        .schema,
+                        batch.schema,
+                    ]
+                )  # legacy/batch type conflict → raise before any write
+            existing = reader.parquet(
+                *[os.path.join(target_path, f) for f in snapshot_files]
+            )
+            # Touched-file discovery: distinct files owning matched keys.
+            # Driver-side list bounded by #files, computed from a
+            # key-column semi-join (the scan reads key columns only).
+            batch_keys = batch.select(*key_cols)
+            matched_uris = [
+                r[0]
+                for r in existing.withColumn("__file", F.input_file_name())
+                .join(batch_keys, on=key_cols, how="left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            root = os.path.abspath(target_path)
+            matched_files = sorted(
+                {_uri_to_rel(u, root) for u in matched_uris}
+            )
+            existing_keys = existing.select(*key_cols)
+            inserts = batch.join(existing_keys, key_cols, "left_anti")
+            updates = batch.join(existing_keys, key_cols, "left_semi")
+            if matched_files:
+                touched_reader = spark.read.option("basePath", target_path)
+                if declared is not None and not legacy:
+                    touched_reader = touched_reader.schema(declared)
+                elif legacy:
+                    touched_reader = touched_reader.option("mergeSchema", "true")
+                touched = touched_reader.parquet(
+                    *[os.path.join(target_path, f) for f in matched_files]
+                )
+                preimage = touched.join(batch_keys, key_cols, "left_semi")
+                carried = touched.join(batch_keys, key_cols, "left_anti")
+            else:
+                preimage = carried = None
+        else:
+            matched_files = []
+            inserts, updates, preimage, carried = batch, None, None, None
+
+        new_data = inserts
+        for frame in (updates, carried):
+            if frame is not None:
+                new_data = new_data.unionByName(frame, allowMissingColumns=True)
+        cdc = inserts.withColumn(_CHANGE_COL, F.lit("insert"))
+        if updates is not None:
+            cdc = cdc.unionByName(
+                updates.withColumn(_CHANGE_COL, F.lit("update_postimage")),
+                allowMissingColumns=True,
+            )
+        if preimage is not None:
+            cdc = cdc.unionByName(
+                preimage.withColumn(_CHANGE_COL, F.lit("update_preimage")),
+                allowMissingColumns=True,
+            )
+
+        staged = _stage_files(new_data, target_path, partition_cols)
+        cdc_staged = _stage_cdc_files(cdc, target_path)
+        inserted, updated = _cdc_counts(target_path, cdc_staged)
+
+        def _cleanup():
+            for rel in staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if inserted == 0 and updated == 0:
+            _cleanup()
+            return 0, 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        untouched_legacy = [f for f in legacy if f not in set(matched_files)]
+        if _try_commit(
+            target_path,
+            version + 1,
+            untouched_legacy + staged,
+            inserted + updated,
+            # Legacy matched files were never in the log: rewriting them
+            # means just not adopting them (vacuum reclaims the bytes).
+            remove=[f for f in matched_files if f not in set(legacy)],
+            stats=_collect_stats(target_path, staged),
+            schema=json.dumps(new_data.schema.jsonValue()),
+            cdc=cdc_staged,
+        ):
+            return inserted, updated
+        _cleanup()
+    raise RuntimeError(
+        f"merge_upsert lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def _uri_to_rel(uri: str, root: str) -> str:
+    """input_file_name() URI → table-relative path (file:///a%20b/x.parquet
+    → x.parquet)."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path or uri)
+    return os.path.relpath(p, root)
 
 
 def conform(df: DataFrame, schema) -> DataFrame:

@@ -5,7 +5,7 @@ Spark 4 Python Data Source whose offsets are txlog commit versions, so
     spark.dataSource.register(TxlogChangeFeedDataSource)
     (spark.readStream.format("stonkw_txlog_cdc")
          .option("path", table_path)
-         .option("startingVersion", 3)
+         .option("startingVersion", 3)   # inclusive, as in Delta
          .load())
 
 This is the piece that turns the K2 table format (sinks/writers.py) into
@@ -37,7 +37,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from stonkwhisperer_spark.sinks.writers import (
     _commits,
@@ -46,12 +46,14 @@ from stonkwhisperer_spark.sinks.writers import (
 )
 
 VERSION_COL = "_commit_version"
+CHANGE_COL = "_change_type"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, cdc: bool = False):
         self.path = path
         self.version = version
+        self.cdc = cdc  # a _change_data file carrying its own _change_type
 
 
 def _table_schema(path: str) -> StructType:
@@ -84,13 +86,33 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
         opts = {k.lower(): v for k, v in options.items()}
         self._path = opts["path"]
-        self._start = int(opts.get("startingversion", 0))
-        # Field order + arrow types of the OUTPUT schema; the version
-        # column is appended by read(), the rest come from the parquet
-        # files — files written before a schema evolution may lack some
-        # fields, which read() null-fills at these declared types.
+        # startingVersion is INCLUSIVE, matching Delta's option of the
+        # same name (consumers porting Delta code must not silently
+        # lose the first commit's rows). Offsets remain half-open
+        # (start, end] internally, so the inclusive lower bound is
+        # startingVersion - 1; the default (1) subscribes from the
+        # table's first commit.
+        self._start = int(opts.get("startingversion", 1)) - 1
+        # maxCommitsPerTrigger: advance at most N versions per
+        # micro-batch — the txlog analog of Delta/file-source
+        # maxFilesPerTrigger and SURVEY §2.9's source-rate-limiting row
+        # (the reference polls newest-first LIMIT 100,
+        # extraction.py:116-119). Without it, a catch-up subscription on
+        # a long-history table plans EVERY commit into one giant batch.
+        # Use with a processingTime trigger: the Python micro-batch
+        # bridge downgrades availableNow to single-batch execution,
+        # which would stop after the first rate-limited slice.
+        raw = opts.get("maxcommitspertrigger")
+        self._max_commits = int(raw) if raw is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self._current = self._start
+        # Field order + arrow types of the OUTPUT schema; the change and
+        # version columns are appended by read(), the rest come from the
+        # parquet files — files written before a schema evolution may
+        # lack some fields, which read() null-fills at declared types.
         data_schema = StructType(
-            [f for f in schema.fields if f.name != VERSION_COL]
+            [f for f in schema.fields if f.name not in (VERSION_COL, CHANGE_COL)]
         )
         self._fields = [f.name for f in data_schema.fields]
         self._arrow_schema = to_arrow_schema(data_schema)
@@ -99,28 +121,54 @@ class _TxlogStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _committed_version(self._path)}
+        head = _committed_version(self._path)
+        if self._max_commits is None:
+            return {"version": head}
+        # Rate-limited: advance ≤ maxCommitsPerTrigger versions past the
+        # last planned end-offset. After a checkpoint restart the true
+        # start arrives via partitions(start, end), which re-syncs
+        # self._current — an early under-estimate here just yields one
+        # empty catch-up batch, never data loss (offsets are replayed
+        # from the checkpoint, not from this counter).
+        self._current = min(head, self._current + self._max_commits)
+        return {"version": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._current = max(self._current, start["version"], end["version"])
         parts: list[InputPartition] = []
         for c in _commits(self._path, through_version=end["version"]):
             if c["version"] <= start["version"] or c.get("compaction"):
                 continue
-            parts.extend(_FilePartition(os.path.join(self._path, rel), c["version"])
-                         for rel in c["add"])
+            if c.get("cdc"):
+                # Upsert commit: the feed is the typed change files
+                # (pre/post images + inserts), never the rewritten data
+                # files — carried-over rows are not changes.
+                parts.extend(
+                    _FilePartition(os.path.join(self._path, rel), c["version"], cdc=True)
+                    for rel in c["cdc"]
+                )
+            else:
+                parts.extend(
+                    _FilePartition(os.path.join(self._path, rel), c["version"])
+                    for rel in c["add"]
+                )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         # Executor-side data plane: stream the file as Arrow batches,
         # project to the declared field order (null-filling fields the
         # file predates — additive schema evolution), cast to the
-        # declared types, append the commit tag.
+        # declared types, append the change tag (from the file for
+        # change-data partitions, literal 'insert' for add-file
+        # partitions) and the commit tag.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
         present = set(pf.schema_arrow.names)
         want = [n for n in self._fields if n in present]
+        if partition.cdc:
+            want = want + [CHANGE_COL]
         for batch in pf.iter_batches(columns=want):
             arrays = []
             for name in self._fields:
@@ -132,8 +180,17 @@ class _TxlogStreamReader(DataSourceStreamReader):
                     arrays.append(arr)
                 else:
                     arrays.append(pa.nulls(batch.num_rows, typ))
+            if partition.cdc:
+                change = batch.column(CHANGE_COL)
+                if change.type != pa.string():
+                    change = change.cast(pa.string())
+            else:
+                change = pa.array(["insert"] * batch.num_rows, pa.string())
+            arrays.append(change)
             arrays.append(pa.array([partition.version] * batch.num_rows, pa.int64()))
-            yield pa.RecordBatch.from_arrays(arrays, self._fields + [VERSION_COL])
+            yield pa.RecordBatch.from_arrays(
+                arrays, self._fields + [CHANGE_COL, VERSION_COL]
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the txlog needs nothing
@@ -149,7 +206,11 @@ class TxlogChangeFeedDataSource(DataSource):
     def schema(self) -> StructType:
         base = _table_schema(self.options["path"])
         return StructType(
-            [*base.fields, StructField(VERSION_COL, LongType(), False)]
+            [
+                *base.fields,
+                StructField(CHANGE_COL, StringType(), False),
+                StructField(VERSION_COL, LongType(), False),
+            ]
         )
 
     def streamReader(self, schema: StructType) -> _TxlogStreamReader:

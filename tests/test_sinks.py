@@ -468,7 +468,7 @@ def test_schema_evolution_covers_all_read_surfaces(spark, tmp_path):
     assert [(r.k, r.w) for r in by_w.collect()] == [(3, 30)]
 
     flat = table_changes(spark, target, from_version=0)
-    assert set(flat.columns) == {"k", "s", "w"}
+    assert set(flat.columns) == {"k", "s", "w", "_change_type"}
     assert flat.count() == 3
     tagged = table_changes(spark, target, from_version=0, with_version=True)
     assert {r.k: (r.w, r._commit_version) for r in tagged.collect()} == {
@@ -498,3 +498,252 @@ def test_legacy_adoption_preserves_legacy_columns(spark, tmp_path):
     snap = read_committed(spark, target)
     assert set(snap.columns) == {"k", "s", "extra"}
     assert {r.k: r.extra for r in snap.collect()} == {1: 9.5, 2: None}
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert: WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT with typed CDC.
+# ---------------------------------------------------------------------------
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """The full MERGE contract: matched keys rewrite in place, absent
+    keys insert, unmatched rows carry over untouched, and the result is
+    idempotent in VALUES (re-running the same upsert changes nothing
+    observable, though it still counts as updates — standard MERGE)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, s string"
+    )
+    assert merge_append(spark, target, seed, ["k"]) == 6
+    batch = spark.createDataFrame(
+        [(4, "V4"), (5, "V5"), (6, "V6"), (7, "V7")], "k long, s string"
+    )
+    inserted, updated = merge_upsert(spark, target, batch, ["k"])
+    assert (inserted, updated) == (2, 2)
+    got = {r.k: r.s for r in read_committed(spark, target).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3",
+                   4: "V4", 5: "V5", 6: "V6", 7: "V7"}
+    # values stable under re-run
+    inserted, updated = merge_upsert(spark, target, batch, ["k"])
+    assert (inserted, updated) == (0, 4)
+    assert {r.k: r.s for r in read_committed(spark, target).collect()} == got
+
+
+def test_merge_upsert_copy_on_write_scope(spark, tmp_path):
+    """File-level copy-on-write: an upsert touching keys in ONE of the
+    committed files rewrites only that file — the other file survives
+    verbatim in the committed view (O(matched data) at 100 TB, never a
+    table rewrite)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        committed_files,
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    target = str(tmp_path / "t")
+    lo = spark.createDataFrame([(i, "lo") for i in range(5)], "k long, s string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 105)], "k long, s string")
+    merge_append(spark, target, lo.coalesce(1), ["k"])
+    merge_append(spark, target, hi.coalesce(1), ["k"])
+    before = set(committed_files(target))
+
+    _, updated = merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(101, "HI")], "k long, s string"),
+        ["k"],
+    )
+    assert updated == 1
+    upsert_commit = _commits(target)[-1]
+    removed = set(upsert_commit.get("remove", []))
+    # exactly one file (the hi file) was rewritten; the lo file survives
+    assert len(removed) == 1
+    assert (before - removed) <= set(committed_files(target))
+    snap = {r.k: r.s for r in read_committed(spark, target).collect()}
+    assert snap[101] == "HI" and snap[100] == "hi" and snap[0] == "lo"
+
+
+def test_merge_upsert_typed_cdc_feed(spark, tmp_path):
+    """table_changes replays an upsert commit as typed rows: pre-image
+    with old values, post-image with new values, inserts — and NEVER the
+    carried-over rows the copy-on-write rewrite duplicated into new
+    files. Insert-only commits keep deriving 'insert' rows from their
+    add files (no change-data storage)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    merge_append(spark, target, seed, ["k"])  # v1
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B"), (9, "z")], "k long, s string"),
+        ["k"],
+    )  # v2
+
+    feed = table_changes(spark, target, from_version=0, with_version=True)
+    rows = sorted(
+        (r.k, r.s, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    assert rows == [
+        (1, "a", "insert", 1),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "insert", 1),
+        (2, "b", "update_preimage", 2),
+        (3, "c", "insert", 1),
+        (9, "z", "insert", 2),
+    ]
+
+
+def test_merge_upsert_concurrent_update_update(spark, tmp_path):
+    """Update-update conflict serializes through the CAS: writer B
+    stages its rewrite, writer A's full upsert commits first (fault
+    injection), B loses the version CAS, deletes its staged files,
+    re-reads A's rows and rewrites THEM — last writer wins per key, no
+    lost update, no duplicate keys, and the CDC chain is consistent
+    (B's pre-image equals A's post-image)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "orig")], "k long, s string"),
+        ["k"],
+    )  # v1
+
+    a_result = {}
+
+    def writer_a_sneaks_in():
+        if not a_result:
+            a_result["ins_upd"] = merge_upsert(
+                spark,
+                target,
+                spark.createDataFrame([(1, "from_A")], "k long, s string"),
+                ["k"],
+            )
+
+    b_ins, b_upd = merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(1, "from_B")], "k long, s string"),
+        ["k"],
+        _pre_commit_hook=writer_a_sneaks_in,
+    )
+    assert a_result["ins_upd"] == (0, 1)  # A won the race (v2)
+    assert (b_ins, b_upd) == (0, 1)       # B retried and rewrote A's row (v3)
+
+    snap = read_committed(spark, target)
+    assert [(r.k, r.s) for r in snap.collect()] == [(1, "from_B")]
+    feed = table_changes(spark, target, from_version=1, with_version=True)
+    chain = sorted((r._commit_version, r._change_type, r.s) for r in feed.collect())
+    assert chain == [
+        (2, "update_postimage", "from_A"),
+        (2, "update_preimage", "orig"),
+        (3, "update_postimage", "from_B"),
+        (3, "update_preimage", "from_A"),  # B's pre-image IS A's post-image
+    ]
+
+
+def test_merge_upsert_vacuum_and_time_travel(spark, tmp_path):
+    """The files an upsert replaced stay readable for time travel until
+    vacuum reclaims them; vacuum also sweeps crashed-upsert change-data
+    orphans but keeps committed change files (they are the feed)."""
+    import os as _os
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_changes,
+        vacuum_orphans,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )
+    v1 = _committed_version(target)
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B")], "k long, s string"),
+        ["k"],
+    )
+    # time travel to the pre-upsert snapshot
+    assert {r.s for r in read_committed(spark, target, version=v1).collect()} == {
+        "a",
+        "b",
+    }
+    # plant a fake crashed-upsert cdc orphan
+    orphan = _os.path.join(target, "_change_data", "cdc-deadbeef.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    removed = vacuum_orphans(target)
+    assert _os.path.join("_change_data", "cdc-deadbeef.parquet") in removed
+    # committed change files survive: the feed still replays
+    feed = table_changes(spark, target, from_version=v1)
+    assert feed.filter("_change_type = 'update_postimage'").count() == 1
+    # the replaced data file was reclaimed → v1 time travel now gone
+    assert {r.s for r in read_committed(spark, target).collect()} == {"a", "B"}
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """An upsert batch with a NEW column evolves the table additively:
+    carried-over and pre-evolution rows null-fill, the log schema
+    unions, and a re-typed column still fails the writer."""
+    import pytest as _pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B", 0.5)], "k long, s string, score double"),
+        ["k"],
+    )
+    snap = read_committed(spark, target)
+    assert set(snap.columns) == {"k", "s", "score"}
+    assert {r.k: (r.s, r.score) for r in snap.collect()} == {
+        1: ("a", None),
+        2: ("B", 0.5),
+    }
+    with _pytest.raises(ValueError, match="type conflict"):
+        merge_upsert(
+            spark,
+            target,
+            spark.createDataFrame([(3, 7)], "k long, s long"),
+            ["k"],
+        )

@@ -215,7 +215,9 @@ def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
 
     schema = _table_schema(target)
     assert [f.name for f in schema.fields] == ["k", "s"]
-    reader = _TxlogStreamReader(schema, {"path": target, "startingVersion": "1"})
+    # startingVersion is INCLUSIVE (Delta semantics): subscribing at 2
+    # delivers version 2 itself; the internal offset is therefore 1.
+    reader = _TxlogStreamReader(schema, {"path": target, "startingVersion": "2"})
     assert reader.initialOffset() == {"version": 1}
     assert reader.latestOffset() == {"version": 3}
 
@@ -266,3 +268,114 @@ def test_txlog_stream_reader_schema_evolution(spark, tmp_path):
         (1, None, 1),
         (2, "en", 2),
     ]
+
+
+def test_txlog_stream_reader_typed_cdc(spark, tmp_path):
+    """Upsert commits stream as TYPED change rows: the planner schedules
+    the commit's _change_data files (never the rewritten data files, so
+    carried-over rows don't replay), and read() surfaces the files' own
+    _change_type; insert commits keep tagging 'insert' from add files."""
+    from stonkwhisperer_spark.sinks.writers import merge_append, merge_upsert
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        CHANGE_COL,
+        VERSION_COL,
+        _table_schema,
+        _TxlogStreamReader,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )  # v1
+    merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, s string"),
+        ["k"],
+    )  # v2
+
+    reader = _TxlogStreamReader(_table_schema(target), {"path": target})
+    rows = []
+    for p in reader.partitions({"version": 0}, reader.latestOffset()):
+        for rb in reader.read(p):
+            rows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["s"], r[CHANGE_COL], r[VERSION_COL]) for r in rows) == [
+        (1, "a", "insert", 1),
+        (2, "B", "update_postimage", 2),
+        (2, "b", "insert", 1),
+        (2, "b", "update_preimage", 2),
+        (3, "c", "insert", 2),
+    ]
+
+
+def test_txlog_stream_max_commits_per_trigger(spark, tmp_path):
+    """Source rate limiting (SURVEY §2.9, the reference's LIMIT-100
+    polling): a 6-commit backlog with maxCommitsPerTrigger=2 drains in
+    ≥3 non-empty micro-batches — never one giant catch-up batch — and
+    the drained table is identical to the unlimited read."""
+    import time
+
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+        _table_schema,
+        _TxlogStreamReader,
+    )
+
+    target = str(tmp_path / "t")
+    for i in range(6):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([(i, f"v{i}")], "k long, s string"),
+            ["k"],
+        )
+
+    # Control plane first (no Spark roundtrip): offsets advance by 2.
+    reader = _TxlogStreamReader(
+        _table_schema(target), {"path": target, "maxCommitsPerTrigger": "2"}
+    )
+    assert reader.initialOffset() == {"version": 0}
+    assert reader.latestOffset() == {"version": 2}
+    assert reader.latestOffset() == {"version": 4}
+    assert reader.latestOffset() == {"version": 6}
+    assert reader.latestOffset() == {"version": 6}  # caught up
+
+    # The real stream: processingTime trigger (availableNow downgrades
+    # to single-batch in the Python bridge — it would stop at 2 commits).
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:
+        pass
+    name = "txlog_rate_limited"
+    feed = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .option("maxCommitsPerTrigger", 2)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 6:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 6, "backlog did not drain"
+        busy = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(busy) >= 3, (
+            f"6-commit backlog drained in {len(busy)} batches; "
+            "rate limit not applied"
+        )
+    finally:
+        q.stop()
+    rows = {(r.k, r.s, r._commit_version) for r in spark.table(name).collect()}
+    assert rows == {(i, f"v{i}", i + 1) for i in range(6)}
