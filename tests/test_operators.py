@@ -459,3 +459,51 @@ def test_kmv_estimate_accuracy(spark):
     assert exact > 256  # the estimator path (not the exact fallback) is in play
     rel_err = abs(row.estimated_distinct - exact) / exact
     assert rel_err <= 0.15, f"KMV error {rel_err:.3f} vs exact {exact}"
+
+
+def test_connected_components_star_path_graph(spark):
+    """The large-star/small-star engine: a 1000-node PATH (diameter 999
+    — min-label's worst case, which would hard-fail its 25-iteration
+    budget) collapses to one component in O(log² n) rounds (< 12), with
+    every node labeled by the component minimum."""
+    from stonkwhisperer_spark.operators.dedup import _cc_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1999)], "a long, b long"
+    )
+    labels, rounds = _cc_star(path)
+    assert rounds < 12, f"star CC took {rounds} rounds on a 1000-node path"
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert len(got) == 1000 and set(got.values()) == {1000}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Both engines agree on a mixed graph (dense cluster + pair +
+    star + chain), and algorithm='auto' transparently falls back to the
+    star engine when the diameter exceeds the label budget instead of
+    raising."""
+    import pytest as _pytest
+
+    from stonkwhisperer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (21, 20), (21, 22), (30, 31), (31, 32)],
+        "doc_a long, doc_b long",
+    )
+    label = {r.node: r.cluster_id
+             for r in connected_components(edges, algorithm="label").collect()}
+    star = {r.node: r.cluster_id
+            for r in connected_components(edges, algorithm="star").collect()}
+    assert label == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                             20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 32: 30}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
+    )
+    # explicit label mode with a too-small budget fails LOUDLY...
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=5, algorithm="label")
+    # ...auto falls back to the star engine and still answers exactly
+    got = {r.node: r.cluster_id
+           for r in connected_components(chain, max_iter=5).collect()}
+    assert len(got) == 41 and set(got.values()) == {100}
