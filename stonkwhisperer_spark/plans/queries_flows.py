@@ -1110,6 +1110,98 @@ def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_skipping_2d — multi-dimension Z-order compaction under the value
+# hash: after ONE Morton-key clustered rewrite, range predicates on BOTH
+# clustered columns skip files (asserted in-query), and the surviving
+# rows hash-match DuckDB recomputing the range from seed data.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_skipping_2d",
+    oracle="""
+    WITH b AS (SELECT max(user_id) AS mu FROM events)
+    SELECT event_id, user_id FROM events, b
+    WHERE user_id BETWEEN mu // 10 AND (25 * mu) // 100
+    """,
+)
+def q_txlog_skipping_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER, gated: five merges commit five disjoint event
+    slices (event_id mod 5 — every file spans both full domains, the
+    worst layout for skipping); one clustered compaction rewrites them
+    sorted by the bit-interleaved Morton key of (event_id, user_id);
+    then ``read_committed_pruned`` must skip files for a range
+    predicate on event_id AND for one on user_id — two-predicate
+    skipping being exactly what a lexicographic sort cannot provide
+    (its trailing column spans the full domain in every file;
+    test_compact_zorder_skips_on_both_columns pins the contrast). Both
+    pruning decisions are asserted in-query; the user_id-range result —
+    the read only Z-order makes cheap — is hash-compared against DuckDB
+    recomputing it from the seed table. Predicate bounds derive from
+    the data maxima with integer arithmetic (``mu // 10`` …), so the
+    same literal SQL is exact at every scale factor.
+
+    Scale: this is the background job that turns an append-ordered
+    100 TB table into one skippable on TWO predicate columns at once —
+    the rank bucketing is one aggregation pass, the interleave is pure
+    codegen'd JVM bit arithmetic, and the skip decision stays
+    driver-side manifest metadata."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        committed_files,
+        compact,
+        merge_append,
+        read_committed_pruned,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    me, mu = events.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_z_")
+    try:
+        target = f"{scratch}/t"
+        for i in range(5):
+            merge_append(
+                spark, target, events.filter(F.col("event_id") % 5 == i), ["event_id"]
+            )
+        total_bytes = sum(
+            _os.path.getsize(_os.path.join(target, f))
+            for f in committed_files(target)
+        )
+        if (
+            compact(
+                spark,
+                target,
+                # ~8 output files regardless of scale factor
+                target_bytes=max(1024, total_bytes // 8),
+                cluster_by=["event_id", "user_id"],
+                zorder=True,
+            )
+            == 0
+        ):
+            raise AssertionError("clustered compaction found nothing to rewrite")
+        _, e_read, e_total = read_committed_pruned(
+            spark, target, "event_id", (2 * me) // 10, (35 * me) // 100
+        )
+        if not e_read < e_total:
+            raise AssertionError(
+                f"event_id predicate pruned nothing: {e_read}/{e_total} files"
+            )
+        by_user, u_read, u_total = read_committed_pruned(
+            spark, target, "user_id", mu // 10, (25 * mu) // 100
+        )
+        if not u_read < u_total:
+            raise AssertionError(
+                f"user_id predicate pruned nothing after zorder: "
+                f"{u_read}/{u_total} files"
+            )
+        rows = by_user.select("event_id", "user_id").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_id bigint, user_id bigint")
+
+
+# --------------------------------------------------------------------------
 # txlog_schema_evolution — additive schema evolution on the table format
 # under the value hash: a later merge adds a column; the committed read
 # resolves the union schema FROM THE LOG and null-fills older files.

@@ -515,6 +515,55 @@ def table_changes(
     return out
 
 
+def _zorder_key(
+    snapshot: DataFrame, cluster_by: Sequence[str], bits: int = 8
+) -> Column:
+    """Z-order (Morton) key over ≥2 NUMERIC columns: each value is
+    range-bucketized into 2^bits ranks from the snapshot's driver-side
+    min/max (one aggregation pass — negligible next to the rewrite),
+    then the rank bits are interleaved with plain JVM shift/and/or
+    arithmetic — whole-stage-codegen expressions, no UDF. Sorting by
+    the interleaved key gives every output file a bounded range in
+    EVERY clustered dimension simultaneously, which is what makes
+    multi-column zone-map skipping work (OPTIMIZE ZORDER's core trick;
+    a lexicographic multi-column sort only bounds the first column).
+    NULLs rank 0 (they match no range predicate, so mis-clustering
+    them is harmless)."""
+    from pyspark.sql.types import NumericType
+
+    k = len(cluster_by)
+    fields = {f.name: f.dataType for f in snapshot.schema.fields}
+    for c in cluster_by:
+        if not isinstance(fields.get(c), NumericType):
+            raise ValueError(
+                f"zorder clustering requires numeric columns; '{c}' is "
+                f"{fields.get(c)}"
+            )
+    stats = snapshot.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cluster_by)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cluster_by)],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    z: Column = F.lit(0).cast("bigint")
+    for i, c in enumerate(cluster_by):
+        lo, hi = stats[f"_lo{i}"], stats[f"_hi{i}"]
+        if lo is None or hi is None or float(hi) == float(lo):
+            continue  # constant/all-null column carries no order
+        norm = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), F.floor(norm * n_buckets).cast("int")),
+        )
+        bucket = F.coalesce(bucket, F.lit(0))
+        for b in range(bits):
+            z = z + F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast(
+                "bigint"
+            ) * F.lit(1 << (b * k + i))
+    return z
+
+
 def compact(
     spark: SparkSession,
     target_path: str,
@@ -523,6 +572,7 @@ def compact(
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
     cluster_by: Sequence[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Small-file compaction (Delta OPTIMIZE analog): rewrite the
     committed files into ~``target_bytes`` parts and commit the swap as
@@ -537,6 +587,12 @@ def compact(
     (``stats``) become maximally selective — ingestion-ordered files
     answer a range predicate by reading everything, clustered files by
     reading one or two (see test_compact_cluster_by_tightens_zone_maps).
+    With ``zorder=True`` and ≥2 numeric ``cluster_by`` columns, the
+    rewrite sorts on the bit-interleaved Morton key instead
+    (:func:`_zorder_key`) — true multi-dimension OPTIMIZE ZORDER:
+    every output file gets a bounded range in EVERY clustered column,
+    so single-column predicates on ANY of them skip files
+    (lexicographic sort only serves the leading column).
 
     Merge-writers racing the compactor are safe: both CAS the same
     version sequence, the loser recomputes. Returns the number of files
@@ -569,7 +625,16 @@ def compact(
         snapshot = snapshot_reader.parquet(
             *[os.path.join(target_path, f) for f in old]
         )
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) >= 2:
+            # Morton-key clustering: disjoint z-ranges per output file
+            # ⇒ bounded min/max in every clustered dimension.
+            arranged = (
+                snapshot.withColumn("_zorder", _zorder_key(snapshot, cluster_by))
+                .repartitionByRange(n_parts, "_zorder")
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
+        elif cluster_by:
             # repartitionByRange + sortWithinPartitions = disjoint,
             # internally-ordered value ranges per output file.
             arranged = snapshot.repartitionByRange(

@@ -747,3 +747,63 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(3, 7)], "k long, s long"),
             ["k"],
         )
+
+
+def test_compact_zorder_skips_on_both_columns(spark, tmp_path):
+    """2-D Z-order compaction: after ONE clustered rewrite on the
+    Morton key of (x, y), a selective range predicate on x AND one on
+    y EACH open fewer files than the table holds — the multi-column
+    skipping 1-D lexicographic clustering cannot provide (its y zone
+    maps span the full domain in every file)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        compact,
+        committed_files,
+        merge_append,
+        read_committed_pruned,
+    )
+
+    rows = spark.range(4096).select(
+        F.col("id").alias("x"),
+        # y decorrelated from x via a fixed permutation-ish hash
+        F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("y"),
+    )
+    # --- z-order clustered table ---
+    zt = str(tmp_path / "z")
+    for lo in range(0, 4096, 1024):
+        merge_append(
+            spark, zt, rows.filter((F.col("x") >= lo) & (F.col("x") < lo + 1024)), ["x"]
+        )
+    assert compact(
+        spark, zt, target_bytes=4 * 1024, cluster_by=["x", "y"], zorder=True
+    ) > 0
+    n_files = len(committed_files(zt))
+    assert n_files >= 8, f"need several files for a skipping test, got {n_files}"
+
+    px, x_read, x_total = read_committed_pruned(spark, zt, "x", 100, 350)
+    py, y_read, y_total = read_committed_pruned(spark, zt, "y", 100, 350)
+    assert x_total == y_total == n_files
+    assert x_read < x_total, "x predicate pruned nothing after zorder"
+    assert y_read < y_total, "y predicate pruned nothing after zorder"
+    # pruning is never a correctness device: exact rows survive
+    assert px.count() == 251
+    assert py.count() == rows.filter(F.col("y").between(100, 350)).count()
+
+    # --- contrast: 1-D lexicographic clustering on x leaves y unprunable ---
+    lt = str(tmp_path / "lex")
+    for lo in range(0, 4096, 1024):
+        merge_append(
+            spark, lt, rows.filter((F.col("x") >= lo) & (F.col("x") < lo + 1024)), ["x"]
+        )
+    assert compact(spark, lt, target_bytes=4 * 1024, cluster_by=["x", "y"]) > 0
+    _, ly_read, ly_total = read_committed_pruned(spark, lt, "y", 100, 350)
+    assert ly_read == ly_total, "lexicographic sort should NOT prune on y"
+
+
+def test_zorder_requires_numeric_columns(spark, tmp_path):
+    from stonkwhisperer_spark.sinks.writers import _zorder_key
+
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="numeric"):
+        _zorder_key(df, ["x", "s"])
