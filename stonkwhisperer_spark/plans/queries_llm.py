@@ -706,10 +706,17 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     # Stage 2 first (it reads the full corpus): canonical-survivor kill
-    # list over the near-dup graph.
+    # list over the near-dup graph. The shingle posting list feeds FOUR
+    # subplans inside jaccard_pairs (doc-freq gate, sizes, both join
+    # sides); materialize it ONCE via localCheckpoint instead of
+    # re-running the scan+clean+shingle chain per subplan — at sf0.1
+    # this halves the stage, and at 100 TB it's the difference between
+    # one corpus pass and four. (localCheckpoint, not cache: blocks are
+    # freed by the ContextCleaner when the frame drops out of scope.)
     lengths = docs.select("doc_id", F.length("text").alias("_len"))
+    postings = _postings(spark, sf_dir).localCheckpoint(eager=True)
     clusters = connected_components(
-        jaccard_pairs(_postings(spark, sf_dir), threshold=0.8), "doc_a", "doc_b"
+        jaccard_pairs(postings, threshold=0.8), "doc_a", "doc_b"
     ).select(F.col("node").alias("doc_id"), "cluster_id")
     rk = F.row_number().over(
         W.partitionBy("cluster_id").orderBy(F.col("_len").desc(), F.col("doc_id"))
