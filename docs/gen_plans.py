@@ -31,6 +31,7 @@ NOTES = {
     "bucketed_order_lineitem_join": "Bucketed co-located fact-fact join: both scans report Bucketed: true, SelectedBucketsCount 16/16, and the SortMergeJoin sits DIRECTLY on the scans — zero Exchange nodes below the join (the in-query assertion enforces this); only the tiny post-join priority rollup shuffles.",
     "doc_repetition": "Repetition scorer: split/sequence/transform/array_distinct all in one projection over the scan — map-only, no exchange; the interpreted HOF lambda is amortized by spread() input splitting.",
     "dedup_canonical": "Canonical selection: the iterative-CC output (tiny vs corpus) joins doc lengths, then one window on cluster_id ranks members — the only shuffles are on the clustered subset, never the full corpus.",
+    "sentiment_closed_form": "Closed-form sentiment scoring: lexicon hit counts and the pinned-weight logit are one map-only codegen projection over the scan; the only exchange is the per-source ranking window (bounded partitions, never a global sort).",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -887,6 +887,72 @@ def q_txlog_cdc_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_cdc_delete_replay — the DELETE leg of the CDC contract under the
+# value hash: a predicate delete commit replays as typed 'delete' rows,
+# and the surviving snapshot is exactly the predicate's complement.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_cdc_delete_replay",
+    oracle="""
+    SELECT doc_id, source,
+           'delete' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM documents WHERE doc_id >= 20 AND doc_id < 40
+    """,
+)
+def q_txlog_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE under the value hash: seed a txlog table with
+    doc_id<60 (v1), then ``delete_where(doc_id BETWEEN 20 AND 39)``
+    (v2) — file-level copy-on-write removes exactly the matching rows.
+    ``table_changes`` from v1 must replay the delete commit as typed
+    ``delete`` rows carrying the removed values (Delta CDF's delete
+    leg), the snapshot must shrink to exactly the complement (asserted
+    in-query), and the DuckDB twin recomputes the deleted set from the
+    seed table. With upsert (txlog_cdc_update_replay) and insert
+    (txlog_cdc_replay), this completes the typed-CDC MERGE contract.
+
+    Scale: matched-file discovery + rewrite is O(matched data); a
+    delete on a zone-mapped column opens only the files whose stats
+    admit the predicate."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+        merge_append,
+        read_committed,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_del_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
+        v1 = _committed_version(target)
+        n = delete_where(
+            spark, target, F.col("doc_id").between(20, 39)
+        )
+        if n != 20:
+            raise AssertionError(f"delete removed {n} rows, expected 20")
+        if read_committed(spark, target).count() != 40:
+            raise AssertionError("snapshot is not the predicate complement")
+        feed = table_changes(spark, target, from_version=v1, with_version=True)
+        if feed is None:
+            raise AssertionError("CDC feed empty after delete commit")
+        rows = feed.select(
+            "doc_id", "source", "_change_type", "_commit_version"
+        ).collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, source string, _change_type string, _commit_version bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # txlog_stream_cdc — the SAME change feed consumed through readStream:
 # the txlog as a Spark 4 streaming DATA SOURCE (sources/txlog_stream.py),
 # offsets = commit versions, drained availableNow. Same oracle as the

@@ -62,62 +62,64 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- r4 red rows; oracle CAST(... AS BIGINT) fixed this round --
-    "pack_documents",
-    "user_event_runs",
-    # -- registered outside the r4 window; never driver-checked --
-    "nation_market_share",
-    "product_profit_by_nation",
-    "returned_item_customers",
-    "shipping_delay_priority",
-    "part_supplier_counts",
-    # -- new in round 5: hash-checked CDC rows for the txlog family --
+    # -- new in round 6: MERGE upsert + typed CDC, closed-form ML gate,
+    #    2-D Z-order skipping --
+    "txlog_cdc_update_replay",
+    "txlog_cdc_delete_replay",
+    "sentiment_closed_form",
+    "txlog_skipping_2d",
+    # -- changed in round 6 (typed CDC in table_changes/stream source,
+    #    zone-map hardening, star-CC fallback, postings checkpoint,
+    #    per-run bucketed tables): re-confirm under the driver --
     "txlog_cdc_replay",
     "txlog_stream_cdc",
-    "bucketed_order_lineitem_join",
-    "doc_repetition",
-    "dedup_canonical",
     "txlog_skipping",
     "txlog_schema_evolution",
-    "temperature_mixture",
+    "bucketed_order_lineitem_join",
+    "dup_clusters",
+    "dedup_canonical",
     "curation_e2e",
-    "event_weighted_stats_udaf",
     # -- rows-only by design: keep a recorded smoke row every round --
     "txlog_e2e",
     "flows_e2e",
     "sentiment_scores",
-    # -- oldest archived-green (last recorded row: round 2) --
-    "distinct_event_types",
-    "profile_documents",
-    # -- r3-green rotation: unchanged code, re-confirm oldest first --
-    "api_ingest_e2e",
-    "asof_next_sentiment",
-    "asof_sentiment_bars",
-    "bars_clean",
-    "bars_enrich",
-    "clean_documents",
-    "click_buy_reconcile",
-    "clickers_minus_buyers",
-    "dedup_keep_first",
-    "dedup_low_card",
-    "doc_fingerprints",
-    "doc_shingles",
-    "embedding_lsh_buckets",
-    "embedding_near_dup",
-    "event_type_stats_salted",
-    "events_in_promo_windows",
-    "events_in_promo_windows_grid",
-    "events_props_parsed",
-    "events_schema_evolution_union",
-    "fuzzy_near_dups",
-    "ivf_topk_embeddings",
-    "knn_embeddings",
-    "minhash_band_candidates",
-    "near_dup_jaccard",
-    "new_urls_anti",
-    "news_clean",
-    "posts_clean",
-    "posts_link_articles",
+    # -- oldest archived-green (last recorded row: round 3) --
+    "ohlcv_1min",
+    "pricing_summary",
+    "topk_newest_events",
+    "user_event_pivot",
+    "vwap_1min",
+    "clickers_and_buyers",
+    "value_outliers",
+    "click_surplus_multiset",
+    "simhash_signatures",
+    "orders_monthly",
+    "order_price_quantiles",
+    "trailing_30d_spend",
+    "order_deciles",
+    "event_prop_keys",
+    "order_relative_ranks",
+    "zip_docs_embeddings",
+    "region_revenue",
+    # -- r4-green rotation: unchanged code, oldest families first --
+    "streaming_ohlcv",
+    "streaming_join",
+    "streaming_sessions",
+    "streaming_dedup",
+    "doc_token_positions_udtf",
+    "benchmark_contamination",
+    "pii_scrub",
+    "kmv_distinct_estimate",
+    "event_sessions",
+    "purchase_funnel",
+    "weekly_cohort_retention",
+    "text_quality",
+    "token_stats",
+    "quality_filter",
+    "mixture_sample",
+    "media_manifest",
+    "gapfill_events",
+    "price_qty_correlation",
 ]
 
 

@@ -15,11 +15,13 @@ Reference semantics re-expressed Spark-first:
   * K6 — TimescaleDB hypertable DDL (migration.py:30-36) becomes a
     date-partitioned table layout (``bar_date`` partition column).
 
-On a platform with Delta/Iceberg, ``merge_append`` is ``MERGE INTO ...
-WHEN NOT MATCHED THEN INSERT`` — atomic under concurrent writers. Delta
-is not installable here, so ``merge_append`` carries its own minimal
-optimistic-concurrency commit log (the same protocol Delta's
-transaction log uses, reduced to the insert-only case):
+On a platform with Delta/Iceberg these writers are ``MERGE INTO``:
+``merge_append`` = WHEN NOT MATCHED INSERT, ``merge_upsert`` = WHEN
+MATCHED UPDATE + WHEN NOT MATCHED INSERT, ``delete_where`` = DELETE
+WHERE — all atomic under concurrent writers, all emitting the typed
+change-data feed (``table_changes``). Delta is not installable here,
+so the writers carry their own minimal optimistic-concurrency commit
+log (the same protocol Delta's transaction log uses):
 
   * data files are uniquely-named parquet parts in the table root —
     plain ``spark.read.parquet(path)`` keeps working;
@@ -1019,6 +1021,116 @@ def merge_upsert(
         _cleanup()
     raise RuntimeError(
         f"merge_upsert lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    condition: Column,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> int:
+    """Delta ``DELETE FROM target WHERE condition`` on the parquet
+    txlog — the third leg of the MERGE contract (insert:
+    :func:`merge_append`, update: :func:`merge_upsert`). Returns the
+    number of rows deleted.
+
+    File-level copy-on-write: only the files that CONTAIN matching rows
+    are rewritten (their surviving rows carried over); the commit
+    atomically records remove=<touched files> + add=<rewritten files>,
+    so O(matched data) at 100 TB, never a table rewrite — and a
+    predicate on a zone-mapped column touches only the files whose
+    stats admit it. TYPED CDC: the commit writes ``_change_data``
+    files tagging every removed row ``delete``, which
+    :func:`table_changes` and the streaming source replay (Delta CDF's
+    delete rows). Concurrency: same optimistic CAS as the merges —
+    stage, CAS, on collision delete staged sets and recompute against
+    the winner's snapshot."""
+    import pyarrow.parquet as pq
+
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        declared = _schema_from(commits)
+        committed = _files_from(commits)
+        if not committed:
+            return 0  # empty table (legacy tables: adopt via a merge first)
+        reader = spark.read.option("basePath", target_path)
+        if declared is not None:
+            reader = reader.schema(declared)
+        existing = reader.parquet(
+            *[os.path.join(target_path, f) for f in committed]
+        )
+        root = os.path.abspath(target_path)
+        matched_files = sorted(
+            {
+                _uri_to_rel(r[0], root)
+                for r in existing.withColumn("__file", F.input_file_name())
+                .filter(condition)
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+        )
+        if not matched_files:
+            return 0
+        touched_reader = spark.read.option("basePath", target_path)
+        if declared is not None:
+            touched_reader = touched_reader.schema(declared)
+        touched = touched_reader.parquet(
+            *[os.path.join(target_path, f) for f in matched_files]
+        )
+        carried = touched.filter(~condition)
+        deleted = touched.filter(condition)
+
+        staged = _stage_files(carried, target_path, partition_cols)
+        # The carried set can be empty (whole files deleted): drop the
+        # writer's empty part rather than committing a 0-row file.
+        live_staged = []
+        for rel in staged:
+            if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
+                live_staged.append(rel)
+            else:
+                os.remove(os.path.join(target_path, rel))
+        cdc_staged = _stage_cdc_files(
+            deleted.withColumn(_CHANGE_COL, F.lit("delete")), target_path
+        )
+        n_deleted = 0
+        for rel in cdc_staged:
+            n_deleted += pq.ParquetFile(
+                os.path.join(target_path, rel)
+            ).metadata.num_rows
+
+        def _cleanup():
+            for rel in live_staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if n_deleted == 0:
+            _cleanup()
+            return 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            live_staged,
+            0,
+            remove=matched_files,
+            stats=_collect_stats(target_path, live_staged),
+            schema=json.dumps(touched.schema.jsonValue())
+            if declared is None
+            else None,
+            cdc=cdc_staged,
+        ):
+            return n_deleted
+        _cleanup()
+    raise RuntimeError(
+        f"delete_where lost the commit race {max_retries} times at {target_path}"
     )
 
 

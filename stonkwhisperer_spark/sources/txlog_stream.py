@@ -12,10 +12,12 @@ This is the piece that turns the K2 table format (sinks/writers.py) into
 a streamable source without rescanning history (the reference's daily
 batch re-poll, flows/news_etl_flow.py, is the contract being replaced):
 each micro-batch covers a half-open commit-version range (start, end],
-reads ONLY the parquet files those commits added, skips compaction
+reads ONLY the parquet files those commits added (or, for
+upsert/delete commits, their ``_change_data`` files), skips compaction
 rewrites (same rule as :func:`sinks.writers.table_changes`), and tags
-every row with its originating commit as ``_commit_version`` (Delta
-CDF's column).
+every row with ``_change_type`` (insert / update_preimage /
+update_postimage / delete — Delta CDF's column) and its originating
+commit as ``_commit_version``.
 
 Scale posture: this is the full ``DataSourceStreamReader`` — offset
 resolution and partition planning are driver-side O(#commits) metadata

@@ -92,6 +92,9 @@ def test_gate_window_rotation(qmap):
 
     names = list(qmap)
     window = set(names[:50])
-    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("api_ingest_e2e")]
+    # r6 window: the archived-green re-confirmation section starts at
+    # the oldest r3 row ("ohlcv_1min"); everything before it is new,
+    # changed, or rows-only and MUST be driver-checked this round.
+    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("ohlcv_1min")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted

@@ -807,3 +807,83 @@ def test_zorder_requires_numeric_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="numeric"):
         _zorder_key(df, ["x", "s"])
+
+
+def test_delete_where_copy_on_write_and_cdc(spark, tmp_path):
+    """DELETE FROM ... WHERE on the txlog: only files containing
+    matching rows are rewritten, survivors carry over, the CDC feed
+    tags removed rows 'delete', wholly-deleted files commit no empty
+    part, and a no-match predicate is a no-op (no commit)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+        merge_append,
+        read_committed,
+        table_changes,
+    )
+
+    target = str(tmp_path / "t")
+    lo = spark.createDataFrame([(i, "lo") for i in range(5)], "k long, s string")
+    hi = spark.createDataFrame([(i, "hi") for i in range(100, 105)], "k long, s string")
+    merge_append(spark, target, lo.coalesce(1), ["k"])
+    merge_append(spark, target, hi.coalesce(1), ["k"])
+    v2 = _committed_version(target)
+
+    # partial delete: the lo file is rewritten, the hi file untouched
+    assert delete_where(spark, target, F.col("k") < 2) == 2
+    snap = {r.k for r in read_committed(spark, target).collect()}
+    assert snap == {2, 3, 4, 100, 101, 102, 103, 104}
+    feed = table_changes(spark, target, from_version=v2, with_version=True)
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+        (0, "delete"),
+        (1, "delete"),
+    ]
+
+    # no-op delete: nothing matches, no commit appended
+    v = _committed_version(target)
+    assert delete_where(spark, target, F.col("k") > 10_000) == 0
+    assert _committed_version(target) == v
+
+    # whole-file delete: the hi file disappears without an empty part
+    assert delete_where(spark, target, F.col("s") == "hi") == 5
+    assert {r.k for r in read_committed(spark, target).collect()} == {2, 3, 4}
+    feed = table_changes(spark, target, from_version=v)
+    assert feed.filter("_change_type = 'delete'").count() == 5
+
+
+def test_delete_where_concurrent_with_merge(spark, tmp_path):
+    """A delete racing a merge serializes through the CAS: the delete
+    stages its rewrite, the merge commits first (fault injection), the
+    delete loses, recomputes against the merged snapshot and still
+    removes exactly the matching rows — including ones the winning
+    merge just inserted."""
+    from stonkwhisperer_spark.sinks.writers import (
+        delete_where,
+        merge_append,
+        read_committed,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )
+    sneak = {}
+
+    def merge_sneaks_in():
+        if not sneak:
+            sneak["n"] = merge_append(
+                spark,
+                target,
+                spark.createDataFrame([(3, "c")], "k long, s string"),
+                ["k"],
+            )
+
+    n = delete_where(
+        spark, target, F.col("k") >= 2, _pre_commit_hook=merge_sneaks_in
+    )
+    assert sneak["n"] == 1
+    assert n == 2  # rows 2 AND the freshly-merged 3
+    assert [(r.k, r.s) for r in read_committed(spark, target).collect()] == [(1, "a")]
