@@ -1326,3 +1326,151 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id bigint, source string, lang string"
     )
+
+
+# --------------------------------------------------------------------------
+# txlog_restore_replay — RESTORE TO VERSION AS OF under the value hash:
+# mutate a table through upsert + delete, roll it back, and prove the
+# head snapshot equals the original seed bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_restore_replay",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE doc_id < 60
+    """,
+)
+def q_txlog_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``RESTORE TABLE t TO VERSION AS OF 1``: seed doc_id<60
+    (v1), ``merge_upsert`` a rewriting batch over [30,90) (v2),
+    ``delete_where(doc_id < 10)`` (v3), then ``restore`` to v1 (v4) —
+    a METADATA-ONLY commit that flips the file view back (re-add the
+    files the upsert/delete rewrote away, drop the files they added;
+    nothing is rewritten). The head read must equal the seed exactly —
+    the DuckDB twin recomputes the seed from the source table, so a
+    restore that missed a removed file, resurrected a deleted row
+    twice, or lost re-added zone maps hash-fails. In-query asserts
+    pin the journey: v3 differs from the seed, the restore touched
+    files in both directions, and the PRE-restore state stays
+    time-travelable (history is append-only; the roll-back is itself
+    a commit, as in Delta).
+
+    Scale: O(#commits) driver metadata + footer row counts — restoring
+    a 100 TB table moves no data. Timestamp-based travel
+    (``version_as_of``) rides the same manifests."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        restore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_restore_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
+        v1 = _committed_version(target)
+        merge_upsert(
+            spark,
+            target,
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 90))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u"))),
+            ["doc_id"],
+        )
+        delete_where(spark, target, F.col("doc_id") < 10)
+        v3 = _committed_version(target)
+        mutated = read_committed(spark, target).count()
+        if mutated != 80:  # 90 seeded+inserted keys minus 10 deleted
+            raise AssertionError(f"pre-restore snapshot {mutated} rows, expected 80")
+        re_added, dropped = restore(spark, target, version=v1)
+        if not re_added or not dropped:
+            raise AssertionError(
+                f"restore was a no-op (re_added={re_added}, dropped={dropped})"
+            )
+        # history preserved: the pre-restore state is still reachable
+        if read_committed(spark, target, version=v3).count() != 80:
+            raise AssertionError("pre-restore version no longer time-travelable")
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
+# txlog_stream_sink — EXACTLY-ONCE streaming write INTO the txlog:
+# foreachBatch + per-epoch transaction ledger (Delta txnAppId/txnVersion).
+# The stream runs TWICE (second run over a fresh checkpoint); the final
+# table must still equal the seed exactly — duplicates would hash-fail.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_stream_sink",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE doc_id < 60
+    """,
+)
+def q_txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the parquet txlog
+    (``start_txn_append_stream``): stage the seed as a 2-file landing
+    zone, stream it with ``maxFilesPerTrigger=1`` (2 deterministic
+    micro-batches) through a foreachBatch sink that commits each batch
+    via ``append_txn`` with (app_id, epoch_id) transaction identity —
+    then RE-RUN the whole stream over a FRESH checkpoint. The replayed
+    epochs find their (app, version) markers already in the commit
+    ledger and skip, so the table holds each seed row exactly once;
+    the DuckDB twin recomputes the seed, and any duplicate (or lost)
+    batch hash-fails. This is Delta's idempotent
+    ``txnAppId``/``txnVersion`` streaming-sink contract — exactly-once
+    table contents from an at-least-once foreachBatch, with NO
+    key-based dedup (blind append, no target read).
+
+    Scale: each micro-batch costs O(batch) regardless of table size —
+    the continuous-ingest shape for a 100 TB table; contrast
+    ``start_merge_stream``, which pays a key anti-join per batch."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        last_txn_version,
+        read_committed,
+    )
+    from stonkwhisperer_spark.streaming.jobs import start_txn_append_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_sink_")
+    try:
+        landing = f"{scratch}/landing"
+        # Two separate single-file drops → a deterministic 2-batch split
+        # under maxFilesPerTrigger=1 on both runs.
+        docs.filter(F.col("doc_id") < 30).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        target = f"{scratch}/t"
+
+        def run(ckpt: str) -> None:
+            stream = (
+                spark.readStream.schema("doc_id bigint, source string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing)
+            )
+            q = start_txn_append_stream(stream, target, "doc-ingest", ckpt)
+            q.awaitTermination(120)
+
+        run(f"{scratch}/ckpt1")
+        if last_txn_version(target, "doc-ingest") != 1:
+            raise AssertionError("expected 2 micro-batch transactions (0 and 1)")
+        first = read_committed(spark, target).count()
+        run(f"{scratch}/ckpt2")  # full replay, fresh checkpoint
+        if read_committed(spark, target).count() != first:
+            raise AssertionError("replayed stream duplicated rows")
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")

@@ -63,11 +63,14 @@ def oracle_map() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
     # -- new in round 6: MERGE upsert + typed CDC, closed-form ML gate,
-    #    2-D Z-order skipping --
+    #    2-D Z-order skipping, RESTORE + timestamp travel, exactly-once
+    #    txn streaming sink --
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
     "txlog_skipping_2d",
+    "txlog_restore_replay",
+    "txlog_stream_sink",
     # -- changed in round 6 (typed CDC in table_changes/stream source,
     #    zone-map hardening, star-CC fallback, postings checkpoint,
     #    per-run bucketed tables): re-confirm under the driver --

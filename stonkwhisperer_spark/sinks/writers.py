@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Sequence
 
@@ -195,6 +196,38 @@ def committed_files(target_path: str, version: int | None = None) -> list[str]:
     return _files_from(_commits(target_path, version))
 
 
+def _commit_ts(target_path: str, c: dict) -> int:
+    """A commit's timestamp in epoch millis: the recorded ``ts`` field,
+    else (pre-timestamp commits) the manifest file's mtime — the same
+    fallback Delta uses when a checkpoint lacks in-commit timestamps."""
+    if "ts" in c:
+        return c["ts"]
+    manifest = os.path.join(_txlog_path(target_path), f"{c['version']:08d}.json")
+    return int(os.path.getmtime(manifest) * 1000)
+
+
+def version_as_of(target_path: str, timestamp_ms: int) -> int:
+    """Timestamp-based time travel (Delta's ``timestampAsOf``): the
+    LATEST committed version whose commit timestamp is <= the given
+    epoch-millis instant. Raises if the instant predates the first
+    commit (Delta raises the same way — there is no table state to
+    serve). Driver-side O(#commits) metadata scan, no data touched."""
+    commits = _commits(target_path)
+    if not commits:
+        raise ValueError(f"no commits at {target_path}")
+    chosen: int | None = None
+    for c in commits:
+        if _commit_ts(target_path, c) <= timestamp_ms:
+            chosen = c["version"]
+    if chosen is None:
+        first = _commit_ts(target_path, commits[0])
+        raise ValueError(
+            f"timestamp {timestamp_ms} predates the first commit ({first}) "
+            f"at {target_path}"
+        )
+    return chosen
+
+
 def _try_commit(
     target_path: str,
     version: int,
@@ -205,6 +238,8 @@ def _try_commit(
     stats: dict[str, dict] | None = None,
     schema: str | None = None,
     cdc: list[str] | None = None,
+    txn: dict | None = None,
+    restore_of: int | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -215,7 +250,11 @@ def _try_commit(
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
-    body = {"add": add, "n": n}
+    # Commit timestamp (epoch millis) — the anchor for timestamp-based
+    # time travel (Delta's `timestampAsOf`). Written by the winner at
+    # CAS time, so commit order and timestamp order agree on one
+    # writer host; version order remains the authoritative order.
+    body = {"add": add, "n": n, "ts": time.time_ns() // 1_000_000}
     if remove:
         body["remove"] = remove
     if compaction:
@@ -226,6 +265,10 @@ def _try_commit(
         body["schema"] = schema
     if cdc:
         body["cdc"] = cdc
+    if txn:
+        body["txn"] = txn
+    if restore_of is not None:
+        body["restore"] = restore_of
     with os.fdopen(fd, "w") as fh:
         # allow_nan=False: the manifest is the table's public format —
         # strict JSON only (Infinity/NaN tokens would break non-Python
@@ -416,20 +459,29 @@ def read_committed_pruned(
 
 
 def read_committed(
-    spark: SparkSession, target_path: str, version: int | None = None
+    spark: SparkSession,
+    target_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame | None:
     """Strict committed-only read: only files referenced by a commit
     manifest — a crashed writer's orphaned staging output is invisible.
     Pass ``version`` for time travel (the snapshot as of that commit;
     earlier files must not have been vacuumed yet, same rule as Delta's
-    retention window). ``basePath`` keeps partition-directory columns
-    recoverable.
+    retention window) or ``timestamp_ms`` for timestamp-based travel
+    (resolved to a version via :func:`version_as_of`; passing both
+    raises, as in Delta). ``basePath`` keeps partition-directory
+    columns recoverable.
 
     Schema comes from the LOG when commits recorded one (the union of
     writer schemas — additive evolution): files written before a column
     existed null-fill it, and no footer round-trip per file is needed
     (the mergeSchema-option cost Delta also avoids by logging schemas).
     """
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_as_of(target_path, timestamp_ms)
     commits = _commits(target_path, version)
     files = _files_from(commits)
     if not files:
@@ -689,6 +741,189 @@ def vacuum_orphans(target_path: str) -> list[str]:
                 os.remove(os.path.join(cdc_dir, fn))
                 removed.append(rel)
     return removed
+
+
+def restore(
+    spark: SparkSession,
+    target_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    max_retries: int = 20,
+) -> tuple[int, int]:
+    """Delta ``RESTORE TABLE t TO VERSION AS OF v`` (or TIMESTAMP AS OF)
+    on the parquet txlog: commit a NEW version whose file view equals
+    the view at the target version — metadata-only roll-back, no data
+    rewrite. Returns (files_re_added, files_dropped).
+
+    The restore is itself a commit (history is never erased — time
+    travel to the pre-restore state keeps working, as in Delta), and
+    it is O(#commits) driver metadata plus footer reads for the
+    re-added row count: at 100 TB nothing re-writes, the manifest just
+    flips adds/removes. Files the target view needs must still exist
+    (not vacuumed) — missing files raise loudly rather than committing
+    a view that cannot be read, the same guard Delta's RESTORE applies
+    against its retention window.
+
+    TYPED CDC: the commit stages change rows computed as the FILE-level
+    diff — rows of re-added files tagged ``insert``, rows of dropped
+    files tagged ``delete`` (what Delta CDF emits for RESTORE). A
+    restore that crosses a compaction boundary therefore reports
+    physically-rewritten rows as delete+insert pairs even though table
+    CONTENTS did not change there — a physical, not logical, diff
+    (documented Delta caveat as well).
+
+    Divergence from Delta, documented: the log's schema is an additive
+    union, so restore reverts DATA only; columns evolved after the
+    target version remain in the read schema and null-fill over
+    re-added files.
+    """
+    import pyarrow.parquet as pq
+
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_as_of(target_path, timestamp_ms)
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            raise ValueError(f"no commits at {target_path}")
+        head = commits[-1]["version"]
+        if version is None or version > head:
+            raise ValueError(f"restore target {version} not in log (head={head})")
+        old_commits = [c for c in commits if c["version"] <= version]
+        old_files = _files_from(old_commits)
+        cur_files = _files_from(commits)
+        re_add = sorted(set(old_files) - set(cur_files))
+        drop = sorted(set(cur_files) - set(old_files))
+        if not re_add and not drop:
+            return 0, 0  # restoring to the current view is a no-op
+        missing = [
+            f for f in re_add if not os.path.exists(os.path.join(target_path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version} needs vacuumed file(s) {missing[:3]}… "
+                f"at {target_path} — target version is beyond the retention "
+                "window"
+            )
+        evolved = _schema_from(commits)
+
+        def _tagged(rel_files: list[str], tag: str) -> DataFrame | None:
+            if not rel_files:
+                return None
+            reader = spark.read.option("basePath", target_path)
+            if evolved is not None:
+                reader = reader.schema(evolved)
+            return reader.parquet(
+                *[os.path.join(target_path, f) for f in rel_files]
+            ).withColumn(_CHANGE_COL, F.lit(tag))
+
+        ins, dels = _tagged(re_add, "insert"), _tagged(drop, "delete")
+        cdc = ins.unionByName(dels) if ins is not None and dels is not None else (
+            ins if ins is not None else dels
+        )
+        cdc_staged = _stage_cdc_files(cdc, target_path)
+        n = sum(
+            pq.ParquetFile(os.path.join(target_path, f)).metadata.num_rows
+            for f in re_add
+        )
+        old_stats = _stats_from(old_commits)
+        if _try_commit(
+            target_path,
+            head + 1,
+            re_add,
+            n,
+            remove=drop,
+            stats={f: old_stats[f] for f in re_add if f in old_stats},
+            cdc=cdc_staged,
+            restore_of=version,
+        ):
+            return len(re_add), len(drop)
+        for rel in cdc_staged:  # lost the CAS — recompute against winner
+            try:
+                os.remove(os.path.join(target_path, rel))
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"restore lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def last_txn_version(target_path: str, app_id: str) -> int | None:
+    """The highest transaction version committed for ``app_id`` —
+    Delta's ``txnAppId``/``txnVersion`` idempotent-writer ledger,
+    replayed from the commit manifests (O(#commits) driver metadata).
+    None when the app has never committed."""
+    best: int | None = None
+    for c in _commits(target_path):
+        t = c.get("txn")
+        if t and t.get("app") == app_id:
+            best = t["version"] if best is None else max(best, t["version"])
+    return best
+
+
+def append_txn(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    app_id: str,
+    txn_ver: int,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> int:
+    """Idempotent transactional blind append — Delta's
+    ``option("txnAppId", app).option("txnVersion", v)`` contract: the
+    batch lands AT MOST ONCE per (app_id, txn_ver). A replay (same or
+    older txn_ver) is a no-op returning 0; the caller (typically a
+    foreachBatch streaming sink replaying after a checkpoint recovery)
+    gets exactly-once table contents without any key-based dedup.
+
+    The already-committed check runs INSIDE the CAS retry loop against
+    a fresh log snapshot, so two racing instances of the same app
+    cannot both land the same transaction: the loser's CAS fails, it
+    re-reads the log, sees the winner's txn marker, and skips. Blind
+    append = no target read at all — O(batch) regardless of table
+    size, the cheapest possible write path at 100 TB.
+    """
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        seen = last_txn_version(target_path, app_id)
+        if seen is not None and seen >= txn_ver:
+            return 0  # this transaction (or a later one) already landed
+        declared = _schema_from(commits)
+        if declared is not None:
+            types = {f.name: f.dataType.json() for f in declared.fields}
+            for f in batch.schema.fields:
+                if f.name in types and types[f.name] != f.dataType.json():
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}' at "
+                        f"{target_path}: table has {types[f.name]}, "
+                        f"batch has {f.dataType.json()}"
+                    )
+        staged = _stage_files(batch, target_path, partition_cols)
+        n = _staged_row_count(target_path, staged)
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            staged,
+            n,
+            stats=_collect_stats(target_path, staged),
+            schema=json.dumps(batch.schema.jsonValue()),
+            txn={"app": app_id, "version": txn_ver},
+        ):
+            return n
+        for rel in staged:  # lost the CAS — another writer took version+1
+            try:
+                os.remove(os.path.join(target_path, rel))
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(
+        f"append_txn lost the commit race {max_retries} times at {target_path}"
+    )
 
 
 def merge_append(

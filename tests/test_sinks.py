@@ -887,3 +887,153 @@ def test_delete_where_concurrent_with_merge(spark, tmp_path):
     assert sneak["n"] == 1
     assert n == 2  # rows 2 AND the freshly-merged 3
     assert [(r.k, r.s) for r in read_committed(spark, target).collect()] == [(1, "a")]
+
+
+def test_restore_rolls_back_data_and_keeps_history(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: head equals the target snapshot, the
+    pre-restore state stays time-travelable (history is append-only),
+    and the restore commit carries a typed file-diff CDC."""
+    from stonkwhisperer_spark.sinks.writers import (
+        delete_where,
+        merge_upsert,
+        read_committed,
+        restore,
+        table_changes,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark,
+        target,
+        spark.range(10).select("id", (F.col("id") * 10).alias("v")),
+        ["id"],
+    )
+    merge_upsert(
+        spark,
+        target,
+        spark.range(5, 15).select("id", F.lit(-1).cast("long").alias("v")),
+        ["id"],
+    )
+    delete_where(spark, target, F.col("id") < 3)
+    pre_restore = read_committed(spark, target).count()  # 12: 15 - 3 deleted
+
+    re_added, dropped = restore(spark, target, version=1)
+    assert re_added > 0 and dropped > 0
+    rows = [(r.id, r.v) for r in read_committed(spark, target).orderBy("id").collect()]
+    assert rows == [(i, i * 10) for i in range(10)]
+    # history preserved: v3 (post-delete) is still reachable
+    assert read_committed(spark, target, version=3).count() == pre_restore
+    # typed CDC for the restore commit: inserts for re-added files,
+    # deletes for dropped files (Delta CDF's RESTORE physical diff)
+    cdc = table_changes(spark, target, from_version=3)
+    kinds = {r["_change_type"] for r in cdc.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "delete"}
+    # restoring to the now-current view is a no-op, not a new commit
+    assert restore(spark, target, version=4) == (0, 0)
+
+
+def test_restore_refuses_vacuumed_files_and_bad_targets(spark, tmp_path):
+    """A restore whose target view needs a physically-missing file must
+    raise, never commit an unreadable view; targets beyond head raise."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        committed_files,
+        delete_where,
+        restore,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(spark, target, spark.range(10).select("id"), ["id"])
+    v1_files = set(committed_files(target, version=1))
+    delete_where(spark, target, F.col("id") >= 0)  # drops every v1 file
+    gone = v1_files - set(committed_files(target))
+    for rel in gone:  # simulate an aggressive vacuum past retention
+        os.remove(os.path.join(target, rel))
+    with pytest.raises(FileNotFoundError, match="retention"):
+        restore(spark, target, version=1)
+    with pytest.raises(ValueError, match="not in log"):
+        restore(spark, target, version=99)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf semantics: latest version with commit ts <= the
+    instant; pre-first-commit instants raise; version+timestamp raise."""
+    import time as _time
+
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        read_committed,
+        version_as_of,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    before_any = int(_time.time() * 1000) - 1
+    merge_append(spark, target, spark.range(5).select("id"), ["id"])
+    after_v1 = int(_time.time() * 1000)
+    _time.sleep(0.05)  # commit timestamps are millis — keep them distinct
+    merge_append(spark, target, spark.range(5, 9).select("id"), ["id"])
+
+    assert version_as_of(target, after_v1) == 1
+    assert read_committed(spark, target, timestamp_ms=after_v1).count() == 5
+    assert read_committed(
+        spark, target, timestamp_ms=int(_time.time() * 1000)
+    ).count() == 9
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(target, before_any)
+    with pytest.raises(ValueError, match="not both"):
+        read_committed(spark, target, version=1, timestamp_ms=after_v1)
+
+
+def test_append_txn_idempotent_replay(spark, tmp_path):
+    """Delta txnAppId/txnVersion contract: the same (app, version)
+    lands at most once; an older version replay is a no-op; a new
+    version lands; an unrelated app is independent."""
+    from stonkwhisperer_spark.sinks.writers import (
+        append_txn,
+        last_txn_version,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    b = spark.range(5).select("id")
+    assert append_txn(spark, target, b, "appA", 0) == 5
+    assert append_txn(spark, target, b, "appA", 0) == 0  # replay
+    assert read_committed(spark, target).count() == 5
+    assert append_txn(spark, target, b, "appA", 1) == 5
+    assert append_txn(spark, target, b, "appA", 0) == 0  # stale replay
+    assert append_txn(spark, target, b, "appB", 0) == 5  # other app
+    assert last_txn_version(target, "appA") == 1
+    assert last_txn_version(target, "appB") == 0
+    assert last_txn_version(target, "appC") is None
+    assert read_committed(spark, target).count() == 15
+
+
+def test_append_txn_concurrent_same_txn_lands_once(spark, tmp_path):
+    """Two racing writers declaring the SAME transaction: the CAS loser
+    re-reads the log, sees the winner's txn marker, and skips — the
+    batch lands exactly once (the guard that makes foreachBatch replays
+    safe even mid-race)."""
+    from stonkwhisperer_spark.sinks.writers import append_txn, read_committed
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    b = spark.range(7).select("id")
+    sneak = {}
+
+    def rival_commits_same_txn():
+        if not sneak:
+            sneak["done"] = True
+            sneak["n"] = append_txn(spark, target, b, "appA", 0)
+
+    n = append_txn(
+        spark, target, b, "appA", 0, _pre_commit_hook=rival_commits_same_txn
+    )
+    assert sneak["n"] == 7  # the sneaked-in rival won
+    assert n == 0  # loser detected the txn marker on retry and skipped
+    assert read_committed(spark, target).count() == 7

@@ -350,3 +350,42 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert got == expected
+
+
+def test_txn_append_stream_exactly_once(spark, tmp_path):
+    """Exactly-once txlog streaming sink: an availableNow run over a
+    2-file landing zone with maxFilesPerTrigger=1 commits one
+    transaction per micro-batch; re-running the WHOLE stream over a
+    fresh checkpoint (same app_id, same deterministic batch split)
+    lands zero duplicate rows — idempotence from the commit ledger,
+    not from any key."""
+    import datetime as dt
+
+    from stonkwhisperer_spark.sinks.writers import last_txn_version, read_committed
+    from stonkwhisperer_spark.streaming.jobs import start_txn_append_stream
+
+    landing = str(tmp_path / "landing")
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    _drop(spark, landing, [(f"https://ex.com/{i}", f"t{i}", t0) for i in range(3)])
+    _drop(spark, landing, [(f"https://ex.com/{i}", f"t{i}", t0) for i in range(3, 5)])
+
+    target = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(target)
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(NEWS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = start_txn_append_stream(stream, target, "news-ingest", ckpt)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert read_committed(spark, target).count() == 5
+    assert last_txn_version(target, "news-ingest") == 1  # 2 batches: 0, 1
+
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    assert read_committed(spark, target).count() == 5  # no duplicates
