@@ -359,3 +359,75 @@ def simhash16_exploded(token_rows: DataFrame, id_col: str = "doc_id") -> DataFra
     for j in range(16):
         out = out + F.when(F.col(f"_s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return agg.select(id_col, out.cast("int").alias("simhash"))
+
+
+def word_spans(text: Column, chunk_words: int = 16) -> Column:
+    """Fixed-width word spans of a document: split on single spaces,
+    regroup into ``chunk_words``-word chunks (the last one ragged).
+    Pure JVM array expressions — ``split``/``sequence``/``transform``/
+    ``slice``/``array_join`` — so span construction is map-only
+    whole-stage codegen, no shuffle and no Python.
+
+    This is the unit of EXACT duplicated-span removal (the
+    boilerplate-paragraph scrub of C4/RefinedWeb-style curation,
+    applied at word-chunk granularity for delimiter-free corpora);
+    swap in ``F.split(text, delim)`` directly when real paragraph
+    boundaries exist."""
+    words = F.split(text, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Corpus-wide exact duplicated-span removal, keep-first: a span
+    occurrence survives only if it is the FIRST occurrence of that
+    span text in the whole corpus (ordered by (id, position) — fully
+    deterministic); every later repeat, in other documents or later in
+    the same document, is dropped. Returns one row per input document:
+    (id, n_spans, n_kept, clean_text) with the surviving spans
+    re-joined in original order (empty string when nothing survives —
+    the downstream length filter kills those).
+
+    Scale shape: first-occurrence is a ``min(struct(id, pos))``
+    AGGREGATION per span — partial-aggregable map-side (unlike a
+    window over the span key), so a hot boilerplate span contributes
+    one partial row per task, not one shuffled row per occurrence.
+    The join back to occurrences does carry every occurrence of the
+    hot span through one reducer; AQE skew-join splits it. Two
+    hash-uniform shuffles total (span text, then id) — never
+    all-pairs, never Python."""
+    spans = df.select(
+        F.col(id_col), F.posexplode(F.col(spans_col)).alias("pos", "span")
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ")
+    )
+    tagged = spans.join(firsts, "span").withColumn(
+        "keep",
+        (F.col(f"first_occ.{id_col}") == F.col(id_col))
+        & (F.col("first_occ.pos") == F.col("pos")),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("span")))
+                    )
+                ),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -774,3 +774,68 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("tokens_before") / _CUR_CTX)
         ).cast("bigint").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# span_dedup — corpus-wide EXACT duplicated-span removal (the
+# boilerplate-paragraph scrub of C4/RefinedWeb curation), keep-first.
+# --------------------------------------------------------------------------
+@register(
+    "span_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    s AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(
+               words[CAST(i*16+1 AS BIGINT):CAST((i+1)*16 AS BIGINT)], ' '
+             ) AS span
+      FROM w, UNNEST(range(CAST(ceil(len(words)/16.0) AS BIGINT))) AS t(i)
+    ),
+    firsts AS (
+      SELECT span, min(struct_pack(doc_id := doc_id, pos := pos)) AS fo
+      FROM s GROUP BY span
+    ),
+    tagged AS (
+      SELECT s.doc_id, s.pos, s.span,
+             (f.fo.doc_id = s.doc_id AND f.fo.pos = s.pos) AS keep
+      FROM s JOIN firsts f USING (span)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(
+             string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY pos), ''
+           ) AS clean_text
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal across the WHOLE corpus
+    (RefinedWeb/C4's boilerplate scrub, at 16-word-chunk granularity
+    for this delimiter-free corpus): a span occurrence survives only
+    if it is the globally FIRST occurrence of that exact text, ordered
+    by (doc_id, position); repeats — cross-document boilerplate or
+    within-document loops — are dropped and the document re-joined
+    from its survivors in original order. Finer-grained than document
+    dedup (`dedup_keep_first` kills whole docs; this strips the
+    repeated 5% and keeps the rest) and stricter than MinHash (exact
+    match, not similarity). The DuckDB twin recomputes chunking,
+    first-occurrence and reassembly; the hash covers the exact
+    reassembled text of all 500 docs.
+
+    Scale: span construction is map-only codegen (word_spans); the
+    first-occurrence pick is a partial-aggregable min(struct) per span
+    — NOT a window — so hot boilerplate spans cost one partial per
+    task; two hash-uniform shuffles total (span, then doc_id). See
+    operators/dedup.py:span_dedup."""
+    from stonkwhisperer_spark.operators.dedup import span_dedup, word_spans
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", word_spans(F.col("text"), 16).alias("spans"))
+    )
+    return span_dedup(docs, id_col="doc_id", spans_col="spans")

@@ -71,6 +71,7 @@ _GATE_ORDER: list[str] = [
     "txlog_skipping_2d",
     "txlog_restore_replay",
     "txlog_stream_sink",
+    "span_dedup",
     # -- changed in round 6 (typed CDC in table_changes/stream source,
     #    zone-map hardening, star-CC fallback, postings checkpoint,
     #    per-run bucketed tables): re-confirm under the driver --

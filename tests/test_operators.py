@@ -507,3 +507,32 @@ def test_connected_components_star_matches_label(spark):
     got = {r.node: r.cluster_id
            for r in connected_components(chain, max_iter=5).collect()}
     assert len(got) == 41 and set(got.values()) == {100}
+
+
+def test_span_dedup_keep_first_semantics(spark):
+    """Crafted corpus: a span repeated within a doc and copied across
+    docs survives only at its globally-first (doc_id, pos); reassembly
+    preserves original order; a fully-duplicated doc collapses to ''."""
+    from stonkwhisperer_spark.operators.dedup import span_dedup, word_spans
+
+    boiler = " ".join(f"b{i}" for i in range(16))  # one exact 16-word span
+    fresh_a = " ".join(f"a{i}" for i in range(16))
+    fresh_c = " ".join(f"c{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} {fresh_a} {boiler}"),  # internal repeat
+            (1, f"{fresh_c} {boiler}"),  # cross-doc repeat
+            (2, boiler),  # nothing original
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", word_spans(F.col("text"), 16).alias("spans"))
+    out = {
+        r.doc_id: r
+        for r in span_dedup(docs, "doc_id", "spans").collect()
+    }
+    assert (out[0].n_spans, out[0].n_kept) == (3, 2)
+    assert out[0].clean_text == f"{boiler} {fresh_a}"  # order kept, repeat gone
+    assert (out[1].n_spans, out[1].n_kept) == (2, 1)
+    assert out[1].clean_text == fresh_c
+    assert (out[2].n_spans, out[2].n_kept) == (1, 0)
+    assert out[2].clean_text == ""
