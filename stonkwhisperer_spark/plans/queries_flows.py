@@ -1474,3 +1474,79 @@ def q_txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
+# txlog_constraints — CHECK-constraint enforcement under the value hash:
+# a violating batch is rejected whole (no partial commit), a valid batch
+# lands, and the final snapshot equals the oracle's recomputation.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_constraints",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE doc_id < 60
+    """,
+)
+def q_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK`` enforcement:
+    seed doc_id<30 (v1), add ``CHECK (doc_id >= 0 AND source IS NOT
+    NULL)`` (v2, after validating existing data), then (a) attempt a
+    batch containing one violating row (doc_id = -1) — the write must
+    raise BEFORE any commit, leaving version and contents untouched
+    (asserted in-query: all-or-nothing, Delta's stance — no partial
+    landing, no quarantine split of an invariant-violating batch) —
+    and (b) write the valid remainder [30,60), which lands. The DuckDB
+    twin recomputes the final snapshot from the source table; a gate
+    that let the bad row through, or dropped valid rows with it,
+    hash-fails.
+
+    Scale: enforcement is one codegen'd filter over the incoming
+    BATCH per constraint — O(batch) at any table size; the constraint
+    set itself is O(#commits) driver metadata."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        add_constraint,
+        merge_append,
+        read_committed,
+        table_constraints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_cons_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 30), ["doc_id"])
+        add_constraint(
+            spark, target, "valid_doc", "doc_id >= 0 AND source IS NOT NULL"
+        )
+        if table_constraints(target) != {
+            "valid_doc": "doc_id >= 0 AND source IS NOT NULL"
+        }:
+            raise AssertionError("constraint not replayed from the log")
+        poisoned = docs.filter(
+            (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+        ).unionByName(
+            spark.createDataFrame([(-1, "bad")], "doc_id bigint, source string")
+        )
+        v_before = _committed_version(target)
+        try:
+            merge_append(spark, target, poisoned, ["doc_id"])
+            raise AssertionError("violating batch was not rejected")
+        except ValueError as e:
+            if "valid_doc" not in str(e):
+                raise
+        if _committed_version(target) != v_before:
+            raise AssertionError("rejected batch left a commit behind")
+        merge_append(
+            spark,
+            target,
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+            ["doc_id"],
+        )
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")

@@ -148,6 +148,17 @@ def _stats_from(commits: list[dict]) -> dict[str, dict]:
     return stats
 
 
+def _constraints_from(commits: list[dict]) -> dict[str, str]:
+    """CHECK constraints in force: {name: sql_expr}, adds/drops applied
+    in version order (same replay shape as files and stats)."""
+    out: dict[str, str] = {}
+    for c in commits:
+        for name in c.get("constraints_drop", []):
+            out.pop(name, None)
+        out.update(c.get("constraints_add", {}))
+    return out
+
+
 def _union_structs(structs):
     """Additive union of StructTypes in order; a field re-declared with
     a different type raises. None for an empty union. Every field is
@@ -196,6 +207,91 @@ def committed_files(target_path: str, version: int | None = None) -> list[str]:
     return _files_from(_commits(target_path, version))
 
 
+def table_constraints(target_path: str) -> dict[str, str]:
+    """The CHECK constraints currently in force on the table —
+    {name: sql_expr}, replayed from the commit log."""
+    return _constraints_from(_commits(target_path))
+
+
+def add_constraint(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    sql_expr: str,
+    max_retries: int = 20,
+) -> None:
+    """Delta ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)``: record
+    a CHECK constraint in the log that every subsequent write must
+    satisfy (writers reject violating batches BEFORE staging — the
+    invariant is enforced at the source of mutation, the only place it
+    can be cheap). Like Delta, adding the constraint first validates
+    the EXISTING table: if any committed row violates the expression,
+    the constraint is refused — a table can never be in a state where
+    its declared invariants are false.
+
+    The constraint is a metadata-only commit (add=[], no data files);
+    enforcement on a 100 TB table costs one codegen'd filter over each
+    incoming BATCH, never a table scan (the one-time validation scan
+    here is the same price Delta pays)."""
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        if name in _constraints_from(commits):
+            raise ValueError(f"constraint '{name}' already exists at {target_path}")
+        files = _files_from(commits)
+        if files:
+            reader = spark.read.option("basePath", target_path)
+            evolved = _schema_from(commits)
+            if evolved is not None:
+                reader = reader.schema(evolved)
+            existing = reader.parquet(
+                *[os.path.join(target_path, f) for f in files]
+            )
+            bad = existing.filter(~F.expr(sql_expr)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint '{name}' CHECK ({sql_expr}): "
+                    f"existing row violates it: {bad[0].asDict()}"
+                )
+        if _try_commit(
+            target_path, version + 1, [], 0, constraints_add={name: sql_expr}
+        ):
+            return
+    raise RuntimeError(
+        f"add_constraint lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def drop_constraint(target_path: str, name: str, max_retries: int = 20) -> None:
+    """``ALTER TABLE t DROP CONSTRAINT name`` — metadata-only commit."""
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        if name not in _constraints_from(commits):
+            raise ValueError(f"no constraint '{name}' at {target_path}")
+        if _try_commit(
+            target_path, version + 1, [], 0, constraints_drop=[name]
+        ):
+            return
+    raise RuntimeError(
+        f"drop_constraint lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def _enforce_constraints(batch: DataFrame, commits: list[dict], target_path: str):
+    """Reject a write whose batch violates any CHECK constraint in
+    force (Delta's write-time enforcement): one codegen'd filter per
+    constraint over the BATCH only — O(batch), never a table read.
+    Raises with the constraint and one offending row."""
+    for name, expr in _constraints_from(commits).items():
+        bad = batch.filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint '{name}' ({expr}) violated at "
+                f"{target_path} by row: {bad[0].asDict()}"
+            )
+
+
 def _commit_ts(target_path: str, c: dict) -> int:
     """A commit's timestamp in epoch millis: the recorded ``ts`` field,
     else (pre-timestamp commits) the manifest file's mtime — the same
@@ -240,6 +336,8 @@ def _try_commit(
     cdc: list[str] | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
+    constraints_add: dict[str, str] | None = None,
+    constraints_drop: list[str] | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -269,6 +367,10 @@ def _try_commit(
         body["txn"] = txn
     if restore_of is not None:
         body["restore"] = restore_of
+    if constraints_add:
+        body["constraints_add"] = constraints_add
+    if constraints_drop:
+        body["constraints_drop"] = constraints_drop
     with os.fdopen(fd, "w") as fh:
         # allow_nan=False: the manifest is the table's public format —
         # strict JSON only (Infinity/NaN tokens would break non-Python
@@ -819,6 +921,11 @@ def restore(
             ).withColumn(_CHANGE_COL, F.lit(tag))
 
         ins, dels = _tagged(re_add, "insert"), _tagged(drop, "delete")
+        if ins is not None:
+            # A constraint added AFTER the target version must not be
+            # silently violated by resurrected rows — validate them
+            # (we are reading these files for CDC anyway).
+            _enforce_constraints(ins.drop(_CHANGE_COL), commits, target_path)
         cdc = ins.unionByName(dels) if ins is not None and dels is not None else (
             ins if ins is not None else dels
         )
@@ -902,6 +1009,7 @@ def append_txn(
                         f"{target_path}: table has {types[f.name]}, "
                         f"batch has {f.dataType.json()}"
                     )
+        _enforce_constraints(batch, commits, target_path)
         staged = _stage_files(batch, target_path, partition_cols)
         n = _staged_row_count(target_path, staged)
         if _pre_commit_hook is not None:
@@ -1006,6 +1114,9 @@ def merge_append(
             new_rows = new_rows_anti(batch, existing, keys)
         else:
             new_rows = batch
+        # CHECK constraints gate the rows actually WRITTEN (the
+        # anti-join survivors), Delta's write-time invariant scope.
+        _enforce_constraints(new_rows, commits, target_path)
         # ONE action: stage the insert set, then read the row count
         # from the staged parquet footers (pyarrow metadata — no second
         # plan execution, no cache). On object storage this is a
@@ -1147,6 +1258,9 @@ def merge_upsert(
                         f"{target_path}: table has {types[f.name]}, "
                         f"batch has {f.dataType.json()}"
                     )
+        # Every batch row is written (as insert or update post-image) —
+        # the whole batch is in CHECK-constraint scope.
+        _enforce_constraints(batch, commits, target_path)
         committed = _files_from(commits)
         legacy: list[str] = []
         if not committed:

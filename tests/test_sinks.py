@@ -1037,3 +1037,86 @@ def test_append_txn_concurrent_same_txn_lands_once(spark, tmp_path):
     assert sneak["n"] == 7  # the sneaked-in rival won
     assert n == 0  # loser detected the txn marker on retry and skipped
     assert read_committed(spark, target).count() == 7
+
+
+def test_check_constraints_enforced_on_all_write_paths(spark, tmp_path):
+    """Delta CHECK-constraint contract: ADD CONSTRAINT validates
+    existing data, every write path rejects violating batches before
+    any commit, DROP lifts the gate, and the constraint set replays
+    from the log."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        add_constraint,
+        append_txn,
+        drop_constraint,
+        merge_upsert,
+        read_committed,
+        table_constraints,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark,
+        target,
+        spark.range(1, 6).select("id", (F.col("id") * 2).alias("v")),
+        ["id"],
+    )
+    add_constraint(spark, target, "v_positive", "v > 0")
+    assert table_constraints(target) == {"v_positive": "v > 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, target, "v_positive", "v > 0")
+    # existing data violates → constraint refused
+    with pytest.raises(ValueError, match="existing row violates"):
+        add_constraint(spark, target, "v_small", "v < 3")
+
+    bad = spark.createDataFrame([(10, -1)], "id long, v long")
+    v_before = _committed_version(target)
+    for write in (
+        lambda: merge_append(spark, target, bad, ["id"]),
+        lambda: merge_upsert(spark, target, bad, ["id"]),
+        lambda: append_txn(spark, target, bad, "appX", 0),
+    ):
+        with pytest.raises(ValueError, match="v_positive"):
+            write()
+    assert _committed_version(target) == v_before  # nothing committed
+    assert read_committed(spark, target).count() == 5
+
+    # a batch that violates only on rows the anti-join SKIPS still
+    # passes merge_append (written-rows scope, Delta's semantics):
+    # id=1 exists, so its violating v never lands
+    mixed = spark.createDataFrame([(1, -9), (20, 7)], "id long, v long")
+    assert merge_append(spark, target, mixed, ["id"]) == 1
+
+    drop_constraint(target, "v_positive")
+    assert table_constraints(target) == {}
+    assert merge_append(spark, target, bad, ["id"]) == 1  # gate lifted
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(target, "v_positive")
+
+
+def test_restore_validates_later_constraints(spark, tmp_path):
+    """RESTORE must not resurrect rows that violate a constraint added
+    after the target version."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        add_constraint,
+        delete_where,
+        restore,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, 5), (2, -7)], "id long, v long"),
+        ["id"],
+    )
+    delete_where(spark, target, F.col("v") < 0)
+    add_constraint(spark, target, "v_positive", "v > 0")  # valid NOW
+    with pytest.raises(ValueError, match="v_positive"):
+        restore(spark, target, version=1)  # would resurrect v=-7
