@@ -1550,3 +1550,77 @@ def q_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
+# txlog_vacuum_replay — retention-window VACUUM under the value hash:
+# reclaim history physically, keep the live snapshot bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_vacuum_replay",
+    oracle="""
+    SELECT doc_id, source || '_u' AS source
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VACUUM t RETAIN 0 VERSIONS``: seed doc_id<30 (v1),
+    ``merge_upsert`` a full rewrite with ``source || '_u'`` (v2 — v1's
+    files leave the view but stay on disk for time travel), then
+    ``vacuum(retain_versions=0)`` — the v1 files are PHYSICALLY
+    reclaimed (asserted gone from disk in-query) and the retention
+    horizon is committed, after which a v1 read raises a clear
+    retention error rather than a mid-scan FileNotFound (asserted
+    in-query). The head snapshot must be bit-identical to the DuckDB
+    twin's recomputation — a vacuum that reclaimed a LIVE file would
+    lose rows and hash-fail; one that kept reclaiming-eligible files
+    fails the in-query disk assert.
+
+    Scale: vacuum is driver-side manifest math + unlinks — O(#commits
+    + #reclaimed), no Spark job; this is what bounds storage for a
+    continuously-upserting copy-on-write table at 100 TB."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        committed_files,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_vac_")
+    try:
+        import os as _os
+
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 30), ["doc_id"])
+        v1_files = set(committed_files(target, version=1))
+        merge_upsert(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 30).withColumn(
+                "source", F.concat(F.col("source"), F.lit("_u"))
+            ),
+            ["doc_id"],
+        )
+        removed = vacuum(target, retain_versions=0)
+        if not v1_files <= set(removed):
+            raise AssertionError(
+                f"vacuum kept rewritten-away files: {v1_files - set(removed)}"
+            )
+        for rel in v1_files:
+            if _os.path.exists(_os.path.join(target, rel)):
+                raise AssertionError(f"reclaimed file still on disk: {rel}")
+        try:
+            read_committed(spark, target, version=1)
+            raise AssertionError("below-horizon read did not raise")
+        except ValueError as e:
+            if "retention horizon" not in str(e):
+                raise
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")

@@ -73,6 +73,7 @@ _GATE_ORDER: list[str] = [
     "txlog_stream_sink",
     "span_dedup",
     "txlog_constraints",
+    "txlog_vacuum_replay",
     # -- changed in round 6 (typed CDC in table_changes/stream source,
     #    zone-map hardening, star-CC fallback, postings checkpoint,
     #    per-run bucketed tables): re-confirm under the driver --

@@ -148,6 +148,19 @@ def _stats_from(commits: list[dict]) -> dict[str, dict]:
     return stats
 
 
+def _vacuum_cutoff(commits: list[dict]) -> int:
+    """The retention horizon: the highest vacuum cutoff ever committed.
+    Snapshots and change feeds strictly BELOW it may reference
+    physically-reclaimed files — readers refuse them loudly instead of
+    failing mid-scan."""
+    cut = 0
+    for c in commits:
+        v = c.get("vacuum")
+        if v:
+            cut = max(cut, v["cutoff"])
+    return cut
+
+
 def _constraints_from(commits: list[dict]) -> dict[str, str]:
     """CHECK constraints in force: {name: sql_expr}, adds/drops applied
     in version order (same replay shape as files and stats)."""
@@ -338,6 +351,7 @@ def _try_commit(
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
     constraints_drop: list[str] | None = None,
+    vacuum_cutoff: int | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -371,6 +385,8 @@ def _try_commit(
         body["constraints_add"] = constraints_add
     if constraints_drop:
         body["constraints_drop"] = constraints_drop
+    if vacuum_cutoff is not None:
+        body["vacuum"] = {"cutoff": vacuum_cutoff}
     with os.fdopen(fd, "w") as fh:
         # allow_nan=False: the manifest is the table's public format —
         # strict JSON only (Infinity/NaN tokens would break non-Python
@@ -535,7 +551,15 @@ def read_committed_pruned(
     the evolved union schema (so a pruned read of a schema-evolved
     table sees the same columns as read_committed — evolved columns
     null-fill, and pruning ON an evolved column works)."""
-    commits = _commits(target_path, version)
+    all_commits = _commits(target_path)
+    if version is not None and version < _vacuum_cutoff(all_commits):
+        raise ValueError(
+            f"version {version} is below the vacuum retention horizon "
+            f"({_vacuum_cutoff(all_commits)}) at {target_path}"
+        )
+    commits = [
+        c for c in all_commits if version is None or c["version"] <= version
+    ]
     files = _files_from(commits)
     if not files:
         return None, 0, 0
@@ -584,7 +608,16 @@ def read_committed(
         if version is not None:
             raise ValueError("pass version OR timestamp_ms, not both")
         version = version_as_of(target_path, timestamp_ms)
-    commits = _commits(target_path, version)
+    all_commits = _commits(target_path)
+    if version is not None and version < _vacuum_cutoff(all_commits):
+        raise ValueError(
+            f"version {version} is below the vacuum retention horizon "
+            f"({_vacuum_cutoff(all_commits)}) at {target_path} — its files "
+            "may be reclaimed"
+        )
+    commits = [
+        c for c in all_commits if version is None or c["version"] <= version
+    ]
     files = _files_from(commits)
     if not files:
         return None
@@ -629,6 +662,14 @@ def table_changes(
     from pyspark.sql.types import StringType, StructField, StructType
 
     commits = _commits(target_path)
+    horizon = _vacuum_cutoff(commits)
+    if from_version < horizon:
+        raise ValueError(
+            f"change feed from version {from_version} reaches below the "
+            f"vacuum retention horizon ({horizon}) at {target_path} — "
+            "those commits' files may be reclaimed; start at the horizon "
+            "or later"
+        )
     evolved = _schema_from(commits)
     parts: list[DataFrame] = []
     for c in commits:
@@ -845,6 +886,78 @@ def vacuum_orphans(target_path: str) -> list[str]:
     return removed
 
 
+def vacuum(
+    target_path: str,
+    retain_versions: int = 0,
+    retain_ms: int | None = None,
+    max_retries: int = 20,
+) -> list[str]:
+    """Retention-window VACUUM (Delta's ``VACUUM t RETAIN n HOURS``,
+    version- or time-based): physically reclaim data files that no
+    snapshot in the retention window [head-``retain_versions``, head]
+    (or, with ``retain_ms``, every snapshot younger than that age)
+    can reference, plus the change-data files of commits at or below
+    the cutoff. Returns the reclaimed relative paths.
+
+    The cutoff is recorded as a metadata commit (``vacuum.cutoff``),
+    and it RATCHETS — later vacuums never regress it. Readers honor it
+    as a contract: ``read_committed``/``read_committed_pruned`` with a
+    version below the horizon, and ``table_changes`` starting below
+    it, raise a clear retention error instead of failing mid-scan on
+    missing files (the failure Delta surfaces as a FileNotFound deep
+    inside a job).
+
+    Only files that commit history itself removed are candidates — a
+    concurrent writer's staged-but-uncommitted files are untouched
+    (they are not in any manifest), so vacuum is safe to run beside
+    live writers; crashed-stage orphans remain
+    :func:`vacuum_orphans`'s job.
+
+    Scale: pure driver-side manifest math + unlink calls — O(#commits
+    + #reclaimed files); no Spark job, no data read. Bounded storage
+    for a continuously-upserting 100 TB table comes exactly from this:
+    without vacuum, copy-on-write rewrites accumulate forever."""
+    removed: list[str] = []
+    cutoff: int | None = None
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            return removed
+        head = commits[-1]["version"]
+        if cutoff is None:  # fixed on first attempt; CAS retries re-use it
+            if retain_ms is not None:
+                cutoff = version_as_of(
+                    target_path, int(time.time() * 1000) - retain_ms
+                )
+            else:
+                cutoff = max(head - retain_versions, 0)
+            cutoff = max(cutoff, _vacuum_cutoff(commits))  # horizon ratchets
+            live = set(
+                _files_from([c for c in commits if c["version"] <= cutoff])
+            )
+            ever: set[str] = set()
+            live_cdc: set[str] = set()
+            all_cdc: set[str] = set()
+            for c in commits:
+                all_cdc.update(c.get("cdc", []))
+                if c["version"] > cutoff:
+                    live.update(c["add"])
+                    live_cdc.update(c.get("cdc", []))
+                else:
+                    ever.update(c["add"])
+            for rel in sorted((ever - live) | (all_cdc - live_cdc)):
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                    removed.append(rel)
+                except FileNotFoundError:
+                    pass  # reclaimed by an earlier vacuum
+        if _try_commit(target_path, head + 1, [], 0, vacuum_cutoff=cutoff):
+            return removed
+    raise RuntimeError(
+        f"vacuum lost the commit race {max_retries} times at {target_path}"
+    )
+
+
 def restore(
     spark: SparkSession,
     target_path: str,
@@ -892,6 +1005,11 @@ def restore(
         head = commits[-1]["version"]
         if version is None or version > head:
             raise ValueError(f"restore target {version} not in log (head={head})")
+        if version < _vacuum_cutoff(commits):
+            raise ValueError(
+                f"restore target {version} is below the vacuum retention "
+                f"horizon ({_vacuum_cutoff(commits)}) at {target_path}"
+            )
         old_commits = [c for c in commits if c["version"] <= version]
         old_files = _files_from(old_commits)
         cur_files = _files_from(commits)

@@ -108,6 +108,16 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._max_commits = int(raw) if raw is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
+        from stonkwhisperer_spark.sinks.writers import _vacuum_cutoff
+
+        horizon = _vacuum_cutoff(_commits(self._path))
+        if self._start < horizon:
+            raise ValueError(
+                f"startingVersion {self._start + 1} reaches below the vacuum "
+                f"retention horizon ({horizon}) at {self._path} — those "
+                "commits' files may be reclaimed; start at the horizon + 1 "
+                "or later"
+            )
         self._current = self._start
         # Field order + arrow types of the OUTPUT schema; the change and
         # version columns are appended by read(), the rest come from the

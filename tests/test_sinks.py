@@ -1120,3 +1120,83 @@ def test_restore_validates_later_constraints(spark, tmp_path):
     add_constraint(spark, target, "v_positive", "v > 0")  # valid NOW
     with pytest.raises(ValueError, match="v_positive"):
         restore(spark, target, version=1)  # would resurrect v=-7
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """Retention-window VACUUM: files referenced only by snapshots
+    below the cutoff are reclaimed; the horizon is committed, ratchets,
+    and every read surface refuses requests below it with a clear
+    error instead of a mid-scan FileNotFound."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        merge_upsert,
+        read_committed,
+        read_committed_pruned,
+        restore,
+        table_changes,
+        vacuum,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark, target, spark.range(4).select("id", F.lit("a").alias("s")), ["id"]
+    )
+    v1_files = set(committed_files(target, version=1))
+    merge_upsert(
+        spark, target, spark.range(4).select("id", F.lit("b").alias("s")), ["id"]
+    )
+    merge_upsert(
+        spark, target, spark.range(4).select("id", F.lit("c").alias("s")), ["id"]
+    )
+    assert _committed_version(target) == 3
+
+    removed = vacuum(target, retain_versions=1)  # cutoff = 2
+    assert v1_files <= set(removed)  # v1's rewritten-away files reclaimed
+    for rel in v1_files:
+        assert not os.path.exists(os.path.join(target, rel))
+    assert _committed_version(target) == 4  # horizon commit landed
+
+    # head and in-window snapshots still read fine
+    assert {r.s for r in read_committed(spark, target).collect()} == {"c"}
+    assert {r.s for r in read_committed(spark, target, version=2).collect()} == {"b"}
+    # below-horizon requests refused loudly on every surface
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed_pruned(spark, target, "id", 0, 2, version=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        table_changes(spark, target, from_version=1)
+    with pytest.raises(ValueError, match="retention horizon"):
+        restore(spark, target, version=1)
+    assert table_changes(spark, target, from_version=2).count() > 0
+
+    # horizon ratchets: a later vacuum with a LOOSER retention cannot
+    # regress it (retain everything → cutoff stays 2)
+    vacuum(target, retain_versions=100)
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=1)
+
+
+def test_vacuum_spares_concurrent_staged_files(spark, tmp_path):
+    """Vacuum candidates come from commit history only — an in-flight
+    writer's staged-but-uncommitted parquet is never touched (the
+    safety property that makes vacuum runnable beside live writers)."""
+    from stonkwhisperer_spark.sinks.writers import vacuum
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(spark, target, spark.range(3).select("id"), ["id"])
+    staged = os.path.join(target, "part-deadbeefstaged.parquet")
+    spark.range(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    src = next(
+        f
+        for f in os.listdir(str(tmp_path / "one"))
+        if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "one"), src), staged)
+    vacuum(target, retain_versions=0)
+    assert os.path.exists(staged)  # untouched: not in any manifest
