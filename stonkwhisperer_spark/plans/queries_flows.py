@@ -1624,3 +1624,88 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
+# txlog_history — DESCRIBE HISTORY under the value hash: a six-commit
+# journey (append, constraint, merge, delete, restore, vacuum) replayed
+# from manifests alone, with data-derived row accounting.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_history",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version, 'MERGE APPEND' AS operation,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 30) AS BIGINT)
+             AS num_rows
+    UNION ALL
+    SELECT 2, 'ADD CONSTRAINT', 0
+    UNION ALL
+    SELECT 3, 'MERGE',
+           (SELECT COUNT(*) FROM documents WHERE doc_id >= 15 AND doc_id < 45)
+    UNION ALL
+    SELECT 4, 'DELETE', 0
+    UNION ALL
+    SELECT 5, 'RESTORE',
+           (SELECT COUNT(*) FROM documents WHERE doc_id < 30)
+    UNION ALL
+    SELECT 6, 'VACUUM', 0
+    """,
+)
+def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``DESCRIBE HISTORY``: drive one table through the whole
+    mutation surface — MERGE APPEND (v1, single-file seed), ADD
+    CONSTRAINT (v2), MERGE upsert over [15,45) (v3), DELETE doc_id<5
+    (v4), RESTORE to v1 (v5 — re-adds the 30-row seed file), VACUUM
+    retain 0 (v6) — then read the history back from the commit
+    manifests alone. The DuckDB twin derives every operation's row
+    accounting from the source table (append = seeded rows, merge =
+    written rows, restore = re-added rows; metadata-only commits and
+    deletes record 0 — delete row counts live in the change feed). A
+    history that misattributed an operation, lost a commit, or
+    miscounted staged rows hash-fails.
+
+    Scale: O(#commits) driver metadata — DESCRIBE HISTORY on a 100 TB
+    table opens zero data files."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        add_constraint,
+        delete_where,
+        merge_append,
+        merge_upsert,
+        restore,
+        table_history,
+        vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_hist_")
+    try:
+        target = f"{scratch}/t"
+        # coalesce(1): one seed file, so the restore's re-added row
+        # count is the whole seed regardless of shuffle partitioning
+        merge_append(
+            spark, target, docs.filter(F.col("doc_id") < 30).coalesce(1), ["doc_id"]
+        )
+        add_constraint(spark, target, "valid_id", "doc_id >= 0")
+        merge_upsert(
+            spark,
+            target,
+            docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 45))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u"))),
+            ["doc_id"],
+        )
+        delete_where(spark, target, F.col("doc_id") < 5)
+        restore(spark, target, version=1)
+        vacuum(target, retain_versions=0)
+        rows = (
+            table_history(spark, target)
+            .select("version", "operation", "num_rows")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version bigint, operation string, num_rows bigint"
+    )

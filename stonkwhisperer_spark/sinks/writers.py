@@ -220,6 +220,54 @@ def committed_files(target_path: str, version: int | None = None) -> list[str]:
     return _files_from(_commits(target_path, version))
 
 
+def table_history(spark: SparkSession, target_path: str) -> DataFrame:
+    """Delta ``DESCRIBE HISTORY t``: one row per commit with version,
+    commit timestamp, operation name, and file/row accounting —
+    replayed from the manifests alone (O(#commits) driver metadata, no
+    data files opened). ``operation`` comes from the commit's recorded
+    ``op`` tag; commits written before op-tagging are classified from
+    their structural fields (compaction/restore/vacuum/constraint/txn
+    markers), else reported as WRITE. ``num_rows`` is the manifest's
+    staged-row count (inserted rows for appends, written rows for
+    merges; 0 for metadata-only commits and for deletes, whose row
+    counts live in the change feed)."""
+    rows = []
+    for c in _commits(target_path):
+        op = c.get("op")
+        if op is None:  # pre-op-tag commits: structural classification
+            if c.get("compaction"):
+                op = "OPTIMIZE"
+            elif "restore" in c:
+                op = "RESTORE"
+            elif "vacuum" in c:
+                op = "VACUUM"
+            elif "constraints_add" in c:
+                op = "ADD CONSTRAINT"
+            elif "constraints_drop" in c:
+                op = "DROP CONSTRAINT"
+            elif "txn" in c:
+                op = "STREAMING UPDATE"
+            else:
+                op = "WRITE"
+        rows.append(
+            (
+                c["version"],
+                _commit_ts(target_path, c),
+                op,
+                c.get("n", 0),
+                len(c.get("add", [])),
+                len(c.get("remove", [])),
+                bool(c.get("cdc")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, timestamp_ms bigint, operation string, "
+        "num_rows bigint, num_added_files int, num_removed_files int, "
+        "has_cdc boolean",
+    )
+
+
 def table_constraints(target_path: str) -> dict[str, str]:
     """The CHECK constraints currently in force on the table —
     {name: sql_expr}, replayed from the commit log."""
@@ -267,7 +315,7 @@ def add_constraint(
                     f"existing row violates it: {bad[0].asDict()}"
                 )
         if _try_commit(
-            target_path, version + 1, [], 0, constraints_add={name: sql_expr}
+            target_path, version + 1, [], 0, constraints_add={name: sql_expr}, op="ADD CONSTRAINT"
         ):
             return
     raise RuntimeError(
@@ -283,7 +331,7 @@ def drop_constraint(target_path: str, name: str, max_retries: int = 20) -> None:
         if name not in _constraints_from(commits):
             raise ValueError(f"no constraint '{name}' at {target_path}")
         if _try_commit(
-            target_path, version + 1, [], 0, constraints_drop=[name]
+            target_path, version + 1, [], 0, constraints_drop=[name], op="DROP CONSTRAINT"
         ):
             return
     raise RuntimeError(
@@ -352,6 +400,7 @@ def _try_commit(
     constraints_add: dict[str, str] | None = None,
     constraints_drop: list[str] | None = None,
     vacuum_cutoff: int | None = None,
+    op: str | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -387,6 +436,8 @@ def _try_commit(
         body["constraints_drop"] = constraints_drop
     if vacuum_cutoff is not None:
         body["vacuum"] = {"cutoff": vacuum_cutoff}
+    if op is not None:
+        body["op"] = op
     with os.fdopen(fd, "w") as fh:
         # allow_nan=False: the manifest is the table's public format —
         # strict JSON only (Infinity/NaN tokens would break non-Python
@@ -848,6 +899,7 @@ def compact(
             remove=old,
             compaction=True,
             stats=_collect_stats(target_path, staged),
+            op="OPTIMIZE",
         ):
             return len(old)
         for rel in staged:
@@ -951,7 +1003,7 @@ def vacuum(
                     removed.append(rel)
                 except FileNotFoundError:
                     pass  # reclaimed by an earlier vacuum
-        if _try_commit(target_path, head + 1, [], 0, vacuum_cutoff=cutoff):
+        if _try_commit(target_path, head + 1, [], 0, vacuum_cutoff=cutoff, op="VACUUM"):
             return removed
     raise RuntimeError(
         f"vacuum lost the commit race {max_retries} times at {target_path}"
@@ -1062,6 +1114,7 @@ def restore(
             stats={f: old_stats[f] for f in re_add if f in old_stats},
             cdc=cdc_staged,
             restore_of=version,
+            op="RESTORE",
         ):
             return len(re_add), len(drop)
         for rel in cdc_staged:  # lost the CAS — recompute against winner
@@ -1140,6 +1193,7 @@ def append_txn(
             stats=_collect_stats(target_path, staged),
             schema=json.dumps(batch.schema.jsonValue()),
             txn={"app": app_id, "version": txn_ver},
+            op="STREAMING UPDATE",
         ):
             return n
         for rel in staged:  # lost the CAS — another writer took version+1
@@ -1265,6 +1319,7 @@ def merge_append(
             n,
             stats=_collect_stats(target_path, staged),
             schema=json.dumps(commit_schema.jsonValue()),
+            op="MERGE APPEND",
         ):
             return n
         # Lost the race: another writer committed this version. Remove
@@ -1483,6 +1538,7 @@ def merge_upsert(
             stats=_collect_stats(target_path, staged),
             schema=json.dumps(new_data.schema.jsonValue()),
             cdc=cdc_staged,
+            op="MERGE",
         ):
             return inserted, updated
         _cleanup()
@@ -1593,6 +1649,7 @@ def delete_where(
             if declared is None
             else None,
             cdc=cdc_staged,
+            op="DELETE",
         ):
             return n_deleted
         _cleanup()

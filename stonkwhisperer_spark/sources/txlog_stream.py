@@ -94,7 +94,26 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # (start, end] internally, so the inclusive lower bound is
         # startingVersion - 1; the default (1) subscribes from the
         # table's first commit.
-        self._start = int(opts.get("startingversion", 1)) - 1
+        if "startingtimestamp" in opts:
+            # Delta's startingTimestamp: subscribe from the FIRST commit
+            # whose timestamp is >= the instant (changes at or after it);
+            # if every commit predates it, subscribe to future commits
+            # only. Mutually exclusive with startingVersion, as in Delta.
+            if "startingversion" in opts:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            from stonkwhisperer_spark.sinks.writers import _commit_ts
+
+            ts = int(opts["startingtimestamp"])
+            cs = _commits(self._path)
+            first = next(
+                (c["version"] for c in cs if _commit_ts(self._path, c) >= ts),
+                (cs[-1]["version"] + 1) if cs else 1,
+            )
+            self._start = first - 1
+        else:
+            self._start = int(opts.get("startingversion", 1)) - 1
         # maxCommitsPerTrigger: advance at most N versions per
         # micro-batch — the txlog analog of Delta/file-source
         # maxFilesPerTrigger and SURVEY §2.9's source-rate-limiting row

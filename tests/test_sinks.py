@@ -1200,3 +1200,54 @@ def test_vacuum_spares_concurrent_staged_files(spark, tmp_path):
     os.rename(os.path.join(str(tmp_path / "one"), src), staged)
     vacuum(target, retain_versions=0)
     assert os.path.exists(staged)  # untouched: not in any manifest
+
+
+def test_table_history_describes_every_commit(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per commit in version order with the
+    recorded operation tag; pre-op-tag commits classify structurally."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _try_commit,
+        add_constraint,
+        delete_where,
+        merge_upsert,
+        restore,
+        table_history,
+        vacuum,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark,
+        target,
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        ["id"],
+    )
+    add_constraint(spark, target, "v_ok", "v >= 0")
+    merge_upsert(
+        spark,
+        target,
+        spark.range(5).select("id", F.lit(99).cast("long").alias("v")),
+        ["id"],
+    )
+    delete_where(spark, target, F.col("id") >= 8)
+    restore(spark, target, version=1)
+    vacuum(target, retain_versions=0)
+    # a legacy commit with no op tag → structural classification
+    _try_commit(target, 7, [], 0, compaction=True)
+
+    h = table_history(spark, target).orderBy("version").collect()
+    assert [(r.version, r.operation) for r in h] == [
+        (1, "MERGE APPEND"),
+        (2, "ADD CONSTRAINT"),
+        (3, "MERGE"),
+        (4, "DELETE"),
+        (5, "RESTORE"),
+        (6, "VACUUM"),
+        (7, "OPTIMIZE"),
+    ]
+    byv = {r.version: r for r in h}
+    assert byv[1].num_rows == 10
+    assert byv[3].has_cdc and byv[4].has_cdc and byv[5].has_cdc
+    assert byv[2].num_added_files == 0 and byv[6].num_added_files == 0
+    assert all(r.timestamp_ms > 0 for r in h)

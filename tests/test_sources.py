@@ -379,3 +379,55 @@ def test_txlog_stream_max_commits_per_trigger(spark, tmp_path):
         q.stop()
     rows = {(r.k, r.s, r._commit_version) for r in spark.table(name).collect()}
     assert rows == {(i, f"v{i}", i + 1) for i in range(6)}
+
+
+def test_txlog_stream_starting_timestamp_and_horizon(spark, tmp_path):
+    """startingTimestamp subscribes from the first commit at/after the
+    instant (Delta semantics); both start options together raise; a
+    vacuumed table refuses subscriptions below the retention horizon."""
+    import time as _time
+
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import merge_append, merge_upsert, vacuum
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        _table_schema,
+        _TxlogStreamReader,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark, target, spark.createDataFrame([(1, "a")], "k long, s string"), ["k"]
+    )
+    _time.sleep(0.05)
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    merge_append(
+        spark, target, spark.createDataFrame([(2, "b")], "k long, s string"), ["k"]
+    )
+    schema = _table_schema(target)
+
+    reader = _TxlogStreamReader(
+        schema, {"path": target, "startingTimestamp": str(mid)}
+    )
+    assert reader.initialOffset() == {"version": 1}  # v2 inclusive
+    # an instant after every commit → future-only subscription
+    reader = _TxlogStreamReader(
+        schema,
+        {"path": target, "startingTimestamp": str(int(_time.time() * 1000) + 10_000)},
+    )
+    assert reader.initialOffset() == {"version": 2}
+    with pytest.raises(ValueError, match="not both"):
+        _TxlogStreamReader(
+            schema,
+            {"path": target, "startingVersion": "1", "startingTimestamp": str(mid)},
+        )
+
+    # vacuum to horizon 2, then a below-horizon subscription must refuse
+    merge_upsert(
+        spark, target, spark.createDataFrame([(1, "A")], "k long, s string"), ["k"]
+    )
+    vacuum(target, retain_versions=1)  # head=3 → cutoff=2
+    with pytest.raises(ValueError, match="retention horizon"):
+        _TxlogStreamReader(schema, {"path": target, "startingVersion": "1"})
+    _TxlogStreamReader(schema, {"path": target, "startingVersion": "3"})
