@@ -213,6 +213,55 @@ def _schema_from(commits: list[dict]):
     )
 
 
+def _read_files(
+    spark: SparkSession,
+    target_path: str,
+    files: Sequence[str],
+    schema=None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a set of table-relative parquet files that may span
+    DIFFERENT partition layouts (unpartitioned seed + partitioned later
+    batches — Iceberg-style partition-spec evolution, which the txlog
+    gets for free because manifests list FILES, not directories).
+
+    Spark's file index cannot mix partition depths in one scan: given a
+    root-level file alongside ``grp=y/`` files under the same basePath,
+    it keys the whole scan on the discovered partition spec and
+    SILENTLY DROPS the root-level rows (verified on Spark 4.1). So:
+    group the files by the partition-key tuple encoded in their
+    directory paths, scan each group separately (each group is
+    internally consistent), and unionByName with allowMissingColumns —
+    a layout's missing columns null-fill, or resolve from data columns
+    where the writer stored them physically.
+
+    One extra scan node per historical layout (bounded by the handful
+    of partition-spec changes a table sees in its life), same total
+    I/O."""
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        keys = tuple(
+            seg.split("=", 1)[0]
+            for seg in f.split("/")[:-1]
+            if "=" in seg and not seg.startswith((".", "_"))
+        )
+        groups.setdefault(keys, []).append(f)
+    parts: list[DataFrame] = []
+    for fs in groups.values():
+        reader = spark.read.option("basePath", target_path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        parts.append(
+            reader.parquet(*[os.path.join(target_path, f) for f in fs])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def committed_files(target_path: str, version: int | None = None) -> list[str]:
     """The committed file view — adds minus removes applied in version
     order (excludes files staged by an in-flight or crashed writer).
@@ -301,12 +350,8 @@ def add_constraint(
             raise ValueError(f"constraint '{name}' already exists at {target_path}")
         files = _files_from(commits)
         if files:
-            reader = spark.read.option("basePath", target_path)
-            evolved = _schema_from(commits)
-            if evolved is not None:
-                reader = reader.schema(evolved)
-            existing = reader.parquet(
-                *[os.path.join(target_path, f) for f in files]
+            existing = _read_files(
+                spark, target_path, files, schema=_schema_from(commits)
             )
             bad = existing.filter(~F.expr(sql_expr)).limit(1).collect()
             if bad:
@@ -625,12 +670,8 @@ def read_committed_pruned(
         # Valid empty result with the right schema: scan one file, keep
         # nothing (the predicate excluded every zone).
         kept = files[:1]
-    reader = spark.read.option("basePath", target_path)
-    evolved = _schema_from(commits)
-    if evolved is not None:
-        reader = reader.schema(evolved)
-    df = reader.parquet(
-        *[os.path.join(target_path, f) for f in kept]
+    df = _read_files(
+        spark, target_path, kept, schema=_schema_from(commits)
     ).filter(F.col(col).between(lo, hi))
     return df, len(kept), len(files)
 
@@ -672,11 +713,7 @@ def read_committed(
     files = _files_from(commits)
     if not files:
         return None
-    reader = spark.read.option("basePath", target_path)
-    evolved = _schema_from(commits)
-    if evolved is not None:
-        reader = reader.schema(evolved)
-    return reader.parquet(*[os.path.join(target_path, f) for f in files])
+    return _read_files(spark, target_path, files, schema=_schema_from(commits))
 
 
 def table_changes(
@@ -740,11 +777,8 @@ def table_changes(
                 *[os.path.join(target_path, rel) for rel in c["cdc"]]
             )
         elif c["add"]:
-            reader = spark.read.option("basePath", target_path)
-            if evolved is not None:
-                reader = reader.schema(evolved)
-            part = reader.parquet(
-                *[os.path.join(target_path, f) for f in c["add"]]
+            part = _read_files(
+                spark, target_path, c["add"], schema=evolved
             ).withColumn(_CHANGE_COL, F.lit("insert"))
         else:
             continue
@@ -866,12 +900,8 @@ def compact(
         # reads under the log's evolved schema so a compaction of a
         # schema-evolved table rewrites the UNION schema (null-filled),
         # not whichever file schema inference happened to pick.
-        snapshot_reader = spark.read.option("basePath", target_path)
-        evolved = _schema_from(commits)
-        if evolved is not None:
-            snapshot_reader = snapshot_reader.schema(evolved)
-        snapshot = snapshot_reader.parquet(
-            *[os.path.join(target_path, f) for f in old]
+        snapshot = _read_files(
+            spark, target_path, old, schema=_schema_from(commits)
         )
         if cluster_by and zorder and len(cluster_by) >= 2:
             # Morton-key clustering: disjoint z-ranges per output file
@@ -1083,11 +1113,8 @@ def restore(
         def _tagged(rel_files: list[str], tag: str) -> DataFrame | None:
             if not rel_files:
                 return None
-            reader = spark.read.option("basePath", target_path)
-            if evolved is not None:
-                reader = reader.schema(evolved)
-            return reader.parquet(
-                *[os.path.join(target_path, f) for f in rel_files]
+            return _read_files(
+                spark, target_path, rel_files, schema=evolved
             ).withColumn(_CHANGE_COL, F.lit(tag))
 
         ins, dels = _tagged(re_add, "insert"), _tagged(drop, "delete")
@@ -1266,10 +1293,7 @@ def merge_append(
         snapshot_files = committed or legacy
         legacy_schema = None
         if snapshot_files:
-            existing = (
-                spark.read.option("basePath", target_path)
-                .parquet(*[os.path.join(target_path, f) for f in snapshot_files])
-            )
+            existing = _read_files(spark, target_path, snapshot_files)
             if legacy:
                 # Adoption must record the FULL legacy schema, not just
                 # the batch's — otherwise legacy-only columns become
@@ -1440,11 +1464,7 @@ def merge_upsert(
             legacy = _data_files(target_path)
         snapshot_files = committed or legacy
         if snapshot_files:
-            reader = spark.read.option("basePath", target_path)
-            if declared is not None and not legacy:
-                reader = reader.schema(declared)
-            elif legacy:
-                reader = reader.option("mergeSchema", "true")
+            if legacy:
                 _union_structs(
                     [
                         spark.read.option("mergeSchema", "true")
@@ -1455,8 +1475,12 @@ def merge_upsert(
                         batch.schema,
                     ]
                 )  # legacy/batch type conflict → raise before any write
-            existing = reader.parquet(
-                *[os.path.join(target_path, f) for f in snapshot_files]
+            existing = _read_files(
+                spark,
+                target_path,
+                snapshot_files,
+                schema=declared if (declared is not None and not legacy) else None,
+                merge_schema=bool(legacy),
             )
             # Touched-file discovery: distinct files owning matched keys.
             # Driver-side list bounded by #files, computed from a
@@ -1478,13 +1502,14 @@ def merge_upsert(
             inserts = batch.join(existing_keys, key_cols, "left_anti")
             updates = batch.join(existing_keys, key_cols, "left_semi")
             if matched_files:
-                touched_reader = spark.read.option("basePath", target_path)
-                if declared is not None and not legacy:
-                    touched_reader = touched_reader.schema(declared)
-                elif legacy:
-                    touched_reader = touched_reader.option("mergeSchema", "true")
-                touched = touched_reader.parquet(
-                    *[os.path.join(target_path, f) for f in matched_files]
+                touched = _read_files(
+                    spark,
+                    target_path,
+                    matched_files,
+                    schema=declared
+                    if (declared is not None and not legacy)
+                    else None,
+                    merge_schema=bool(legacy),
                 )
                 preimage = touched.join(batch_keys, key_cols, "left_semi")
                 carried = touched.join(batch_keys, key_cols, "left_anti")
@@ -1580,12 +1605,7 @@ def delete_where(
         committed = _files_from(commits)
         if not committed:
             return 0  # empty table (legacy tables: adopt via a merge first)
-        reader = spark.read.option("basePath", target_path)
-        if declared is not None:
-            reader = reader.schema(declared)
-        existing = reader.parquet(
-            *[os.path.join(target_path, f) for f in committed]
-        )
+        existing = _read_files(spark, target_path, committed, schema=declared)
         root = os.path.abspath(target_path)
         matched_files = sorted(
             {
@@ -1599,12 +1619,7 @@ def delete_where(
         )
         if not matched_files:
             return 0
-        touched_reader = spark.read.option("basePath", target_path)
-        if declared is not None:
-            touched_reader = touched_reader.schema(declared)
-        touched = touched_reader.parquet(
-            *[os.path.join(target_path, f) for f in matched_files]
-        )
+        touched = _read_files(spark, target_path, matched_files, schema=declared)
         carried = touched.filter(~condition)
         deleted = touched.filter(condition)
 

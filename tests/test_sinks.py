@@ -1251,3 +1251,31 @@ def test_table_history_describes_every_commit(spark, tmp_path):
     assert byv[3].has_cdc and byv[4].has_cdc and byv[5].has_cdc
     assert byv[2].num_added_files == 0 and byv[6].num_added_files == 0
     assert all(r.timestamp_ms > 0 for r in h)
+
+
+def test_partition_layout_evolution(spark, tmp_path):
+    """Iceberg-style partition-spec evolution, the txlog way: commits
+    may stage files under DIFFERENT partition layouts (unpartitioned
+    seed, then partitioned batches); the committed view reads both —
+    the manifest lists files, not directories, and the log's union
+    schema null-fills the partition column for pre-evolution files."""
+    from stonkwhisperer_spark.sinks.writers import read_committed
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark,
+        target,
+        spark.range(3).select("id", F.lit("x").alias("grp")),
+        ["id"],
+    )  # v1: unpartitioned layout
+    merge_append(
+        spark,
+        target,
+        spark.range(3, 6).select("id", F.lit("y").alias("grp")),
+        ["id"],
+        partition_cols=["grp"],
+    )  # v2: grp=<val>/ directory layout
+    snap = read_committed(spark, target)
+    got = {(r.id, r.grp) for r in snap.collect()}
+    assert got == {(i, "x") for i in range(3)} | {(i, "y") for i in range(3, 6)}
