@@ -479,3 +479,102 @@ def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0) / F.max("h"))
         .alias("estimated_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# histogram_quantiles — mergeable fixed-bin quantile sketch: the
+# deterministic, partial-aggregable alternative to a global sort (or to
+# approx_percentile, whose sketch merge order is not cross-engine
+# reproducible).
+# --------------------------------------------------------------------------
+@register(
+    "histogram_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT bin,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS total
+      FROM h
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           bin,
+           CAST((bin + 1) * 1000.0 AS DOUBLE) AS est_upper
+    FROM (
+      -- thresholds in DOUBLE on purpose: DuckDB's bare 0.9*total is
+      -- exact DECIMAL, Spark's is IEEE double — on a bin boundary the
+      -- two would disagree; double-on-both-sides is bit-identical
+      SELECT CAST(0.5 AS DOUBLE) AS q,
+             MIN(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * total THEN bin END)
+               AS bin FROM c
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE),
+             MIN(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * total THEN bin END)
+        FROM c
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE),
+             MIN(CASE WHEN cum >= CAST(0.99 AS DOUBLE) * total THEN bin END)
+        FROM c
+    )
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 extension: P50/P90/P99 of order value via a FIXED-BIN
+    histogram sketch — ``floor(price/width)`` buckets, cumulative
+    counts, smallest bin whose cumulative mass reaches q. Unlike
+    ``approx_percentile`` (whose KLL-ish sketch result depends on merge
+    order and differs across engines) the fixed-bin estimate is fully
+    deterministic, so the DuckDB twin reproduces it bit-for-bit; error
+    is bounded by the bin width, the classic monitoring-quantile
+    trade-off.
+
+    Scale: the ONLY data-size-dependent work is the groupBy(bin) —
+    partial-aggregable map-side, so each task emits at most #bins
+    rows and the shuffle is O(bins), not O(rows); the window + pick
+    run on the ~500-row histogram. A 100 TB quantile for the price of
+    a hash aggregation, and the per-task partials are mergeable across
+    days/partitions (the sketch property that lets dashboards
+    incrementally fold new data in). No joins, no sort of the data."""
+    from pyspark.sql.window import Window
+
+    width = 1000.0
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(width))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    picks = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")))
+            .alias(f"b{i}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ]
+    )
+    return picks.select(
+        F.expr("stack(3, 0.5D, b0, 0.9D, b1, 0.99D, b2)").alias("q", "bin")
+    ).select(
+        "q",
+        "bin",
+        ((F.col("bin") + 1) * F.lit(width)).cast("double").alias("est_upper"),
+    )

@@ -75,6 +75,7 @@ _GATE_ORDER: list[str] = [
     "txlog_constraints",
     "txlog_vacuum_replay",
     "txlog_history",
+    "histogram_quantiles",
     # -- changed in round 6 (typed CDC in table_changes/stream source,
     #    zone-map hardening, star-CC fallback, postings checkpoint,
     #    per-run bucketed tables): re-confirm under the driver --
