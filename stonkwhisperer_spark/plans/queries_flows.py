@@ -953,6 +953,100 @@ def q_txlog_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_dv_replay — merge-on-read DELETE (deletion vectors) under the value
+# hash: a point delete masks rows via a (file, row-index) kill list without
+# touching any data file; the snapshot, the typed CDC feed, and the
+# re-insert path must all agree with a DuckDB twin recomputed from seed.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_dv_replay",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id < 80 AND doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id, source || '_r' AS source FROM documents
+    WHERE doc_id < 80 AND doc_id % 7 = 0 AND doc_id < 21
+    """,
+)
+def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors under the value hash: seed doc_id<80 in two
+    commits (two data files), then ``delete_where_dv(doc_id % 7 = 0)``
+    — a NON-CONTIGUOUS point delete, the shape where copy-on-write is
+    worst (every file owns matches) and merge-on-read wins. The commit
+    must write only a kill list: both data files stay byte-identical
+    (asserted on mtimes in-query), the CDC feed replays typed
+    ``delete`` rows (count asserted), and the snapshot masks exactly
+    the matched rows. Then ``merge_upsert`` re-inserts three of the
+    deleted keys with rewritten values — masked rows are NOT part of
+    the table, so they must come back as INSERTS (split asserted). The
+    DuckDB twin recomputes the final snapshot from seed: the
+    complement of the delete predicate plus the three re-inserted
+    keys.
+
+    Scale: deleting k scattered rows from a 100 TB table costs O(k)
+    write I/O (the kill list) instead of rewriting every matched file;
+    readers pay one broadcast hash anti-join keyed on (file,
+    row-index) until the next compaction physically purges the mask —
+    Delta's deletion-vector trade, verified end-to-end here."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        delete_where_dv,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_dv_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+        merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id").between(40, 79)),
+            ["doc_id"],
+        )
+        v_seed = _committed_version(target)
+        mtimes = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+        }
+        n = delete_where_dv(spark, target, F.col("doc_id") % 7 == 0)
+        if n != 12:  # 0,7,...,77
+            raise AssertionError(f"dv delete masked {n} rows, expected 12")
+        after = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+        }
+        if after != mtimes:
+            raise AssertionError("merge-on-read delete touched data files")
+        feed = table_changes(spark, target, from_version=v_seed)
+        n_cdc = feed.filter(F.col("_change_type") == "delete").count()
+        if n_cdc != 12:
+            raise AssertionError(f"CDC replayed {n_cdc} delete rows, expected 12")
+        batch = (
+            docs.filter(F.col("doc_id").isin(0, 7, 14))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_r")))
+        )
+        inserted, updated = merge_upsert(spark, target, batch, ["doc_id"])
+        if (inserted, updated) != (3, 0):
+            raise AssertionError(
+                f"masked keys must re-insert: inserted={inserted} updated={updated}"
+            )
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_stream_cdc — the SAME change feed consumed through readStream:
 # the txlog as a Spark 4 streaming DATA SOURCE (sources/txlog_stream.py),
 # offsets = commit versions, drained availableNow. Same oracle as the

@@ -65,6 +65,7 @@ _GATE_ORDER: list[str] = [
     # -- new in round 6: MERGE upsert + typed CDC, closed-form ML gate,
     #    2-D Z-order skipping, RESTORE + timestamp travel, exactly-once
     #    txn streaming sink --
+    "txlog_dv_replay",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",

@@ -82,7 +82,13 @@ def write_partitioned(
 # ---------------------------------------------------------------------------
 _TXLOG_DIR = "_txlog"
 _CDC_DIR = "_change_data"
+_DV_DIR = "_deletion_vectors"
 _CHANGE_COL = "_change_type"
+# Hidden lineage columns threaded through snapshot reads so deletion
+# vectors can anti-join on (file, row index). Dropped before any frame
+# is returned to a caller.
+_FP_COL = "__sw_file_path"
+_RI_COL = "__sw_row_index"
 
 
 def _txlog_path(target_path: str) -> str:
@@ -146,6 +152,33 @@ def _stats_from(commits: list[dict]) -> dict[str, dict]:
             stats.pop(rel, None)
         stats.update(c.get("stats", {}))
     return stats
+
+
+def _dv_from(commits: list[dict]) -> dict[str, list[str]]:
+    """Deletion-vector state replay: {data_rel_path: [dv_rel_paths that
+    apply to it]}, add/remove applied in version order — the
+    merge-on-read half of DELETE (Delta deletion vectors / Iceberg
+    positional delete files). A data file's DV entries die with the
+    file: any rewrite (compaction, copy-on-write merge/delete) reads
+    the DV-filtered view and then ``remove``s the file, so the physical
+    purge is automatic and the new files start DV-free. A ``reset``
+    entry (RESTORE) replaces the whole state with the target version's
+    mapping."""
+    state: dict[str, list[str]] = {}
+    for c in commits:
+        for rel in c.get("remove", []):
+            state.pop(rel, None)
+        d = c.get("dv")
+        if d is not None:
+            if "reset" in d:
+                state = {f: list(v) for f, v in d["reset"].items()}
+            else:
+                for f in d["files"]:
+                    entry = state.setdefault(f, [])
+                    for dv_rel in d["add"]:
+                        if dv_rel not in entry:
+                            entry.append(dv_rel)
+    return state
 
 
 def _vacuum_cutoff(commits: list[dict]) -> int:
@@ -219,6 +252,7 @@ def _read_files(
     files: Sequence[str],
     schema=None,
     merge_schema: bool = False,
+    lineage: bool = False,
 ) -> DataFrame:
     """Read a set of table-relative parquet files that may span
     DIFFERENT partition layouts (unpartitioned seed + partitioned later
@@ -237,7 +271,13 @@ def _read_files(
 
     One extra scan node per historical layout (bounded by the handful
     of partition-spec changes a table sees in its life), same total
-    I/O."""
+    I/O.
+
+    ``lineage=True`` threads the scan's hidden ``_metadata`` file-path
+    and row-index through as :data:`_FP_COL`/:data:`_RI_COL` columns —
+    selected INSIDE each group scan (the metadata struct resolves only
+    on a file-source relation, not across a union). Deletion vectors
+    and file-discovery joins key on them."""
     groups: dict[tuple, list[str]] = {}
     for f in files:
         keys = tuple(
@@ -253,13 +293,95 @@ def _read_files(
             reader = reader.schema(schema)
         elif merge_schema:
             reader = reader.option("mergeSchema", "true")
-        parts.append(
-            reader.parquet(*[os.path.join(target_path, f) for f in fs])
-        )
+        part = reader.parquet(*[os.path.join(target_path, f) for f in fs])
+        if lineage:
+            part = part.select(
+                "*",
+                F.col("_metadata.file_path").alias(_FP_COL),
+                F.col("_metadata.row_index").alias(_RI_COL),
+            )
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _file_uri(target_path: str, rel: str) -> str:
+    """Table-relative path → the URI string Spark's ``_metadata.
+    file_path`` reports for that file (inverse of :func:`_uri_to_rel`)."""
+    from urllib.request import pathname2url
+
+    return "file:" + pathname2url(os.path.join(os.path.abspath(target_path), rel))
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    commits: list[dict],
+    files: Sequence[str] | None = None,
+    schema=None,
+    merge_schema: bool = False,
+    keep_lineage: bool = False,
+) -> DataFrame:
+    """The committed ROW view: ``_read_files`` over the given files
+    (default: the commits' file view) minus any rows masked by
+    deletion vectors in force at this snapshot. This is the one read
+    path every consumer — readers, CDC, merges, compaction — goes
+    through, so merge-on-read deletes are invisible everywhere by
+    construction.
+
+    The DV anti-join is a BROADCAST against the kill list (bounded by
+    deleted-row count, and only the files being read contribute), keyed
+    on (file URI, row index) from the scan's ``_metadata`` struct — the
+    scan itself stays whole-stage-codegen, and tables with no DVs pay
+    nothing (the plain ``_read_files`` plan, no extra columns). At
+    100 TB this is exactly Delta's deletion-vector read: a point DELETE
+    costs O(deleted rows) at write time and a broadcast hash anti-join
+    at read time, instead of rewriting terabytes of matched files.
+
+    ``keep_lineage=True`` returns :data:`_FP_COL`/:data:`_RI_COL` for
+    callers that need per-row file identity (touched-file discovery in
+    the merge writers)."""
+    if files is None:
+        files = _files_from(commits)
+    fset = set(files)
+    dv_files: list[str] = []
+    targeted: set[str] = set()
+    for f, dvs in _dv_from(commits).items():
+        if f in fset and dvs:
+            targeted.add(f)
+            for d in dvs:
+                if d not in dv_files:
+                    dv_files.append(d)
+    need_lineage = keep_lineage or bool(targeted)
+    df = _read_files(
+        spark,
+        target_path,
+        files,
+        schema=schema,
+        merge_schema=merge_schema,
+        lineage=need_lineage,
+    )
+    if targeted:
+        uri_map = spark.createDataFrame(
+            [(f, _file_uri(target_path, f)) for f in sorted(targeted)],
+            "file string, file_uri string",
+        )
+        kill = (
+            spark.read.parquet(
+                *[os.path.join(target_path, d) for d in dv_files]
+            )
+            .join(F.broadcast(uri_map), "file")
+            .select(
+                F.col("file_uri").alias(_FP_COL),
+                F.col("row_index").alias(_RI_COL),
+            )
+        )
+        df = df.join(F.broadcast(kill), [_FP_COL, _RI_COL], "left_anti")
+    if need_lineage and not keep_lineage:
+        df = df.drop(_FP_COL, _RI_COL)
+    return df
 
 
 def committed_files(target_path: str, version: int | None = None) -> list[str]:
@@ -440,6 +562,7 @@ def _try_commit(
     stats: dict[str, dict] | None = None,
     schema: str | None = None,
     cdc: list[str] | None = None,
+    dv: dict | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -471,6 +594,8 @@ def _try_commit(
         body["schema"] = schema
     if cdc:
         body["cdc"] = cdc
+    if dv is not None:
+        body["dv"] = dv
     if txn:
         body["txn"] = txn
     if restore_of is not None:
@@ -670,8 +795,8 @@ def read_committed_pruned(
         # Valid empty result with the right schema: scan one file, keep
         # nothing (the predicate excluded every zone).
         kept = files[:1]
-    df = _read_files(
-        spark, target_path, kept, schema=_schema_from(commits)
+    df = _read_snapshot(
+        spark, target_path, commits, files=kept, schema=_schema_from(commits)
     ).filter(F.col(col).between(lo, hi))
     return df, len(kept), len(files)
 
@@ -713,7 +838,9 @@ def read_committed(
     files = _files_from(commits)
     if not files:
         return None
-    return _read_files(spark, target_path, files, schema=_schema_from(commits))
+    return _read_snapshot(
+        spark, target_path, commits, files=files, schema=_schema_from(commits)
+    )
 
 
 def table_changes(
@@ -900,8 +1027,11 @@ def compact(
         # reads under the log's evolved schema so a compaction of a
         # schema-evolved table rewrites the UNION schema (null-filled),
         # not whichever file schema inference happened to pick.
-        snapshot = _read_files(
-            spark, target_path, old, schema=_schema_from(commits)
+        # _read_snapshot: a compaction of DV-carrying files reads the
+        # DV-filtered rows and removes the old files — the rewrite IS
+        # the physical purge, and the output files start DV-free.
+        snapshot = _read_snapshot(
+            spark, target_path, commits, files=old, schema=_schema_from(commits)
         )
         if cluster_by and zorder and len(cluster_by) >= 2:
             # Morton-key clustering: disjoint z-ranges per output file
@@ -965,6 +1095,22 @@ def vacuum_orphans(target_path: str) -> list[str]:
             if fn.endswith(".parquet") and rel not in cdc_referenced:
                 os.remove(os.path.join(cdc_dir, fn))
                 removed.append(rel)
+    dv_dir = os.path.join(target_path, _DV_DIR)
+    if os.path.isdir(dv_dir):
+        # Same rule for deletion-vector files: a crashed delete's staged
+        # kill list is unreferenced and reclaimed; committed DV files are
+        # part of some snapshot's row view and stay.
+        dv_referenced: set[str] = set()
+        for c in _commits(target_path):
+            d = c.get("dv") or {}
+            dv_referenced.update(d.get("add", []))
+            for refs in d.get("reset", {}).values():
+                dv_referenced.update(refs)
+        for fn in os.listdir(dv_dir):
+            rel = os.path.join(_DV_DIR, fn)
+            if fn.endswith(".parquet") and rel not in dv_referenced:
+                os.remove(os.path.join(dv_dir, fn))
+                removed.append(rel)
     return removed
 
 
@@ -1020,14 +1166,31 @@ def vacuum(
             ever: set[str] = set()
             live_cdc: set[str] = set()
             all_cdc: set[str] = set()
+            # DV files live while any retained snapshot's DV state (the
+            # cutoff snapshot's replayed mapping, or any add/reset in a
+            # retained commit) references them.
+            live_dv: set[str] = set()
+            all_dv: set[str] = set()
+            for dvs in _dv_from(
+                [c for c in commits if c["version"] <= cutoff]
+            ).values():
+                live_dv.update(dvs)
             for c in commits:
                 all_cdc.update(c.get("cdc", []))
+                d = c.get("dv") or {}
+                dv_refs = set(d.get("add", []))
+                for refs in d.get("reset", {}).values():
+                    dv_refs.update(refs)
+                all_dv.update(dv_refs)
                 if c["version"] > cutoff:
                     live.update(c["add"])
                     live_cdc.update(c.get("cdc", []))
+                    live_dv.update(dv_refs)
                 else:
                     ever.update(c["add"])
-            for rel in sorted((ever - live) | (all_cdc - live_cdc)):
+            for rel in sorted(
+                (ever - live) | (all_cdc - live_cdc) | (all_dv - live_dv)
+            ):
                 try:
                     os.remove(os.path.join(target_path, rel))
                     removed.append(rel)
@@ -1097,10 +1260,27 @@ def restore(
         cur_files = _files_from(commits)
         re_add = sorted(set(old_files) - set(cur_files))
         drop = sorted(set(cur_files) - set(old_files))
-        if not re_add and not drop:
+        old_dv = _dv_from(old_commits)
+        cur_dv = _dv_from(commits)
+        # Files in BOTH views whose deletion-vector state changed: their
+        # row visibility differs even though the file view doesn't (a
+        # merge-on-read DELETE between target and head adds/removes no
+        # files). They contribute CDC rows, and make a same-file-view
+        # restore a real commit, not a no-op.
+        dv_diff = sorted(
+            f
+            for f in set(old_files) & set(cur_files)
+            if sorted(old_dv.get(f, [])) != sorted(cur_dv.get(f, []))
+        )
+        if not re_add and not drop and not dv_diff:
             return 0, 0  # restoring to the current view is a no-op
         missing = [
             f for f in re_add if not os.path.exists(os.path.join(target_path, f))
+        ] + [
+            d
+            for dvs in old_dv.values()
+            for d in dvs
+            if not os.path.exists(os.path.join(target_path, d))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1110,14 +1290,51 @@ def restore(
             )
         evolved = _schema_from(commits)
 
-        def _tagged(rel_files: list[str], tag: str) -> DataFrame | None:
+        def _tagged(
+            rel_files: list[str], tag: str, as_of: list[dict]
+        ) -> DataFrame | None:
+            # Each side of the diff reads under ITS snapshot's deletion
+            # vectors: resurrected rows exclude rows already DV-deleted
+            # at the target version; dropped rows exclude rows DV-deleted
+            # since — the CDC diff is over visible rows, not raw files.
             if not rel_files:
                 return None
-            return _read_files(
-                spark, target_path, rel_files, schema=evolved
+            return _read_snapshot(
+                spark, target_path, as_of, files=rel_files, schema=evolved
             ).withColumn(_CHANGE_COL, F.lit(tag))
 
-        ins, dels = _tagged(re_add, "insert"), _tagged(drop, "delete")
+        ins = _tagged(re_add, "insert", old_commits)
+        dels = _tagged(drop, "delete", commits)
+        if dv_diff:
+            # Row-level diff over the DV-changed common files: visible
+            # at the target but masked now → resurrected (insert);
+            # visible now but masked at the target → suppressed
+            # (delete). Keyed on (file, row index) lineage — O(changed
+            # files), broadcast anti-joins on the kill lists.
+            vis_old = _read_snapshot(
+                spark, target_path, old_commits, files=dv_diff,
+                schema=evolved, keep_lineage=True,
+            )
+            vis_cur = _read_snapshot(
+                spark, target_path, commits, files=dv_diff,
+                schema=evolved, keep_lineage=True,
+            )
+            resurrected = (
+                vis_old.join(
+                    vis_cur.select(_FP_COL, _RI_COL), [_FP_COL, _RI_COL], "left_anti"
+                )
+                .drop(_FP_COL, _RI_COL)
+                .withColumn(_CHANGE_COL, F.lit("insert"))
+            )
+            suppressed = (
+                vis_cur.join(
+                    vis_old.select(_FP_COL, _RI_COL), [_FP_COL, _RI_COL], "left_anti"
+                )
+                .drop(_FP_COL, _RI_COL)
+                .withColumn(_CHANGE_COL, F.lit("delete"))
+            )
+            ins = resurrected if ins is None else ins.unionByName(resurrected)
+            dels = suppressed if dels is None else dels.unionByName(suppressed)
         if ins is not None:
             # A constraint added AFTER the target version must not be
             # silently violated by resurrected rows — validate them
@@ -1131,6 +1348,12 @@ def restore(
             pq.ParquetFile(os.path.join(target_path, f)).metadata.num_rows
             for f in re_add
         )
+        # Footer row counts overstate DV-masked files — subtract the
+        # target version's kill-list rows for the re-added files.
+        re_add_set = set(re_add)
+        for d in {d for f in re_add for d in old_dv.get(f, [])}:
+            t = pq.read_table(os.path.join(target_path, d), columns=["file"])
+            n -= sum(1 for v in t.column(0).to_pylist() if v in re_add_set)
         old_stats = _stats_from(old_commits)
         if _try_commit(
             target_path,
@@ -1140,6 +1363,9 @@ def restore(
             remove=drop,
             stats={f: old_stats[f] for f in re_add if f in old_stats},
             cdc=cdc_staged,
+            # Restoring the file view restores the DV state with it —
+            # a reset entry replaces the replayed mapping wholesale.
+            dv={"reset": old_dv, "n": 0} if old_dv != cur_dv else None,
             restore_of=version,
             op="RESTORE",
         ):
@@ -1380,6 +1606,26 @@ def _stage_cdc_files(cdc: DataFrame, target_path: str) -> list[str]:
     return staged
 
 
+def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
+    """Write kill-list rows — ``(file string, row_index bigint)``, file
+    table-relative — to ``_deletion_vectors/`` (underscore prefix:
+    invisible to plain parquet readers and the data-file walk), same
+    stage-then-atomic-rename discipline as :func:`_stage_files`."""
+    dest = os.path.join(target_path, _DV_DIR)
+    os.makedirs(dest, exist_ok=True)
+    stage = os.path.join(target_path, f".stage-dv-{uuid.uuid4().hex}")
+    kill.write.mode("overwrite").parquet(stage)
+    staged: list[str] = []
+    for fn in os.listdir(stage):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        unique = f"dv-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(stage, fn), os.path.join(dest, unique))
+        staged.append(os.path.join(_DV_DIR, unique))
+    shutil.rmtree(stage, ignore_errors=True)
+    return staged
+
+
 def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int]:
     """(inserted, updated) row counts from the staged change files —
     a single-column read of ``_change_type``, no Spark job."""
@@ -1475,12 +1721,18 @@ def merge_upsert(
                         batch.schema,
                     ]
                 )  # legacy/batch type conflict → raise before any write
-            existing = _read_files(
+            # _read_snapshot: rows masked by deletion vectors are not
+            # part of the table — their keys INSERT (not update), and
+            # they never carry over into rewritten files. keep_lineage
+            # gives per-row file identity for touched-file discovery.
+            existing = _read_snapshot(
                 spark,
                 target_path,
-                snapshot_files,
+                commits,
+                files=snapshot_files,
                 schema=declared if (declared is not None and not legacy) else None,
                 merge_schema=bool(legacy),
+                keep_lineage=True,
             )
             # Touched-file discovery: distinct files owning matched keys.
             # Driver-side list bounded by #files, computed from a
@@ -1488,9 +1740,8 @@ def merge_upsert(
             batch_keys = batch.select(*key_cols)
             matched_uris = [
                 r[0]
-                for r in existing.withColumn("__file", F.input_file_name())
-                .join(batch_keys, on=key_cols, how="left_semi")
-                .select("__file")
+                for r in existing.join(batch_keys, on=key_cols, how="left_semi")
+                .select(_FP_COL)
                 .distinct()
                 .collect()
             ]
@@ -1502,10 +1753,11 @@ def merge_upsert(
             inserts = batch.join(existing_keys, key_cols, "left_anti")
             updates = batch.join(existing_keys, key_cols, "left_semi")
             if matched_files:
-                touched = _read_files(
+                touched = _read_snapshot(
                     spark,
                     target_path,
-                    matched_files,
+                    commits,
+                    files=matched_files,
                     schema=declared
                     if (declared is not None and not legacy)
                     else None,
@@ -1605,21 +1857,32 @@ def delete_where(
         committed = _files_from(commits)
         if not committed:
             return 0  # empty table (legacy tables: adopt via a merge first)
-        existing = _read_files(spark, target_path, committed, schema=declared)
+        # _read_snapshot + lineage: DV-masked rows can't re-match (they
+        # are already deleted), and file discovery keys on the scan's
+        # own metadata rather than input_file_name().
+        existing = _read_snapshot(
+            spark,
+            target_path,
+            commits,
+            files=committed,
+            schema=declared,
+            keep_lineage=True,
+        )
         root = os.path.abspath(target_path)
         matched_files = sorted(
             {
                 _uri_to_rel(r[0], root)
-                for r in existing.withColumn("__file", F.input_file_name())
-                .filter(condition)
-                .select("__file")
+                for r in existing.filter(condition)
+                .select(_FP_COL)
                 .distinct()
                 .collect()
             }
         )
         if not matched_files:
             return 0
-        touched = _read_files(spark, target_path, matched_files, schema=declared)
+        touched = _read_snapshot(
+            spark, target_path, commits, files=matched_files, schema=declared
+        )
         carried = touched.filter(~condition)
         deleted = touched.filter(condition)
 
@@ -1670,6 +1933,114 @@ def delete_where(
         _cleanup()
     raise RuntimeError(
         f"delete_where lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    target_path: str,
+    condition: Column,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> int:
+    """Merge-on-read ``DELETE FROM target WHERE condition`` — Delta
+    deletion vectors / Iceberg positional delete files on the parquet
+    txlog. Instead of rewriting every file that contains a matching row
+    (:func:`delete_where`'s copy-on-write), the commit records a KILL
+    LIST: ``(file, row_index)`` parquet rows under
+    ``_deletion_vectors/``, found via the scan's own ``_metadata``
+    struct. Every reader (:func:`_read_snapshot`) anti-joins the
+    broadcast kill list, so the rows vanish atomically at commit; no
+    data file is touched. Returns the number of rows deleted.
+
+    This is the point-delete scale path: deleting 100 rows from a
+    100 TB table costs O(matched rows) write I/O — not O(matched
+    FILES) like copy-on-write, which rewrites a whole file to drop one
+    row (GDPR erasure, late-arriving retractions). The read-side tax
+    (a broadcast hash anti-join keyed on file+row-index) is bounded by
+    accumulated deletes and is reclaimed by the next ``compact()`` or
+    any rewrite of the masked files, which read the DV-filtered view
+    and drop the file's DV entries with the file — Delta's
+    write-amplification/read-amplification trade, chosen per-statement
+    here exactly as ``spark.databricks.delta.delete.deletionVectors``
+    chooses it per-table.
+
+    TYPED CDC: the commit stages ``delete`` change rows for the masked
+    rows, so :func:`table_changes` and the streaming source replay a
+    merge-on-read delete identically to a copy-on-write one —
+    consumers cannot tell the physical strategies apart (the CDF
+    contract). Concurrency: same optimistic CAS as every writer; a
+    loser recomputes against the winner's snapshot, so deleting rows a
+    concurrent compaction just rewrote re-targets the new files."""
+    import pyarrow.parquet as pq
+
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        committed = _files_from(commits)
+        if not committed:
+            return 0  # empty table (legacy tables: adopt via a merge first)
+        declared = _schema_from(commits)
+        existing = _read_snapshot(
+            spark,
+            target_path,
+            commits,
+            files=committed,
+            schema=declared,
+            keep_lineage=True,
+        )
+        matched = existing.filter(condition)
+        uri_map = spark.createDataFrame(
+            [(_file_uri(target_path, f), f) for f in committed],
+            "file_uri string, file string",
+        )
+        kill = (
+            matched.select(
+                F.col(_FP_COL).alias("file_uri"),
+                F.col(_RI_COL).alias("row_index"),
+            )
+            .join(F.broadcast(uri_map), "file_uri")
+            .select("file", "row_index")
+        )
+        dv_staged = _stage_dv_files(kill, target_path)
+        cdc_staged = _stage_cdc_files(
+            matched.drop(_FP_COL, _RI_COL).withColumn(
+                _CHANGE_COL, F.lit("delete")
+            ),
+            target_path,
+        )
+        n_deleted = 0
+        affected: set[str] = set()
+        for rel in dv_staged:
+            t = pq.read_table(os.path.join(target_path, rel), columns=["file"])
+            n_deleted += t.num_rows
+            affected.update(t.column(0).to_pylist())
+
+        def _cleanup():
+            for rel in dv_staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if n_deleted == 0:
+            _cleanup()
+            return 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            dv={"add": dv_staged, "files": sorted(affected), "n": n_deleted},
+            cdc=cdc_staged,
+            op="DELETE",
+        ):
+            return n_deleted
+        _cleanup()
+    raise RuntimeError(
+        f"delete_where_dv lost the commit race {max_retries} times at {target_path}"
     )
 
 
