@@ -1047,6 +1047,181 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_merge_sync_replay — the FULL three-clause MERGE under the value
+# hash: one commit updates matched keys, inserts new keys, and deletes
+# target keys absent from the source; the typed CDC feed carries all four
+# row kinds and the DuckDB twin recomputes every image from seed.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_merge_sync_replay",
+    oracle="""
+    SELECT doc_id, source, 'update_preimage' AS _change_type
+    FROM documents WHERE doc_id >= 30 AND doc_id < 60
+    UNION ALL
+    SELECT doc_id, source || '_s' AS source, 'update_postimage' AS _change_type
+    FROM documents WHERE doc_id >= 30 AND doc_id < 60
+    UNION ALL
+    SELECT doc_id, source || '_s' AS source, 'insert' AS _change_type
+    FROM documents WHERE doc_id >= 60 AND doc_id < 90
+    UNION ALL
+    SELECT doc_id, source, 'delete' AS _change_type
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE — the third MERGE clause
+    (``merge_sync``): seed doc_id<60, then sync against a snapshot
+    covering [30,90) with rewritten values. ONE atomic commit must
+    update [30,60) in place, insert [60,90), and DELETE [0,30) — the
+    keys the source no longer has (the dimension-sync contract). The
+    change feed replays the commit as all four Delta-CDF row kinds;
+    the DuckDB twin recomputes each image from seed, so a sync that
+    missed stale rows, double-counted them, or leaked carried rows
+    hash-fails. The final snapshot is asserted in-query to equal the
+    batch exactly.
+
+    Scale: stale-row discovery is inherently O(target) — same as
+    Delta's NOT MATCHED BY SOURCE — but only files owning a matched
+    OR stale row are rewritten, and a ``delete_condition`` scopes
+    partial-snapshot syncs to their slice."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        merge_sync,
+        read_committed,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_sync_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
+        v1 = _committed_version(target)
+        batch = (
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 90))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_s")))
+        )
+        inserted, updated, deleted = merge_sync(spark, target, batch, ["doc_id"])
+        if (inserted, updated, deleted) != (30, 30, 30):
+            raise AssertionError(
+                f"sync split wrong: ins={inserted} upd={updated} del={deleted}"
+            )
+        snap = read_committed(spark, target)
+        if snap.count() != 60 or snap.join(
+            batch, ["doc_id", "source"], "left_anti"
+        ).count():
+            raise AssertionError("synced table does not equal the source snapshot")
+        feed = table_changes(spark, target, from_version=v1)
+        rows = feed.select("doc_id", "source", "_change_type").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, _change_type string"
+    )
+
+
+# --------------------------------------------------------------------------
+# txlog_stream_upsert — CDF-to-replica streaming replication under the
+# value hash: tail one txlog table's change feed and MERGE the latest
+# image per key into a second table, exactly-once via the txn ledger.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_stream_upsert",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, source || '_u1' AS source FROM documents
+    WHERE doc_id >= 20 AND doc_id < 40
+    UNION ALL
+    SELECT doc_id, source || '_u2' AS source FROM documents
+    WHERE doc_id >= 40 AND doc_id < 80
+    """,
+)
+def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT replication (``start_cdc_apply_stream``): build
+    a source table in three commits — insert [0,40), upsert [20,60)
+    ``_u1``, upsert [40,60) new image + insert [60,80) ``_u2`` — then
+    stream its typed change feed into a fresh replica via foreachBatch
+    + ``merge_upsert_txn``. The single drained micro-batch spans ALL
+    three commits, so keys [40,60) carry two post-images; the apply
+    step must reduce to the newest per key by ``_commit_version``
+    (pre-images ignored) before merging. Then the whole stream is
+    RE-RUN over a fresh checkpoint: the replayed epoch finds its
+    (app, epoch) marker in the replica's ledger and is a structural
+    no-op — with upserts, key-idempotence alone could NOT guarantee
+    this (a replayed old batch would overwrite newer values); the txn
+    ledger can. The DuckDB twin recomputes the replica from seed.
+
+    Scale: O(changed rows) per poll on the source, one bounded
+    key-shuffle for the reduction, O(matched files) rewrite on the
+    replica — continuous table replication priced at the delta, the
+    CDF consumer pattern Delta documents for 100 TB tables."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+    from stonkwhisperer_spark.sources.txlog_stream import TxlogChangeFeedDataSource
+    from stonkwhisperer_spark.streaming.jobs import start_cdc_apply_stream
+
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_repl_")
+    try:
+        source = f"{scratch}/src"
+        merge_append(spark, source, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+        merge_upsert(
+            spark,
+            source,
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u1"))),
+            ["doc_id"],
+        )
+        merge_upsert(
+            spark,
+            source,
+            docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u2"))),
+            ["doc_id"],
+        )
+        replica = f"{scratch}/replica"
+
+        def run(ckpt: str) -> None:
+            with _stream_shuffle_width(spark):
+                q = start_cdc_apply_stream(
+                    spark, source, replica, ["doc_id"], "replicator", ckpt
+                )
+                try:
+                    if not q.awaitTermination(300):
+                        raise TimeoutError("cdc apply stream did not drain")
+                finally:
+                    q.stop()
+
+        run(f"{scratch}/ckpt1")
+        first = read_committed(spark, replica).count()
+        if first != 80:
+            raise AssertionError(f"replica has {first} rows, expected 80")
+        run(f"{scratch}/ckpt2")  # full replay, fresh checkpoint
+        after = read_committed(spark, replica)
+        if after.count() != 80:
+            raise AssertionError("replayed stream changed the replica")
+        rows = after.select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_stream_cdc — the SAME change feed consumed through readStream:
 # the txlog as a Spark 4 streaming DATA SOURCE (sources/txlog_stream.py),
 # offsets = commit versions, drained availableNow. Same oracle as the

@@ -66,6 +66,8 @@ _GATE_ORDER: list[str] = [
     #    2-D Z-order skipping, RESTORE + timestamp travel, exactly-once
     #    txn streaming sink --
     "txlog_dv_replay",
+    "txlog_merge_sync_replay",
+    "txlog_stream_upsert",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",

@@ -1626,12 +1626,12 @@ def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
     return staged
 
 
-def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int]:
-    """(inserted, updated) row counts from the staged change files —
-    a single-column read of ``_change_type``, no Spark job."""
+def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int, int]:
+    """(inserted, updated, deleted) row counts from the staged change
+    files — a single-column read of ``_change_type``, no Spark job."""
     import pyarrow.parquet as pq
 
-    inserted = updated = 0
+    inserted = updated = deleted = 0
     for rel in cdc_staged:
         t = pq.read_table(
             os.path.join(target_path, rel), columns=[_CHANGE_COL]
@@ -1641,7 +1641,9 @@ def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int]:
                 inserted += 1
             elif v == "update_postimage":
                 updated += 1
-    return inserted, updated
+            elif v == "delete":
+                deleted += 1
+    return inserted, updated, deleted
 
 
 def merge_upsert(
@@ -1686,11 +1688,132 @@ def merge_upsert(
     table is adopted: untouched legacy files enter the log, matched
     legacy files are rewritten and simply not adopted (vacuum reclaims
     them)."""
+    inserted, updated, _ = _merge_rows(
+        spark,
+        target_path,
+        batch,
+        keys,
+        partition_cols=partition_cols,
+        max_retries=max_retries,
+        _pre_commit_hook=_pre_commit_hook,
+    )
+    return inserted, updated
+
+
+def merge_sync(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    delete_condition: Column | None = None,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> tuple[int, int, int]:
+    """The FULL three-clause MERGE — Delta's
+
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE
+
+    — i.e. "make the target match this snapshot": target rows whose
+    ``keys`` are absent from the batch (and satisfy
+    ``delete_condition``, default all of them) are DELETED; the rest
+    upsert as in :func:`merge_upsert`. Returns (inserted, updated,
+    deleted). The classic consumer is dimension-table sync from a
+    source-system snapshot: rows the source dropped must disappear.
+
+    ``delete_condition`` scopes the deletion (Delta's ``AND`` clause):
+    pass e.g. ``F.col("region") == "eu"`` when the batch is a PARTIAL
+    snapshot covering only that slice — without it a partial batch
+    would delete everything outside its slice.
+
+    Scale: the not-matched-by-source scan is inherently O(target) in
+    discovery (every file may own stale rows — same as Delta), but only
+    files that actually contain a matched or stale row are rewritten,
+    and the per-file rewrite carries survivors via the same
+    copy-on-write path as the upsert. TYPED CDC: stale rows land in the
+    change feed as ``delete`` rows next to the upsert's
+    insert/pre/post images — one commit, one atomic version."""
+    return _merge_rows(
+        spark,
+        target_path,
+        batch,
+        keys,
+        partition_cols=partition_cols,
+        max_retries=max_retries,
+        _pre_commit_hook=_pre_commit_hook,
+        nmbs_delete=delete_condition
+        if delete_condition is not None
+        else F.lit(True),
+    )
+
+
+def merge_upsert_txn(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    app_id: str,
+    txn_ver: int,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> tuple[int, int]:
+    """Idempotent transactional MERGE upsert — :func:`append_txn`'s
+    at-most-once contract on the :func:`merge_upsert` write path: the
+    batch upserts AT MOST ONCE per (app_id, txn_ver); a replay (same or
+    older txn_ver) is a no-op returning (0, 0). This is the
+    foreachBatch streaming-upsert sink's primitive (Delta's canonical
+    ``foreachBatch { microBatch.merge(...) } + txnVersion``): a
+    micro-batch replayed after checkpoint recovery must not double-
+    apply, and with upserts key-level idempotence alone is NOT enough —
+    a replayed batch would re-update rows a LATER batch already
+    rewrote, resurrecting stale values; the txn ledger makes the replay
+    structurally a no-op. The marker check runs inside the CAS retry
+    loop against a fresh snapshot, so two racing instances of the same
+    app cannot both land one transaction."""
+    inserted, updated, _ = _merge_rows(
+        spark,
+        target_path,
+        batch,
+        keys,
+        partition_cols=partition_cols,
+        max_retries=max_retries,
+        _pre_commit_hook=_pre_commit_hook,
+        txn={"app": app_id, "version": txn_ver},
+    )
+    return inserted, updated
+
+
+def _merge_rows(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+    nmbs_delete: Column | None = None,
+    txn: dict | None = None,
+) -> tuple[int, int, int]:
+    """Shared MERGE engine behind :func:`merge_upsert` /
+    :func:`merge_sync` / :func:`merge_upsert_txn`: copy-on-write
+    file-level rewrite with typed CDC and optimistic CAS commits.
+    ``nmbs_delete`` adds the WHEN NOT MATCHED BY SOURCE THEN DELETE
+    clause; ``txn`` adds the (app, version) at-most-once marker."""
     batch = batch.dropDuplicates(list(keys))
     key_cols = list(keys)
+    nmbs_true = (
+        F.coalesce(nmbs_delete, F.lit(False)) if nmbs_delete is not None else None
+    )
     for _ in range(max_retries):
         commits = _commits(target_path)
         version = commits[-1]["version"] if commits else 0
+        if txn is not None:
+            seen = last_txn_version(target_path, txn["app"])
+            if seen is not None and seen >= txn["version"]:
+                return 0, 0, 0  # this transaction (or a later one) landed
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
@@ -1738,13 +1861,19 @@ def merge_upsert(
             # Driver-side list bounded by #files, computed from a
             # key-column semi-join (the scan reads key columns only).
             batch_keys = batch.select(*key_cols)
-            matched_uris = [
-                r[0]
-                for r in existing.join(batch_keys, on=key_cols, how="left_semi")
-                .select(_FP_COL)
-                .distinct()
-                .collect()
-            ]
+            owners = existing.join(
+                batch_keys, on=key_cols, how="left_semi"
+            ).select(_FP_COL)
+            if nmbs_true is not None:
+                # WHEN NOT MATCHED BY SOURCE: files owning stale rows
+                # (absent from the batch, condition true) are touched
+                # too — their survivors carry over, stale rows drop.
+                owners = owners.unionByName(
+                    existing.join(batch_keys, key_cols, "left_anti")
+                    .filter(nmbs_true)
+                    .select(_FP_COL)
+                )
+            matched_uris = [r[0] for r in owners.distinct().collect()]
             root = os.path.abspath(target_path)
             matched_files = sorted(
                 {_uri_to_rel(u, root) for u in matched_uris}
@@ -1764,12 +1893,19 @@ def merge_upsert(
                     merge_schema=bool(legacy),
                 )
                 preimage = touched.join(batch_keys, key_cols, "left_semi")
-                carried = touched.join(batch_keys, key_cols, "left_anti")
+                not_matched = touched.join(batch_keys, key_cols, "left_anti")
+                if nmbs_true is not None:
+                    carried = not_matched.filter(~nmbs_true)
+                    dels = not_matched.filter(nmbs_true)
+                else:
+                    carried, dels = not_matched, None
             else:
-                preimage = carried = None
+                preimage = carried = dels = None
         else:
             matched_files = []
-            inserts, updates, preimage, carried = batch, None, None, None
+            inserts, updates, preimage, carried, dels = (
+                batch, None, None, None, None,
+            )
 
         new_data = inserts
         for frame in (updates, carried):
@@ -1786,10 +1922,29 @@ def merge_upsert(
                 preimage.withColumn(_CHANGE_COL, F.lit("update_preimage")),
                 allowMissingColumns=True,
             )
+        if dels is not None:
+            cdc = cdc.unionByName(
+                dels.withColumn(_CHANGE_COL, F.lit("delete")),
+                allowMissingColumns=True,
+            )
 
         staged = _stage_files(new_data, target_path, partition_cols)
+        if nmbs_true is not None:
+            # A sync that empties whole files can stage 0-row parts —
+            # drop them rather than committing empty files.
+            import pyarrow.parquet as pq
+
+            live: list[str] = []
+            for rel in staged:
+                if pq.ParquetFile(
+                    os.path.join(target_path, rel)
+                ).metadata.num_rows:
+                    live.append(rel)
+                else:
+                    os.remove(os.path.join(target_path, rel))
+            staged = live
         cdc_staged = _stage_cdc_files(cdc, target_path)
-        inserted, updated = _cdc_counts(target_path, cdc_staged)
+        inserted, updated, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
             for rel in staged + cdc_staged:
@@ -1798,9 +1953,9 @@ def merge_upsert(
                 except FileNotFoundError:
                     pass
 
-        if inserted == 0 and updated == 0:
+        if inserted == 0 and updated == 0 and deleted == 0:
             _cleanup()
-            return 0, 0
+            return 0, 0, 0
         if _pre_commit_hook is not None:
             _pre_commit_hook()
         untouched_legacy = [f for f in legacy if f not in set(matched_files)]
@@ -1815,12 +1970,13 @@ def merge_upsert(
             stats=_collect_stats(target_path, staged),
             schema=json.dumps(new_data.schema.jsonValue()),
             cdc=cdc_staged,
+            txn=txn,
             op="MERGE",
         ):
-            return inserted, updated
+            return inserted, updated, deleted
         _cleanup()
     raise RuntimeError(
-        f"merge_upsert lost the commit race {max_retries} times at {target_path}"
+        f"merge lost the commit race {max_retries} times at {target_path}"
     )
 
 

@@ -1279,3 +1279,143 @@ def test_partition_layout_evolution(spark, tmp_path):
     snap = read_committed(spark, target)
     got = {(r.id, r.grp) for r in snap.collect()}
     assert got == {(i, "x") for i in range(3)} | {(i, "y") for i in range(3, 6)}
+
+
+def test_merge_sync_three_clauses(spark, tmp_path):
+    """The full MERGE: matched keys update, new keys insert, target
+    keys absent from the source DELETE — one atomic commit with all
+    four typed CDC row kinds."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        merge_sync,
+        read_committed,
+        table_changes,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    for lo in (0, 10, 20):  # three files
+        merge_append(
+            spark, target, seed.filter(F.col("k").between(lo, lo + 9)), ["k"]
+        )
+    v_seed = _committed_version(target)
+    batch = spark.range(20, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    inserted, updated, deleted = merge_sync(spark, target, batch, ["k"])
+    assert (inserted, updated, deleted) == (10, 10, 20)
+    got = read_committed(spark, target)
+    assert got.count() == 20
+    assert got.agg(F.min("k"), F.max("k")).collect()[0] == (20, 39)
+    assert got.filter(F.col("v") != F.col("k") * 100).count() == 0
+    feed = table_changes(spark, target, from_version=v_seed)
+    kinds = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert kinds == {
+        "insert": 10,
+        "update_preimage": 10,
+        "update_postimage": 10,
+        "delete": 20,
+    }
+
+
+def test_merge_sync_scoped_delete_condition(spark, tmp_path):
+    """Delta's WHEN NOT MATCHED BY SOURCE AND <cond>: a partial
+    snapshot deletes only within its slice."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_sync,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("even")
+    )
+    merge_append(spark, target, seed, ["k"])
+    batch = seed.filter(F.col("k").isin(0, 2))  # partial: evens 0 and 2
+    inserted, updated, deleted = merge_sync(
+        spark, target, batch, ["k"], delete_condition=F.col("even")
+    )
+    # Deletes scoped to the even slice: evens 4..18 go, odds survive.
+    assert (inserted, updated, deleted) == (0, 2, 8)
+    got = read_committed(spark, target)
+    assert got.count() == 12
+    assert got.filter(~F.col("even")).count() == 10
+
+
+def test_merge_sync_delete_everything(spark, tmp_path):
+    """A sync against an empty source deletes the whole table without
+    committing empty data files."""
+    from stonkwhisperer_spark.sinks.writers import (
+        committed_files,
+        merge_append,
+        merge_sync,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    merge_append(spark, target, spark.range(10).select(F.col("id").alias("k")), ["k"])
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    inserted, updated, deleted = merge_sync(spark, target, empty, ["k"])
+    assert (inserted, updated, deleted) == (0, 0, 10)
+    assert committed_files(target) == []
+    got = read_committed(spark, target)
+    assert got is None
+
+
+def test_merge_upsert_txn_replay_noop(spark, tmp_path):
+    """foreachBatch streaming upsert: a replayed micro-batch (same
+    app/version) must not re-apply — even though its keys all exist."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_upsert_txn,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.range(5).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    assert merge_upsert_txn(spark, target, b0, ["k"], "job", 0) == (5, 0)
+    b1 = spark.range(5).select(F.col("id").alias("k"), F.lit("b").alias("v"))
+    assert merge_upsert_txn(spark, target, b1, ["k"], "job", 1) == (0, 5)
+    # Replay of batch 0 after batch 1: WITHOUT the txn ledger this
+    # would resurrect the stale 'a' values; with it, a no-op.
+    assert merge_upsert_txn(spark, target, b0, ["k"], "job", 0) == (0, 0)
+    vals = {r["v"] for r in read_committed(spark, target).collect()}
+    assert vals == {"b"}
+
+
+def test_merge_upsert_txn_concurrent_same_txn_lands_once(spark, tmp_path):
+    """Two racing instances of the same (app, version) merge: the CAS
+    loser re-reads the log, sees the winner's marker, and skips."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_upsert_txn,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(4).select(F.col("id").alias("k"), F.lit(0).alias("n"))
+    merge_upsert_txn(spark, target, seed, ["k"], "job", 0)
+    bump = spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("n"))
+    sneak = {}
+
+    def rival():
+        if not sneak:
+            sneak["r"] = merge_upsert_txn(spark, target, bump, ["k"], "job", 1)
+
+    res = merge_upsert_txn(
+        spark, target, bump, ["k"], "job", 1, _pre_commit_hook=rival
+    )
+    assert sneak["r"] == (0, 4)  # the sneaked-in rival won
+    assert res == (0, 0)  # loser skipped on retry
+    # Applied exactly once: every n is 1 (a double-apply would still
+    # show n=1, but a THIRD commit would exist — assert the version).
+    got = read_committed(spark, target)
+    assert got.filter(F.col("n") != 1).count() == 0
+    from stonkwhisperer_spark.sinks.writers import _committed_version
+
+    assert _committed_version(target) == 2
