@@ -278,3 +278,103 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 OLAP subtotal shapes: ROLLUP and CUBE (multi-level aggregation
+# in ONE pass — Spark expands grouping sets inside a single shuffle, the
+# classic warehouse subtotal/report query).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_rollup",
+    oracle=f"""
+    SELECT nation, order_year,
+           CAST(GROUPING(nation, order_year) AS BIGINT) AS lvl,
+           cast(sum(rev) AS double) AS revenue,
+           count(*) AS n_items
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               {_REV_SQL} AS rev
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    )
+    GROUP BY ROLLUP (nation, order_year)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: revenue by (nation, order year), by nation,
+    and grand total — three aggregation levels from ONE
+    ``df.rollup(...)`` pass, tagged with ``grouping_id()`` (the
+    bitmask DuckDB's GROUPING() mirrors) so subtotal rows are
+    distinguishable from genuine-NULL groups. Money sums over
+    DECIMAL(12,2) (order-insensitive), double only in the final
+    projection.
+
+    Scale: Spark expands the rollup into grouping sets WITHIN one
+    hash aggregate — partial aggregation still applies map-side, and
+    the shuffle carries (#groups × #levels) partial rows, not the
+    fact table. One pass replaces the 3-query UNION ALL a naive
+    report would run over 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _rev_col().alias("rev"),
+        )
+    )
+    return joined.rollup("nation", "order_year").agg(
+        F.grouping_id().alias("lvl"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select("nation", "order_year", "lvl", "revenue", "n_items")
+
+
+@register(
+    "lineitem_status_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_items,
+           cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double)
+               / count(*) AS avg_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_lineitem_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE cross-tabulation: every combination of (returnflag,
+    linestatus) marginals — both single-dimension slices, the joint
+    cells, and the grand total — in one ``df.cube(...)`` pass. The
+    average divides an exact decimal sum by the row count, cast to
+    double at the END, so both engines evaluate the same two exact
+    numbers (a native avg-of-double would drift with partial-agg
+    order). Map-only input (no join), one shuffle on the composite
+    grouping-set key; low-cardinality dimensions make the expanded
+    key space tiny regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.col("l_extendedprice").cast(_D122)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "lvl", "sum_qty", "n_items", "avg_price"
+        )
+    )

@@ -68,6 +68,8 @@ _GATE_ORDER: list[str] = [
     "txlog_dv_replay",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",
+    "revenue_rollup",
+    "lineitem_status_cube",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
