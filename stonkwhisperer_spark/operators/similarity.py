@@ -318,3 +318,106 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): 4x-compressed int8 vector codes + asymmetric
+# distance computation — the memory-side ANN scale lever (FAISS SQ8 /
+# Milvus IVF_SQ8 shape, complementing the LSH/IVF search-side levers).
+# ---------------------------------------------------------------------------
+def sq8_codebook(
+    vecs: DataFrame, vec: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the corpus — the scalar-quantization
+    codebook. ONE aggregation pass (2·dim map-side-combined min/max
+    partials), 2·dim doubles on the driver; broadcast into every
+    quantize/dequantize expression as literals. Exact regardless of
+    partitioning (min/max are order-free), so re-deriving the codebook
+    on any engine yields identical codes."""
+    row = vecs.agg(
+        *[F.min(F.col(vec)[i].cast("double")).alias(f"_lo{i}") for i in range(dim)],
+        *[F.max(F.col(vec)[i].cast("double")).alias(f"_hi{i}") for i in range(dim)],
+    ).collect()[0]
+    return (
+        [row[f"_lo{i}"] for i in range(dim)],
+        [row[f"_hi{i}"] for i in range(dim)],
+    )
+
+
+def _sq8_code(vec: str, i: int, lo: float, hi: float):
+    """8-bit code for dimension ``i``: floor((v-lo)/(hi-lo)·256) clamped
+    to [0,255]; constant dimensions (hi == lo) code 0."""
+    if not hi > lo:
+        return F.lit(0).cast("bigint")
+    ratio = (F.col(vec)[i].cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(256)
+    return F.least(F.lit(255), F.greatest(F.lit(0), F.floor(ratio).cast("bigint")))
+
+
+def sq8_codes(
+    vec: str, los: list[float], his: list[float], dim: int = 64
+) -> Column:
+    """``array<tinyint>`` of per-dimension codes — the STORED form: 64
+    bytes/vector instead of 256 (float32) or 512 (float64). At 100 TB
+    of embeddings this 4× is the difference between an in-memory
+    candidate scan and a spilled one. Codes are biased by -128 into
+    signed-byte range (tinyint is signed); readers recover the
+    unsigned code as ``stored + 128``."""
+    return F.array(
+        *[
+            (_sq8_code(vec, i, los[i], his[i]) - F.lit(128)).cast("tinyint")
+            for i in range(dim)
+        ]
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    los: list[float],
+    his: list[float],
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate max-inner-product top-k by ASYMMETRIC distance
+    computation (ADC): queries stay full-precision, candidates are
+    scored through their dequantized int8 codes (reconstruction =
+    bucket midpoint: lo + (code + 0.5)·(hi - lo)/256). Returns
+    (q_id, c_id, score), score ties broken on c_id; self-matches
+    excluded. Deterministic to the bit: quantize, dequantize, and the
+    left-fold dot use one fixed evaluation order, so any engine
+    re-deriving them from the same codebook agrees exactly.
+
+    Scale: same broadcast-queries/stream-candidates shape as
+    :func:`knn_bruteforce` but the candidate side reads 1 byte per
+    dimension — compose with the IVF/LSH bucketing for the full
+    FAISS-style IVF_SQ8: bucket prune first, ADC-scan the survivors."""
+    import operator
+    from functools import reduce
+
+    def _dequant(i: int):
+        lo, hi = los[i], his[i]
+        if not hi > lo:
+            return F.lit(lo)
+        scale = (hi - lo) / 256
+        return F.lit(lo) + (_sq8_code("_cv", i, lo, hi).cast("double") + F.lit(0.5)) * F.lit(scale)
+
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
+    c = candidates.select(F.col(c_id), F.col(vec).alias("_cv"))
+    score = reduce(
+        operator.add,
+        [F.col("_qv")[i].cast("double") * _dequant(i) for i in range(dim)],
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, score.alias("score"))
+    )
+    w = W.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

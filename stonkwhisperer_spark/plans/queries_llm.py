@@ -288,6 +288,73 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar-quantized (int8) approximate top-k — the memory-compression ANN
+# scale path: 4x smaller candidate vectors, asymmetric-distance scoring.
+# --------------------------------------------------------------------------
+@register(
+    "sq8_topk_embeddings",
+    oracle="""
+    WITH dims AS (
+      SELECT i,
+             min(cast(embedding[i] AS double)) AS lo,
+             max(cast(embedding[i] AS double)) AS hi
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY i
+    ),
+    codebook AS (
+      SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims
+    ),
+    cands AS (
+      SELECT vec_id AS c_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN his[i] > los[i] THEN
+                 los[i] + (LEAST(255, GREATEST(0,
+                   FLOOR((cast(embedding[i] AS double) - los[i])
+                         / (his[i] - los[i]) * 256)))
+                   + 0.5) * ((his[i] - los[i]) / 256)
+               ELSE los[i] END) AS dq
+      FROM embeddings, codebook
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q_id, c_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> cast(qv[i] AS double) * dq[i]), (x, y) -> x + y) AS score
+      FROM cands, q WHERE q_id <> c_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, c_id, score FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN (FAISS SQ8 shape): derive a
+    per-dimension [min,max] codebook in one aggregation pass, quantize
+    candidates to 8-bit codes (4× smaller than float32 — the memory
+    lever that keeps a 100 TB embedding corpus scannable), and rank by
+    asymmetric distance: full-precision queries against bucket-midpoint
+    reconstructions. Top-5 per query, ties on c_id. Every step —
+    codebook, clamp, midpoint dequant, left-fold dot — uses one fixed
+    evaluation order, so the DuckDB twin reproduces the scores to the
+    bit: quantization is deterministic compression, not noise.
+    Complements knn_embeddings (exact baseline), the LSH/IVF paths
+    (search pruning), and embedding_near_dup (the candidate-verify
+    pipeline); compose SQ8 with IVF for FAISS's IVF_SQ8."""
+    from stonkwhisperer_spark.operators.similarity import sq8_codebook, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    los, his = sq8_codebook(emb, dim=_DIM)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cands = spread(emb, "vec_id").select(F.col("vec_id").alias("c_id"), "embedding")
+    return sq8_topk(queries, cands, los, his, k=5, dim=_DIM)
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH buckets over embeddings (the ANN scale path).
 # --------------------------------------------------------------------------
 _N_PLANES, _DIM = 8, 64

@@ -70,6 +70,7 @@ _GATE_ORDER: list[str] = [
     "txlog_stream_upsert",
     "revenue_rollup",
     "lineitem_status_cube",
+    "sq8_topk_embeddings",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
