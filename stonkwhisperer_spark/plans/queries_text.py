@@ -757,3 +757,92 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("keep_threshold"))
         .select("doc_id", "lang", "keep_threshold")
     )
+
+
+from stonkwhisperer_spark.functions.text import clean_text_for_nlp_sql as _ct_sql
+
+_CLEAN_TEXT = _ct_sql("text")
+
+
+# --------------------------------------------------------------------------
+# Round-6 corpus-LM familiarity scoring — the perplexity-filter stage of a
+# training-data pipeline (CCNet/Gopher filter by LM score) expressed with
+# INTEGER-EXACT corpus statistics, so the oracle matches to the hash
+# (log-prob sums are summation-order-dependent across engines; counts and
+# one final double division are not).
+# --------------------------------------------------------------------------
+@register(
+    "bigram_familiarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(d.arr) AS tok,
+             generate_subscripts(d.arr, 1) AS i
+      FROM (SELECT doc_id, {{toks}} AS arr FROM documents) d
+    ),
+    bg AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.tok <> '' AND b.tok <> ''
+    ),
+    counts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(cnt) AS BIGINT) AS sum_freq,
+           CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           cast(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS double)
+               / count(*) AS shared_ratio
+    FROM bg JOIN counts USING (w1, w2)
+    GROUP BY doc_id
+    """.replace("{toks}", "regexp_split_to_array(" + _CLEAN_TEXT + ", ' ')"),
+)
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM familiarity per document — the perplexity-filter shape
+    (CCNet trains a small LM on reference text and filters by per-doc
+    score): build corpus-wide bigram counts from the cleaned token
+    stream, then score each document by how much of it is made of
+    bigrams the REST of the corpus also uses. ``shared_ratio`` (the
+    fraction of a doc's bigrams with corpus count >= 2) separates
+    template/boilerplate-heavy docs (high) from noise/unique text
+    (low) the same way a perplexity threshold does, while keeping every
+    aggregate an integer sum — a true log-prob sum is
+    summation-order-dependent, so two engines can't hash-match it; the
+    counts can, and the one ratio divides two exact integers.
+
+    Scale: two bounded shuffles — posexplode + lead() keyed on doc_id
+    (the sequence stays inside its partition group) and the bigram
+    count/join keyed on (w1, w2), high-cardinality and uniform. The
+    count table is vocabulary-sized, not corpus-sized; no
+    collect, no UDF, whole-stage codegen end to end."""
+    from pyspark.sql.window import Window
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok_rows = docs.select(
+        "doc_id",
+        F.posexplode(tokens_of(clean_text_for_nlp("text"))).alias("i", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        tok_rows.withColumn("w2", F.lead("tok").over(w))
+        .filter(
+            F.col("w2").isNotNull() & (F.col("tok") != "") & (F.col("w2") != "")
+        )
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bg.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("sum_freq"),
+            F.sum((F.col("cnt") >= 2).cast("bigint")).alias("n_shared"),
+            (
+                F.sum((F.col("cnt") >= 2).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_ratio"),
+        )
+    )

@@ -71,6 +71,7 @@ _GATE_ORDER: list[str] = [
     "revenue_rollup",
     "lineitem_status_cube",
     "sq8_topk_embeddings",
+    "bigram_familiarity",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
