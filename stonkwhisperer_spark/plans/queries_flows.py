@@ -1047,6 +1047,74 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_replace_where — Delta's replaceWhere under the value hash: one
+# atomic commit swaps a predicate-scoped region for its recomputation.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_replace_where",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id < 20 OR (doc_id >= 40 AND doc_id < 60)
+    UNION ALL
+    SELECT doc_id, source || '_w' AS source FROM documents
+    WHERE doc_id >= 20 AND doc_id < 30
+    """,
+)
+def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped atomic overwrite (``overwrite_where`` =
+    ``replaceWhere``): seed doc_id<60, then swap the [20,40) region for
+    a RECOMPUTED batch covering only [20,30) with rewritten values —
+    one commit, so no reader can observe the region deleted but not yet
+    refilled (the gap a delete-then-append pair exposes). Asserted
+    in-query: the swap counts (10 in, 20 out), the re-run being
+    idempotent (same final state), and the out-of-region guard
+    (a stray batch row raises before any write). The DuckDB twin
+    recomputes the final snapshot from seed.
+
+    Scale: the day/partition-reprocessing write path — O(replaced
+    region) copy-on-write plus the batch append; with the region
+    predicate on a partition or zone-mapped column, file discovery
+    opens only the region's files."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        overwrite_where,
+        read_committed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_rw_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
+        batch = (
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_w")))
+        )
+        cond = F.col("doc_id").between(20, 39)
+        inserted, deleted = overwrite_where(spark, target, batch, cond)
+        if (inserted, deleted) != (10, 20):
+            raise AssertionError(
+                f"replaceWhere swap wrong: inserted={inserted} deleted={deleted}"
+            )
+        inserted2, deleted2 = overwrite_where(spark, target, batch, cond)
+        if (inserted2, deleted2) != (10, 10):
+            raise AssertionError("replaceWhere re-run is not idempotent")
+        stray = docs.filter(F.col("doc_id") < 5)
+        try:
+            overwrite_where(spark, target, stray, cond)
+            raise AssertionError("out-of-region batch row must be rejected")
+        except ValueError:
+            pass
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_merge_sync_replay — the FULL three-clause MERGE under the value
 # hash: one commit updates matched keys, inserts new keys, and deletes
 # target keys absent from the source; the typed CDC feed carries all four

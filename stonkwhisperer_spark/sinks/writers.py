@@ -2092,6 +2092,140 @@ def delete_where(
     )
 
 
+def overwrite_where(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    condition: Column,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> tuple[int, int]:
+    """Delta's ``replaceWhere`` — predicate-scoped atomic overwrite:
+    ONE commit deletes every target row matching ``condition`` and
+    inserts the batch in its place. Returns (inserted, deleted). The
+    canonical consumer is idempotent partition/date reprocessing:
+    "recompute day X and swap it in" — re-running the job lands the
+    same final state, and readers never observe the day half-swapped
+    (the all-or-nothing guarantee a delete-then-append pair cannot
+    give: a reader between the two commits would see the day missing).
+
+    Delta's guard, enforced here too: every batch row must satisfy
+    ``condition`` (else the "replace" would silently leak rows outside
+    the replaced region — raises before any write). TYPED CDC: the
+    commit stages ``delete`` rows for the replaced region and
+    ``insert`` rows for the batch, so the feed replays the swap
+    exactly.
+
+    Scale: file-level copy-on-write — only files CONTAINING matching
+    rows are rewritten (survivors carried over), the batch appends as
+    new files; a predicate on a zone-mapped or partition column
+    touches O(replaced data), never the table. Concurrency: optimistic
+    CAS like every writer."""
+    import pyarrow.parquet as pq
+
+    n_bad = batch.filter(
+        ~F.coalesce(condition, F.lit(False))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"replaceWhere violation: {n_bad} batch row(s) do not satisfy "
+            "the overwrite condition — the batch must stay inside the "
+            "region it replaces"
+        )
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        declared = _schema_from(commits)
+        if declared is not None:
+            types = {f.name: f.dataType.json() for f in declared.fields}
+            for f in batch.schema.fields:
+                if f.name in types and types[f.name] != f.dataType.json():
+                    raise ValueError(
+                        f"schema evolution type conflict on '{f.name}' at "
+                        f"{target_path}: table has {types[f.name]}, "
+                        f"batch has {f.dataType.json()}"
+                    )
+        _enforce_constraints(batch, commits, target_path)
+        committed = _files_from(commits)
+        matched_files: list[str] = []
+        carried = dels = None
+        if committed:
+            existing = _read_snapshot(
+                spark,
+                target_path,
+                commits,
+                files=committed,
+                schema=declared,
+                keep_lineage=True,
+            )
+            root = os.path.abspath(target_path)
+            matched_files = sorted(
+                {
+                    _uri_to_rel(r[0], root)
+                    for r in existing.filter(condition)
+                    .select(_FP_COL)
+                    .distinct()
+                    .collect()
+                }
+            )
+            if matched_files:
+                touched = _read_snapshot(
+                    spark, target_path, commits, files=matched_files,
+                    schema=declared,
+                )
+                cond_true = F.coalesce(condition, F.lit(False))
+                carried = touched.filter(~cond_true)
+                dels = touched.filter(cond_true)
+        new_data = batch
+        if carried is not None:
+            new_data = new_data.unionByName(carried, allowMissingColumns=True)
+        cdc = batch.withColumn(_CHANGE_COL, F.lit("insert"))
+        if dels is not None:
+            cdc = cdc.unionByName(
+                dels.withColumn(_CHANGE_COL, F.lit("delete")),
+                allowMissingColumns=True,
+            )
+        staged = _stage_files(new_data, target_path, partition_cols)
+        live_staged: list[str] = []
+        for rel in staged:
+            if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
+                live_staged.append(rel)
+            else:
+                os.remove(os.path.join(target_path, rel))
+        cdc_staged = _stage_cdc_files(cdc, target_path)
+        inserted, _, deleted = _cdc_counts(target_path, cdc_staged)
+
+        def _cleanup():
+            for rel in live_staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if inserted == 0 and deleted == 0:
+            _cleanup()
+            return 0, 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            live_staged,
+            inserted,
+            remove=matched_files,
+            stats=_collect_stats(target_path, live_staged),
+            schema=json.dumps(new_data.schema.jsonValue()),
+            cdc=cdc_staged,
+            op="REPLACE WHERE",
+        ):
+            return inserted, deleted
+        _cleanup()
+    raise RuntimeError(
+        f"overwrite_where lost the commit race {max_retries} times at {target_path}"
+    )
+
+
 def delete_where_dv(
     spark: SparkSession,
     target_path: str,

@@ -1419,3 +1419,49 @@ def test_merge_upsert_txn_concurrent_same_txn_lands_once(spark, tmp_path):
     from stonkwhisperer_spark.sinks.writers import _committed_version
 
     assert _committed_version(target) == 2
+
+
+def test_overwrite_where_atomic_region_swap(spark, tmp_path):
+    """replaceWhere: one commit deletes the predicate region and
+    inserts the batch; re-running is idempotent; a batch row outside
+    the region is rejected before any write."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        overwrite_where,
+        read_committed,
+        table_changes,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(30).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    for lo in (0, 10, 20):
+        merge_append(
+            spark, target, seed.filter(F.col("k").between(lo, lo + 9)), ["k"]
+        )
+    v_seed = _committed_version(target)
+    # Recompute the [10,20) "day" as 5 rows only.
+    batch = spark.range(10, 15).select(F.col("id").alias("k"), F.lit("new").alias("v"))
+    cond = F.col("k").between(10, 19)
+    assert overwrite_where(spark, target, batch, cond) == (5, 10)
+    got = read_committed(spark, target)
+    assert got.count() == 25
+    assert got.filter(F.col("v") == "new").count() == 5
+    assert got.filter(cond).count() == 5
+    feed = table_changes(spark, target, from_version=v_seed)
+    kinds = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert kinds == {"insert": 5, "delete": 10}
+    # Idempotent re-run: swaps the region with the same contents.
+    assert overwrite_where(spark, target, batch, cond) == (5, 5)
+    assert read_committed(spark, target).count() == 25
+    # Guard: a batch row outside the region must be rejected whole.
+    stray = spark.range(10, 25).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    before = _committed_version(target)
+    with pytest.raises(ValueError, match="replaceWhere violation"):
+        overwrite_where(spark, target, stray, cond)
+    assert _committed_version(target) == before
