@@ -846,3 +846,65 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 sliding-window chunking — the context-window segmentation stage
+# (RAG indexing / long-doc pretraining): fixed-size token windows with
+# overlap, one row per chunk.
+# --------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array({{clean}}, ' ') AS arr
+      FROM documents WHERE {{clean}} <> ''
+    ),
+    starts AS (
+      SELECT doc_id, arr, unnest(range(1, len(arr) + 1, {_CHUNK_STRIDE})) AS s
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(LEAST({_CHUNK_W}, len(arr) - s + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(arr, s, s + {_CHUNK_W} - 1), ' ') AS chunk_text
+    FROM starts
+    """.replace("{clean}", _CLEAN_TEXT),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (HF ``return_overflowing_tokens`` shape):
+    split each cleaned document into 64-token windows every 48 tokens
+    (16-token overlap so no boundary context is lost — the RAG-indexing
+    and long-document-pretraining segmentation stage). One row per
+    chunk with its index, token count, and re-joined text; trailing
+    windows are partial by design (every token belongs to >= 1 chunk).
+
+    Scale: map-only — sequence + slice + explode are codegen'd array
+    expressions, no shuffle at all; output size is corpus x (1 +
+    overlap/stride), the same blow-up any chunker pays. Pair with
+    pack_documents to fill training sequences from the chunks."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    w, stride = _CHUNK_W, _CHUNK_STRIDE
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    clean = clean_text_for_nlp("text")
+    d = docs.select("doc_id", tokens_of(clean).alias("arr")).filter(clean != "")
+    starts = d.select(
+        "doc_id",
+        "arr",
+        F.explode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(stride))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(w), F.size("arr") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice("arr", F.col("s"), F.lit(w)), " ").alias("chunk_text"),
+    )

@@ -73,6 +73,7 @@ _GATE_ORDER: list[str] = [
     "lineitem_status_cube",
     "sq8_topk_embeddings",
     "bigram_familiarity",
+    "doc_chunks",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
