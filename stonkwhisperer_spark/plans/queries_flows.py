@@ -1047,6 +1047,91 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_rename_replay — column mapping under the value hash: RENAME COLUMN
+# as a metadata-only commit; reads, writes, and CDC all speak the new name
+# while every data file keeps the original physical schema.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_rename_replay",
+    oracle="""
+    SELECT doc_id, source AS origin FROM documents
+    WHERE doc_id < 40 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id, source || '_n' AS origin FROM documents
+    WHERE doc_id < 60 AND doc_id % 5 = 0
+    """,
+)
+def q_txlog_rename_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping: seed doc_id<40 (source), then
+    ``rename_column(source → origin)`` — asserted in-query to touch ZERO
+    data files (mtimes) — then merge-upsert a batch ADDRESSED BY THE NEW
+    NAME: multiples of 5 under 60 with rewritten values, which must
+    update in place / insert under the mapping (split asserted). The
+    final snapshot reads logically as (doc_id, origin) with every data
+    file still physically storing 'source' (footer-asserted); the
+    DuckDB twin recomputes the merged state from seed. Time travel to
+    the pre-rename version must still show 'source' (asserted).
+
+    Scale: the rename is O(1) metadata — the alternative at 100 TB is
+    a full-table rewrite; the logical/physical translation is a
+    zero-cost select-alias at plan build time, never a data pass."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        rename_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_ren_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+        v1 = _committed_version(target)
+        mtimes = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+        }
+        rename_column(target, "source", "origin")
+        after = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+        }
+        if after != mtimes:
+            raise AssertionError("rename touched data files")
+        batch = (
+            docs.filter((F.col("doc_id") < 60) & (F.col("doc_id") % 5 == 0))
+            .select(
+                "doc_id",
+                F.concat(F.col("source"), F.lit("_n")).alias("origin"),
+            )
+        )
+        inserted, updated = merge_upsert(spark, target, batch, ["doc_id"])
+        if (inserted, updated) != (4, 8):  # 40,45,50,55 insert; 0..35 step5 update
+            raise AssertionError(
+                f"post-rename merge split wrong: ins={inserted} upd={updated}"
+            )
+        if read_committed(spark, target, version=v1).columns != ["doc_id", "source"]:
+            raise AssertionError("time travel before the rename lost the old name")
+        for f in committed_files(target):
+            names = _pq.ParquetFile(_os.path.join(target, f)).schema_arrow.names
+            if "origin" in names or "source" not in names:
+                raise AssertionError(f"file {f} does not store the physical name")
+        rows = read_committed(spark, target).select("doc_id", "origin").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, origin string")
+
+
+# --------------------------------------------------------------------------
 # txlog_replace_where — Delta's replaceWhere under the value hash: one
 # atomic commit swaps a predicate-scoped region for its recomputation.
 # --------------------------------------------------------------------------

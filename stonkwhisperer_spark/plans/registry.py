@@ -66,6 +66,7 @@ _GATE_ORDER: list[str] = [
     #    2-D Z-order skipping, RESTORE + timestamp travel, exactly-once
     #    txn streaming sink --
     "txlog_dv_replay",
+    "txlog_rename_replay",
     "txlog_replace_where",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",

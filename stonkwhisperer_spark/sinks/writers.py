@@ -181,6 +181,48 @@ def _dv_from(commits: list[dict]) -> dict[str, list[str]]:
     return state
 
 
+def _colmap_from(commits: list[dict]) -> dict[str, str]:
+    """Column-mapping replay: {logical_name: physical_name}. A
+    ``rename`` commit re-points a logical name at the column's ORIGINAL
+    physical name (the one stored in every parquet footer), so RENAME
+    COLUMN is a metadata-only commit — no data file is rewritten, the
+    Delta column-mapping contract. Identity (unrenamed) columns are
+    absent from the map. Renames chain: a→b then b→c leaves {c: a}."""
+    m: dict[str, str] = {}
+    for c in commits:
+        r = c.get("rename")
+        if r:
+            frm, to = r["from"], r["to"]
+            m[to] = m.pop(frm, frm)
+    return m
+
+
+def _to_physical(df: DataFrame, colmap: dict[str, str]) -> DataFrame:
+    """Logical → physical column names (the on-disk space: data files,
+    change files, commit schemas, zone maps). Raises on a column that
+    collides with a RETIRED physical name — re-introducing a renamed
+    column's old name would silently alias historical data."""
+    if not colmap:
+        return df
+    live = set(colmap)
+    retired = {p for l, p in colmap.items() if p != l}
+    for c in df.columns:
+        if c not in live and c in retired:
+            raise ValueError(
+                f"column '{c}' is the retired physical name of a renamed "
+                "column — pick a different name"
+            )
+    return df.select(*[F.col(c).alias(colmap.get(c, c)) for c in df.columns])
+
+
+def _to_logical(df: DataFrame, colmap: dict[str, str]) -> DataFrame:
+    """Physical → logical column names (the reader/compute space)."""
+    if not colmap:
+        return df
+    p2l = {p: l for l, p in colmap.items()}
+    return df.select(*[F.col(c).alias(p2l.get(c, c)) for c in df.columns])
+
+
 def _vacuum_cutoff(commits: list[dict]) -> int:
     """The retention horizon: the highest vacuum cutoff ever committed.
     Snapshots and change feeds strictly BELOW it may reference
@@ -381,7 +423,10 @@ def _read_snapshot(
         df = df.join(F.broadcast(kill), [_FP_COL, _RI_COL], "left_anti")
     if need_lineage and not keep_lineage:
         df = df.drop(_FP_COL, _RI_COL)
-    return df
+    # Column mapping: files store physical names; every consumer sees
+    # the logical view AS OF this snapshot's commits (so time travel
+    # before a rename shows the old name — Delta's behavior).
+    return _to_logical(df, _colmap_from(commits))
 
 
 def committed_files(target_path: str, version: int | None = None) -> list[str]:
@@ -506,11 +551,80 @@ def drop_constraint(target_path: str, name: str, max_retries: int = 20) -> None:
     )
 
 
+def rename_column(
+    target_path: str, old: str, new: str, max_retries: int = 20
+) -> None:
+    """Delta ``ALTER TABLE t RENAME COLUMN old TO new`` via column
+    mapping: a METADATA-ONLY commit re-points the logical name at the
+    column's original physical name — zero data files rewritten, which
+    at 100 TB is the entire point (a rewrite-based rename would be a
+    full-table copy). Every reader surface (committed reads, pruned
+    reads, CDC, the streaming source, ``table_schema``) presents the
+    logical view; writers keep addressing the table by logical names
+    and the disk boundary translates. Time travel BEFORE the rename
+    commit shows the old name, as in Delta.
+
+    Guards: ``old`` must be a current logical column; ``new`` must not
+    collide with a live logical name OR any retired physical name (that
+    would silently alias historical data); a CHECK constraint
+    referencing the column must be dropped first (constraint
+    expressions bind to physical names and cannot be rewritten
+    safely)."""
+    import re
+
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            raise ValueError(f"no commits at {target_path}")
+        version = commits[-1]["version"]
+        colmap = _colmap_from(commits)
+        struct = _schema_from(commits)
+        if struct is None:
+            raise ValueError(
+                f"cannot rename at {target_path}: table has no recorded schema"
+            )
+        p2l = {p: l for l, p in colmap.items()}
+        logical = [p2l.get(f.name, f.name) for f in struct.fields]
+        if old not in logical:
+            raise ValueError(f"no such column '{old}' at {target_path}")
+        if new in logical:
+            raise ValueError(f"column '{new}' already exists at {target_path}")
+        retired = {p for l, p in colmap.items() if p != l}
+        if new in retired:
+            raise ValueError(
+                f"'{new}' is the retired physical name of a renamed column "
+                f"at {target_path} — pick a different name"
+            )
+        phys = colmap.get(old, old)
+        for cname, expr in _constraints_from(commits).items():
+            if re.search(rf"\b{re.escape(phys)}\b", expr):
+                raise ValueError(
+                    f"cannot rename '{old}': CHECK constraint '{cname}' "
+                    f"({expr}) references it — drop the constraint first"
+                )
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            rename={"from": old, "to": new},
+            op="RENAME COLUMN",
+        ):
+            return
+    raise RuntimeError(
+        f"rename_column lost the commit race {max_retries} times at {target_path}"
+    )
+
+
 def _enforce_constraints(batch: DataFrame, commits: list[dict], target_path: str):
     """Reject a write whose batch violates any CHECK constraint in
     force (Delta's write-time enforcement): one codegen'd filter per
     constraint over the BATCH only — O(batch), never a table read.
-    Raises with the constraint and one offending row."""
+    Raises with the constraint and one offending row. Constraint
+    expressions bind to PHYSICAL column names (rename_column refuses a
+    rename while a constraint references the column), so the batch is
+    translated before filtering."""
+    batch = _to_physical(batch, _colmap_from(commits))
     for name, expr in _constraints_from(commits).items():
         bad = batch.filter(~F.expr(expr)).limit(1).collect()
         if bad:
@@ -563,6 +677,7 @@ def _try_commit(
     schema: str | None = None,
     cdc: list[str] | None = None,
     dv: dict | None = None,
+    rename: dict | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -574,6 +689,16 @@ def _try_commit(
     POSIX and HDFS; exactly one concurrent writer can win a version."""
     log = _txlog_path(target_path)
     os.makedirs(log, exist_ok=True)
+    if schema is not None:
+        # Commit schemas live in PHYSICAL name space (they union with
+        # file footers): translate any logical field names the writer
+        # passed through.
+        colmap = _colmap_from(_commits(target_path))
+        if colmap:
+            body_schema = json.loads(schema)
+            for field in body_schema.get("fields", []):
+                field["name"] = colmap.get(field["name"], field["name"])
+            schema = json.dumps(body_schema)
     manifest = os.path.join(log, f"{version:08d}.json")
     try:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -596,6 +721,8 @@ def _try_commit(
         body["cdc"] = cdc
     if dv is not None:
         body["dv"] = dv
+    if rename is not None:
+        body["rename"] = rename
     if txn:
         body["txn"] = txn
     if restore_of is not None:
@@ -627,7 +754,15 @@ def _stage_files(
     """Write the insert set to a dot-hidden staging dir inside the
     table, then os.replace each part file into the table root (same
     filesystem ⇒ atomic rename; readers never observe a partial file).
-    Returns the relative paths of the staged files."""
+    Returns the relative paths of the staged files.
+
+    Data files always store PHYSICAL column names: the logical→physical
+    translation happens here, at the disk boundary, so writers compute
+    in logical space and renamed tables keep one on-disk schema."""
+    colmap = _colmap_from(_commits(target_path))
+    new_rows = _to_physical(new_rows, colmap)
+    if partition_cols:
+        partition_cols = [colmap.get(c, c) for c in partition_cols]
     stage = os.path.join(target_path, f".stage-{uuid.uuid4().hex}")
     writer = new_rows.write.mode("overwrite")
     if partition_cols:
@@ -738,8 +873,23 @@ def table_schema(target_path: str, version: int | None = None):
     insert-only log never narrows; a field re-declared with a DIFFERENT
     type raises rather than silently widening, Delta's
     default-off autoMerge stance). Returns None when no commit recorded
-    a schema (pre-evolution tables read with file-inferred schemas)."""
-    return _schema_from(_commits(target_path, version))
+    a schema (pre-evolution tables read with file-inferred schemas).
+    Field names are the LOGICAL view as of the version (column mapping
+    applied); zone maps (:func:`file_stats`) stay physical."""
+    from pyspark.sql.types import StructField, StructType
+
+    commits = _commits(target_path, version)
+    struct = _schema_from(commits)
+    colmap = _colmap_from(commits)
+    if struct is None or not colmap:
+        return struct
+    p2l = {p: l for l, p in colmap.items()}
+    return StructType(
+        [
+            StructField(p2l.get(f.name, f.name), f.dataType, f.nullable)
+            for f in struct.fields
+        ]
+    )
 
 
 def file_stats(target_path: str, version: int | None = None) -> dict[str, dict]:
@@ -785,11 +935,15 @@ def read_committed_pruned(
     if not files:
         return None, 0, 0
     stats = _stats_from(commits)
+    # Zone maps are keyed by PHYSICAL column name; the caller passes
+    # the logical one (the residual filter below runs on the logical
+    # frame _read_snapshot returns).
+    pcol = _colmap_from(commits).get(col, col)
     kept = [
         f
         for f in files
-        if col not in stats.get(f, {})
-        or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        if pcol not in stats.get(f, {})
+        or not (stats[f][pcol][1] < lo or stats[f][pcol][0] > hi)
     ]
     if not kept:
         # Valid empty result with the right schema: scan one file, keep
@@ -921,7 +1075,8 @@ def table_changes(
         # allowMissingColumns: commits on either side of an additive
         # schema evolution union cleanly (older rows null-fill).
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    # Change files store physical names; consumers see the logical view.
+    return _to_logical(out, _colmap_from(commits))
 
 
 def _zorder_key(
@@ -1426,7 +1581,9 @@ def append_txn(
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
-            for f in batch.schema.fields:
+            # Compare in physical name space — a renamed column's batch
+            # values arrive under the logical name but land physically.
+            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -1505,7 +1662,9 @@ def merge_append(
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
-            for f in batch.schema.fields:
+            # Compare in physical name space — a renamed column's batch
+            # values arrive under the logical name but land physically.
+            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -1519,7 +1678,12 @@ def merge_append(
         snapshot_files = committed or legacy
         legacy_schema = None
         if snapshot_files:
-            existing = _read_files(spark, target_path, snapshot_files)
+            # _read_snapshot (not _read_files): DV-masked rows are not
+            # part of the table — their keys must not suppress inserts
+            # — and the anti-join runs in logical column space.
+            existing = _read_snapshot(
+                spark, target_path, commits, files=snapshot_files
+            )
             if legacy:
                 # Adoption must record the FULL legacy schema, not just
                 # the batch's — otherwise legacy-only columns become
@@ -1590,7 +1754,10 @@ def _stage_cdc_files(cdc: DataFrame, target_path: str) -> list[str]:
     prefix: invisible to plain parquet readers and to the data-file
     walk), returning their table-relative paths for the manifest's
     ``cdc`` entry. Same stage-then-atomic-rename discipline as
-    :func:`_stage_files`."""
+    :func:`_stage_files`, including the logical→physical column
+    translation at the disk boundary (``table_changes`` translates
+    back on read)."""
+    cdc = _to_physical(cdc, _colmap_from(_commits(target_path)))
     dest = os.path.join(target_path, _CDC_DIR)
     os.makedirs(dest, exist_ok=True)
     stage = os.path.join(target_path, f".stage-cdc-{uuid.uuid4().hex}")
@@ -1817,7 +1984,9 @@ def _merge_rows(
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
-            for f in batch.schema.fields:
+            # Compare in physical name space — a renamed column's batch
+            # values arrive under the logical name but land physically.
+            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -2139,7 +2308,9 @@ def overwrite_where(
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
-            for f in batch.schema.fields:
+            # Compare in physical name space — a renamed column's batch
+            # values arrive under the logical name but land physically.
+            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "

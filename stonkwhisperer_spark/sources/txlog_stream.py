@@ -146,6 +146,14 @@ class _TxlogStreamReader(DataSourceStreamReader):
             [f for f in schema.fields if f.name not in (VERSION_COL, CHANGE_COL)]
         )
         self._fields = [f.name for f in data_schema.fields]
+        # Column mapping: the output schema is LOGICAL, the parquet
+        # files store PHYSICAL names — read() projects physical and
+        # emits logical (snapshot of the mapping at subscription time;
+        # a restart re-resolves it).
+        from stonkwhisperer_spark.sinks.writers import _colmap_from
+
+        colmap = _colmap_from(_commits(self._path))
+        self._phys = {n: colmap.get(n, n) for n in self._fields}
         self._arrow_schema = to_arrow_schema(data_schema)
 
     def initialOffset(self) -> dict:
@@ -197,15 +205,16 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(partition.path)
         present = set(pf.schema_arrow.names)
-        want = [n for n in self._fields if n in present]
+        want = [self._phys[n] for n in self._fields if self._phys[n] in present]
         if partition.cdc:
             want = want + [CHANGE_COL]
         for batch in pf.iter_batches(columns=want):
             arrays = []
             for name in self._fields:
                 typ = self._arrow_schema.field(name).type
-                if name in present:
-                    arr = batch.column(name)
+                pname = self._phys[name]
+                if pname in present:
+                    arr = batch.column(pname)
                     if arr.type != typ:
                         arr = arr.cast(typ)
                     arrays.append(arr)

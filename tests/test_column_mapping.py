@@ -1,0 +1,179 @@
+"""Column mapping on the parquet txlog: RENAME COLUMN as a
+metadata-only commit — no data rewrite, logical view on every read
+surface, physical names on disk."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.sinks.writers import (
+    _commits,
+    add_constraint,
+    committed_files,
+    delete_where_dv,
+    merge_append,
+    merge_upsert,
+    read_committed,
+    read_committed_pruned,
+    rename_column,
+    table_changes,
+    table_schema,
+)
+
+
+def _seed(spark, target, n=30):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    merge_append(spark, target, df.filter(F.col("k") < n // 2), ["k"])
+    merge_append(spark, target, df.filter(F.col("k") >= n // 2), ["k"])
+    return df
+
+
+def test_rename_is_metadata_only_and_renames_all_reads(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    rename_column(target, "v", "val")
+    after = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    assert after == before  # zero data files rewritten
+    got = read_committed(spark, target)
+    assert got.columns == ["k", "val"]
+    assert got.filter(F.col("val") == 100).count() == 1
+    assert [f.name for f in table_schema(target).fields] == ["k", "val"]
+    # Physical names on disk are unchanged.
+    import pyarrow.parquet as pq
+
+    for f in committed_files(target):
+        assert "v" in pq.ParquetFile(os.path.join(target, f)).schema_arrow.names
+
+
+def test_write_after_rename_lands_physically_and_reads_logically(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    rename_column(target, "v", "val")
+    batch = spark.createDataFrame([(100, 111), (0, -1)], "k long, val long")
+    inserted, updated = merge_upsert(spark, target, batch, ["k"])
+    assert (inserted, updated) == (1, 1)
+    got = read_committed(spark, target)
+    assert got.columns == ["k", "val"]
+    assert got.filter(F.col("k") == 0).first()["val"] == -1
+    # Every data file — including post-rename ones — stores 'v'.
+    for f in committed_files(target):
+        names = pq.ParquetFile(os.path.join(target, f)).schema_arrow.names
+        assert "v" in names and "val" not in names
+
+
+def test_rename_time_travel_and_cdc(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    v_before = _commits(target)[-1]["version"]
+    rename_column(target, "v", "val")
+    # Time travel before the rename shows the OLD logical name.
+    old = read_committed(spark, target, version=v_before)
+    assert old.columns == ["k", "v"]
+    # The change feed (spanning commits before AND after) is logical.
+    merge_upsert(
+        spark, target,
+        spark.createDataFrame([(0, -5)], "k long, val long"), ["k"],
+    )
+    feed = table_changes(spark, target, from_version=0)
+    assert "val" in feed.columns and "v" not in feed.columns
+
+
+def test_rename_guards(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(target, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(target, "v", "k")
+    add_constraint(spark, target, "pos_v", "v >= 0")
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        rename_column(target, "v", "val")
+    from stonkwhisperer_spark.sinks.writers import drop_constraint
+
+    drop_constraint(target, "pos_v")
+    rename_column(target, "v", "val")
+    # Retired physical name cannot come back as a new column…
+    with pytest.raises(ValueError, match="retired physical name"):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([(900, 1, 2)], "k long, val long, v long"),
+            ["k"],
+        )
+    # …nor as a rename target.
+    with pytest.raises(ValueError, match="retired physical name"):
+        rename_column(target, "k", "v")
+    # Chained rename keeps working (val -> score, physical stays v).
+    rename_column(target, "val", "score")
+    assert read_committed(spark, target).columns == ["k", "score"]
+
+
+def test_rename_pruning_merge_keys_and_stream(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    rename_column(target, "k", "key_id")
+    # Zone-map pruning on the renamed column (stats are physical).
+    df, files_read, files_total = read_committed_pruned(
+        spark, target, "key_id", 0, 5
+    )
+    assert df.filter(F.col("key_id").between(0, 5)).count() == 6
+    assert files_read < files_total
+    # Merging BY the renamed key works.
+    batch = spark.createDataFrame([(2, 999), (77, 770)], "key_id long, v long")
+    assert merge_upsert(spark, target, batch, ["key_id"]) == (1, 1)
+    # The streaming source emits the logical schema.
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+    feed = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .load()
+    )
+    assert "key_id" in feed.columns and "k" not in feed.columns
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("colmap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.table("colmap_stream")
+    assert rows.filter(F.col("key_id") == 77).count() == 1
+
+
+def test_merge_append_reinserts_dv_deleted_keys(spark, tmp_path):
+    """A DV-masked row is not part of the table: merge_append must not
+    let its key suppress a re-insert (regression for the anti-join
+    reading raw files instead of the DV-filtered snapshot)."""
+    target = str(tmp_path / "t")
+    _seed(spark, target, n=20)
+    assert delete_where_dv(spark, target, F.col("k") == 3) == 1
+    batch = spark.createDataFrame([(3, 333)], "k long, v long")
+    assert merge_append(spark, target, batch, ["k"]) == 1
+    got = read_committed(spark, target).filter(F.col("k") == 3).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(3, 333)]
