@@ -197,30 +197,67 @@ def _colmap_from(commits: list[dict]) -> dict[str, str]:
     return m
 
 
-def _to_physical(df: DataFrame, colmap: dict[str, str]) -> DataFrame:
+def _dropped_from(commits: list[dict]) -> set[str]:
+    """PHYSICAL names of logically-dropped columns (``drop_column``):
+    excluded from every logical view; the data files keep the bytes
+    until rewrites shed them (Delta's mapping-based DROP COLUMN)."""
+    out: set[str] = set()
+    for c in commits:
+        d = c.get("drop_col")
+        if d:
+            out.add(d["physical"])
+    return out
+
+
+def _retired_names(commits: list[dict]) -> set[str]:
+    """Names no new column may take: retired physical names of renamed
+    columns, plus both names of dropped columns — reusing any of them
+    would silently alias historical file data."""
+    colmap = _colmap_from(commits)
+    retired = {p for l, p in colmap.items() if p != l}
+    for c in commits:
+        d = c.get("drop_col")
+        if d:
+            retired.add(d["physical"])
+            retired.add(d["logical"])
+    return retired
+
+
+def _to_physical(df: DataFrame, commits: list[dict]) -> DataFrame:
     """Logical → physical column names (the on-disk space: data files,
     change files, commit schemas, zone maps). Raises on a column that
-    collides with a RETIRED physical name — re-introducing a renamed
-    column's old name would silently alias historical data."""
-    if not colmap:
+    collides with a RETIRED name (a renamed column's old physical name
+    or a dropped column's either name) — re-introducing one would
+    silently alias historical data."""
+    colmap = _colmap_from(commits)
+    retired = _retired_names(commits)
+    if not colmap and not retired:
         return df
     live = set(colmap)
-    retired = {p for l, p in colmap.items() if p != l}
     for c in df.columns:
         if c not in live and c in retired:
             raise ValueError(
                 f"column '{c}' is the retired physical name of a renamed "
-                "column — pick a different name"
+                "or dropped column — pick a different name"
             )
     return df.select(*[F.col(c).alias(colmap.get(c, c)) for c in df.columns])
 
 
-def _to_logical(df: DataFrame, colmap: dict[str, str]) -> DataFrame:
-    """Physical → logical column names (the reader/compute space)."""
-    if not colmap:
+def _to_logical(df: DataFrame, commits: list[dict]) -> DataFrame:
+    """Physical → logical column names (the reader/compute space);
+    logically-dropped columns are excluded."""
+    colmap = _colmap_from(commits)
+    dropped = _dropped_from(commits)
+    if not colmap and not dropped:
         return df
     p2l = {p: l for l, p in colmap.items()}
-    return df.select(*[F.col(c).alias(p2l.get(c, c)) for c in df.columns])
+    return df.select(
+        *[
+            F.col(c).alias(p2l.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+    )
 
 
 def _vacuum_cutoff(commits: list[dict]) -> int:
@@ -397,6 +434,16 @@ def _read_snapshot(
                 if d not in dv_files:
                     dv_files.append(d)
     need_lineage = keep_lineage or bool(targeted)
+    dropped = _dropped_from(commits)
+    if schema is not None and dropped:
+        # Logically-dropped columns are pruned AT THE SCAN (explicit
+        # read schema) — the bytes stay in old files but are never
+        # read, Delta's mapping-based DROP COLUMN economics.
+        from pyspark.sql.types import StructType
+
+        schema = StructType(
+            [f for f in schema.fields if f.name not in dropped]
+        )
     df = _read_files(
         spark,
         target_path,
@@ -426,7 +473,7 @@ def _read_snapshot(
     # Column mapping: files store physical names; every consumer sees
     # the logical view AS OF this snapshot's commits (so time travel
     # before a rename shows the old name — Delta's behavior).
-    return _to_logical(df, _colmap_from(commits))
+    return _to_logical(df, commits)
 
 
 def committed_files(target_path: str, version: int | None = None) -> list[str]:
@@ -584,16 +631,19 @@ def rename_column(
                 f"cannot rename at {target_path}: table has no recorded schema"
             )
         p2l = {p: l for l, p in colmap.items()}
-        logical = [p2l.get(f.name, f.name) for f in struct.fields]
+        logical = [
+            p2l.get(f.name, f.name)
+            for f in struct.fields
+            if f.name not in _dropped_from(commits)
+        ]
         if old not in logical:
             raise ValueError(f"no such column '{old}' at {target_path}")
         if new in logical:
             raise ValueError(f"column '{new}' already exists at {target_path}")
-        retired = {p for l, p in colmap.items() if p != l}
-        if new in retired:
+        if new in _retired_names(commits):
             raise ValueError(
-                f"'{new}' is the retired physical name of a renamed column "
-                f"at {target_path} — pick a different name"
+                f"'{new}' is the retired physical name of a renamed "
+                f"or dropped column at {target_path} — pick a different name"
             )
         phys = colmap.get(old, old)
         for cname, expr in _constraints_from(commits).items():
@@ -616,6 +666,60 @@ def rename_column(
     )
 
 
+def drop_column(target_path: str, name: str, max_retries: int = 20) -> None:
+    """Delta ``ALTER TABLE t DROP COLUMN name`` via column mapping: a
+    METADATA-ONLY commit retires the column from the logical view — no
+    data file rewritten; the bytes stay in old files but every reader
+    prunes the column AT THE SCAN (explicit read schema), so they are
+    never read again, and subsequent rewrites (compaction, merges) shed
+    them physically. Time travel before the drop still shows the
+    column. Neither the dropped logical name nor its physical name can
+    be reused (name-based mapping cannot disambiguate historical
+    bytes — Delta needs column IDs for that; raises loudly instead).
+    A CHECK constraint referencing the column must be dropped first."""
+    import re
+
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            raise ValueError(f"no commits at {target_path}")
+        version = commits[-1]["version"]
+        colmap = _colmap_from(commits)
+        struct = _schema_from(commits)
+        if struct is None:
+            raise ValueError(
+                f"cannot drop at {target_path}: table has no recorded schema"
+            )
+        dropped = _dropped_from(commits)
+        p2l = {p: l for l, p in colmap.items()}
+        logical = [
+            p2l.get(f.name, f.name)
+            for f in struct.fields
+            if f.name not in dropped
+        ]
+        if name not in logical:
+            raise ValueError(f"no such column '{name}' at {target_path}")
+        phys = colmap.get(name, name)
+        for cname, expr in _constraints_from(commits).items():
+            if re.search(rf"\b{re.escape(phys)}\b", expr):
+                raise ValueError(
+                    f"cannot drop '{name}': CHECK constraint '{cname}' "
+                    f"({expr}) references it — drop the constraint first"
+                )
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            drop_col={"logical": name, "physical": phys},
+            op="DROP COLUMN",
+        ):
+            return
+    raise RuntimeError(
+        f"drop_column lost the commit race {max_retries} times at {target_path}"
+    )
+
+
 def _enforce_constraints(batch: DataFrame, commits: list[dict], target_path: str):
     """Reject a write whose batch violates any CHECK constraint in
     force (Delta's write-time enforcement): one codegen'd filter per
@@ -624,7 +728,7 @@ def _enforce_constraints(batch: DataFrame, commits: list[dict], target_path: str
     expressions bind to PHYSICAL column names (rename_column refuses a
     rename while a constraint references the column), so the batch is
     translated before filtering."""
-    batch = _to_physical(batch, _colmap_from(commits))
+    batch = _to_physical(batch, commits)
     for name, expr in _constraints_from(commits).items():
         bad = batch.filter(~F.expr(expr)).limit(1).collect()
         if bad:
@@ -678,6 +782,7 @@ def _try_commit(
     cdc: list[str] | None = None,
     dv: dict | None = None,
     rename: dict | None = None,
+    drop_col: dict | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -723,6 +828,8 @@ def _try_commit(
         body["dv"] = dv
     if rename is not None:
         body["rename"] = rename
+    if drop_col is not None:
+        body["drop_col"] = drop_col
     if txn:
         body["txn"] = txn
     if restore_of is not None:
@@ -759,9 +866,10 @@ def _stage_files(
     Data files always store PHYSICAL column names: the logical→physical
     translation happens here, at the disk boundary, so writers compute
     in logical space and renamed tables keep one on-disk schema."""
-    colmap = _colmap_from(_commits(target_path))
-    new_rows = _to_physical(new_rows, colmap)
+    commits = _commits(target_path)
+    new_rows = _to_physical(new_rows, commits)
     if partition_cols:
+        colmap = _colmap_from(commits)
         partition_cols = [colmap.get(c, c) for c in partition_cols]
     stage = os.path.join(target_path, f".stage-{uuid.uuid4().hex}")
     writer = new_rows.write.mode("overwrite")
@@ -881,13 +989,15 @@ def table_schema(target_path: str, version: int | None = None):
     commits = _commits(target_path, version)
     struct = _schema_from(commits)
     colmap = _colmap_from(commits)
-    if struct is None or not colmap:
+    dropped = _dropped_from(commits)
+    if struct is None or (not colmap and not dropped):
         return struct
     p2l = {p: l for l, p in colmap.items()}
     return StructType(
         [
             StructField(p2l.get(f.name, f.name), f.dataType, f.nullable)
             for f in struct.fields
+            if f.name not in dropped
         ]
     )
 
@@ -1076,7 +1186,7 @@ def table_changes(
         # schema evolution union cleanly (older rows null-fill).
         out = out.unionByName(p, allowMissingColumns=True)
     # Change files store physical names; consumers see the logical view.
-    return _to_logical(out, _colmap_from(commits))
+    return _to_logical(out, commits)
 
 
 def _zorder_key(
@@ -1583,7 +1693,7 @@ def append_txn(
             types = {f.name: f.dataType.json() for f in declared.fields}
             # Compare in physical name space — a renamed column's batch
             # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
+            for f in _to_physical(batch, commits).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -1664,7 +1774,7 @@ def merge_append(
             types = {f.name: f.dataType.json() for f in declared.fields}
             # Compare in physical name space — a renamed column's batch
             # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
+            for f in _to_physical(batch, commits).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -1757,7 +1867,7 @@ def _stage_cdc_files(cdc: DataFrame, target_path: str) -> list[str]:
     :func:`_stage_files`, including the logical→physical column
     translation at the disk boundary (``table_changes`` translates
     back on read)."""
-    cdc = _to_physical(cdc, _colmap_from(_commits(target_path)))
+    cdc = _to_physical(cdc, _commits(target_path))
     dest = os.path.join(target_path, _CDC_DIR)
     os.makedirs(dest, exist_ok=True)
     stage = os.path.join(target_path, f".stage-cdc-{uuid.uuid4().hex}")
@@ -1986,7 +2096,7 @@ def _merge_rows(
             types = {f.name: f.dataType.json() for f in declared.fields}
             # Compare in physical name space — a renamed column's batch
             # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
+            for f in _to_physical(batch, commits).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "
@@ -2310,7 +2420,7 @@ def overwrite_where(
             types = {f.name: f.dataType.json() for f in declared.fields}
             # Compare in physical name space — a renamed column's batch
             # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, _colmap_from(commits)).schema.fields:
+            for f in _to_physical(batch, commits).schema.fields:
                 if f.name in types and types[f.name] != f.dataType.json():
                     raise ValueError(
                         f"schema evolution type conflict on '{f.name}' at "

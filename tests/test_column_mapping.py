@@ -177,3 +177,64 @@ def test_merge_append_reinserts_dv_deleted_keys(spark, tmp_path):
     assert merge_append(spark, target, batch, ["k"]) == 1
     got = read_committed(spark, target).filter(F.col("k") == 3).collect()
     assert [(r["k"], r["v"]) for r in got] == [(3, 333)]
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN: metadata-only, pruned at the scan, shed on rewrite,
+    visible again under time travel; names are retired."""
+    import pyarrow.parquet as pq
+
+    from stonkwhisperer_spark.sinks.writers import compact, drop_column
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    v_before = _commits(target)[-1]["version"]
+    drop_column(target, "v")
+    after = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    assert after == before  # zero data files rewritten
+    got = read_committed(spark, target)
+    assert got.columns == ["k"]
+    assert "v" not in str(table_schema(target))
+    assert got.count() == 30
+    # Time travel before the drop still shows it.
+    assert read_committed(spark, target, version=v_before).columns == ["k", "v"]
+    # New writes cannot reuse either name.
+    with pytest.raises(ValueError, match="retired"):
+        merge_append(
+            spark, target,
+            spark.createDataFrame([(99, 1)], "k long, v long"), ["k"],
+        )
+    # Writes without the column work; rewrites shed the bytes.
+    assert merge_append(
+        spark, target, spark.createDataFrame([(99,)], "k long"), ["k"]
+    ) == 1
+    compact(spark, target)
+    for f in committed_files(target):
+        names = pq.ParquetFile(os.path.join(target, f)).schema_arrow.names
+        assert "v" not in names
+    assert read_committed(spark, target).count() == 31
+
+
+def test_drop_renamed_column_and_guards(spark, tmp_path):
+    from stonkwhisperer_spark.sinks.writers import drop_column
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    rename_column(target, "v", "val")
+    drop_column(target, "val")  # drop BY the logical name
+    assert read_committed(spark, target).columns == ["k"]
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column(target, "val")
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(target, "val", "x")
+    # Neither 'val' (dropped logical) nor 'v' (its physical) revive.
+    for dead in ("val", "v"):
+        with pytest.raises(ValueError, match="retired"):
+            rename_column(target, "k", dead)
