@@ -1047,6 +1047,84 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_generated — GENERATED ALWAYS AS under the value hash: a derived
+# date column is computed for every write that omits it and validated for
+# every write that provides it; the oracle recomputes the derivation.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_generated",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events
+    FROM events WHERE event_id < 2000
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (Delta ``GENERATED ALWAYS AS``): seed events
+    with an honestly-computed ``event_date = to_date(ts)``, record the
+    definition in the log, then append two batches WITHOUT the column —
+    the writer derives it — and attempt one batch with a WRONG value —
+    rejected whole before any write (asserted). The final per-date
+    counts must equal the oracle's recomputation from the raw events:
+    if the writer ever derived or accepted a wrong date, a count moves
+    between groups and the hash fails.
+
+    Scale: the derivation is one codegen'd expression per write batch
+    — O(batch); its value is CONSISTENCY (every producer derives the
+    partition key the same way, so date-pruned reads are trustworthy),
+    which no amount of per-job discipline guarantees at 100 TB."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        add_generated_column,
+        merge_append,
+        read_committed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_gen_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(
+            spark,
+            target,
+            ev.filter(F.col("event_id") < 100).withColumn(
+                "event_date", F.to_date("ts")
+            ),
+            ["event_id"],
+        )
+        add_generated_column(target, "event_date", "to_date(ts)")
+        for lo, hi in ((100, 1000), (1000, 2000)):
+            merge_append(
+                spark,
+                target,
+                ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)),
+                ["event_id"],
+            )
+        lying = (
+            ev.filter(F.col("event_id") == 0)  # exists at every sf
+            .withColumn("event_id", F.lit(10_000_000).cast("bigint"))
+            .withColumn("event_date", F.to_date(F.lit("1999-01-01")))
+        )
+        try:
+            merge_append(spark, target, lying, ["event_id"])
+            raise AssertionError("wrong generated value must be rejected")
+        except ValueError:
+            pass
+        rows = (
+            read_committed(spark, target)
+            .groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_date date, n_events bigint")
+
+
+# --------------------------------------------------------------------------
 # txlog_rename_replay — column mapping under the value hash: RENAME COLUMN
 # as a metadata-only commit; reads, writes, and CDC all speak the new name
 # while every data file keeps the original physical schema.

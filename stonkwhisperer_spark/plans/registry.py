@@ -67,6 +67,7 @@ _GATE_ORDER: list[str] = [
     #    txn streaming sink --
     "txlog_dv_replay",
     "txlog_rename_replay",
+    "txlog_generated",
     "txlog_replace_where",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",

@@ -598,6 +598,116 @@ def drop_constraint(target_path: str, name: str, max_retries: int = 20) -> None:
     )
 
 
+def _generated_from(commits: list[dict]) -> dict[str, str]:
+    """Generated-column definitions in force: {column: sql_expr},
+    add/drop applied in version order (same replay shape as
+    constraints). Expressions are in LOGICAL column space."""
+    out: dict[str, str] = {}
+    for c in commits:
+        for name in c.get("generated_drop", []):
+            out.pop(name, None)
+        out.update(c.get("generated_add", {}))
+    return out
+
+
+def _apply_generated(
+    batch: DataFrame, commits: list[dict], target_path: str
+) -> DataFrame:
+    """Delta generated-column write semantics: a batch MISSING the
+    column gets it computed from the expression; a batch PROVIDING it
+    must match the expression exactly (null-safe) or the write is
+    rejected — otherwise the column silently stops being derivable and
+    every consumer relying on the invariant (partition pruning on a
+    derived date, most importantly) breaks."""
+    for name, expr in _generated_from(commits).items():
+        if name in batch.columns:
+            bad = (
+                batch.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"generated column '{name}' ({expr}) mismatch at "
+                    f"{target_path}: row {bad[0].asDict()} provides a value "
+                    "that differs from the expression"
+                )
+        else:
+            batch = batch.withColumn(name, F.expr(expr))
+    return batch
+
+
+def table_generated(target_path: str) -> dict[str, str]:
+    """The generated-column definitions currently in force."""
+    return _generated_from(_commits(target_path))
+
+
+def add_generated_column(
+    target_path: str, name: str, sql_expr: str, max_retries: int = 20
+) -> None:
+    """Delta ``GENERATED ALWAYS AS (expr)``: record a derived-column
+    definition in the log. Every subsequent write computes the column
+    when absent and validates it when present (see
+    :func:`_apply_generated`). The canonical use is a derived partition
+    key — ``event_date = to_date(ts)`` — so writers never hand-compute
+    it inconsistently and readers can prune on it. Metadata-only
+    commit; existing rows are NOT backfilled (the column appears for
+    them as NULL under additive schema evolution until rewritten),
+    matching the add-column-then-generate flow."""
+    import re
+
+    if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+        raise ValueError(f"invalid column name '{name}'")
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            raise ValueError(f"no commits at {target_path}")
+        version = commits[-1]["version"]
+        if name in _retired_names(commits):
+            raise ValueError(
+                f"'{name}' is the retired name of a renamed or dropped "
+                f"column at {target_path}"
+            )
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            generated_add={name: sql_expr},
+            op="ADD GENERATED COLUMN",
+        ):
+            return
+    raise RuntimeError(
+        f"add_generated_column lost the commit race {max_retries} times "
+        f"at {target_path}"
+    )
+
+
+def drop_generated_column(
+    target_path: str, name: str, max_retries: int = 20
+) -> None:
+    """Remove a generated-column definition (the column itself stays —
+    it simply stops being derived/validated)."""
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if name not in _generated_from(commits):
+            raise ValueError(f"no generated column '{name}' at {target_path}")
+        version = commits[-1]["version"]
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            generated_drop=[name],
+            op="DROP GENERATED COLUMN",
+        ):
+            return
+    raise RuntimeError(
+        f"drop_generated_column lost the commit race {max_retries} times "
+        f"at {target_path}"
+    )
+
+
 def rename_column(
     target_path: str, old: str, new: str, max_retries: int = 20
 ) -> None:
@@ -652,6 +762,12 @@ def rename_column(
                     f"cannot rename '{old}': CHECK constraint '{cname}' "
                     f"({expr}) references it — drop the constraint first"
                 )
+        for gname, gexpr in _generated_from(commits).items():
+            if gname == old or re.search(rf"\b{re.escape(old)}\b", gexpr):
+                raise ValueError(
+                    f"cannot rename '{old}': generated column '{gname}' "
+                    f"({gexpr}) involves it — drop the definition first"
+                )
         if _try_commit(
             target_path,
             version + 1,
@@ -705,6 +821,12 @@ def drop_column(target_path: str, name: str, max_retries: int = 20) -> None:
                 raise ValueError(
                     f"cannot drop '{name}': CHECK constraint '{cname}' "
                     f"({expr}) references it — drop the constraint first"
+                )
+        for gname, gexpr in _generated_from(commits).items():
+            if gname == name or re.search(rf"\b{re.escape(name)}\b", gexpr):
+                raise ValueError(
+                    f"cannot drop '{name}': generated column '{gname}' "
+                    f"({gexpr}) involves it — drop the definition first"
                 )
         if _try_commit(
             target_path,
@@ -783,6 +905,8 @@ def _try_commit(
     dv: dict | None = None,
     rename: dict | None = None,
     drop_col: dict | None = None,
+    generated_add: dict[str, str] | None = None,
+    generated_drop: list[str] | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -830,6 +954,10 @@ def _try_commit(
         body["rename"] = rename
     if drop_col is not None:
         body["drop_col"] = drop_col
+    if generated_add:
+        body["generated_add"] = generated_add
+    if generated_drop:
+        body["generated_drop"] = generated_drop
     if txn:
         body["txn"] = txn
     if restore_of is not None:
@@ -1688,6 +1816,7 @@ def append_txn(
         seen = last_txn_version(target_path, app_id)
         if seen is not None and seen >= txn_ver:
             return 0  # this transaction (or a later one) already landed
+        batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
@@ -1764,6 +1893,7 @@ def merge_append(
         # anti-join is then recomputed on retry, never under-informed).
         commits = _commits(target_path)
         version = commits[-1]["version"] if commits else 0
+        batch = _apply_generated(batch, commits, target_path)
         # Write-side schema validation (Delta's stance): NEW columns are
         # additive evolution and commit fine; a column re-declared with
         # a different type fails the WRITER, not some later reader.
@@ -2091,6 +2221,7 @@ def _merge_rows(
             seen = last_txn_version(target_path, txn["app"])
             if seen is not None and seen >= txn["version"]:
                 return 0, 0, 0  # this transaction (or a later one) landed
+        batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}
@@ -2415,6 +2546,7 @@ def overwrite_where(
     for _ in range(max_retries):
         commits = _commits(target_path)
         version = commits[-1]["version"] if commits else 0
+        batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
         if declared is not None:
             types = {f.name: f.dataType.json() for f in declared.fields}

@@ -238,3 +238,59 @@ def test_drop_renamed_column_and_guards(spark, tmp_path):
     for dead in ("val", "v"):
         with pytest.raises(ValueError, match="retired"):
             rename_column(target, "k", dead)
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS: absent -> computed, present-but-wrong ->
+    rejected, present-and-right -> accepted; definitions survive
+    across write paths and block conflicting renames/drops."""
+    from stonkwhisperer_spark.sinks.writers import (
+        add_generated_column,
+        append_txn,
+        drop_generated_column,
+        table_generated,
+    )
+
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    merge_append(spark, target, seed, ["k"])
+    add_generated_column(target, "event_date", "to_date(ts)")
+    assert table_generated(target) == {"event_date": "to_date(ts)"}
+    # Absent column -> computed, on every write path.
+    more = spark.createDataFrame(
+        [(2, "2024-03-06 09:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert merge_append(spark, target, more, ["k"]) == 1
+    txn_rows = spark.createDataFrame(
+        [(3, "2024-03-07 08:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert append_txn(spark, target, txn_rows, "gen", 0) == 1
+    got = read_committed(spark, target)
+    dates = {str(r["event_date"]) for r in got.filter(F.col("k") >= 2).collect()}
+    assert dates == {"2024-03-06", "2024-03-07"}
+    # Provided-but-wrong value -> rejected whole.
+    lying = (
+        spark.createDataFrame(
+            [(4, "2024-03-08 07:00:00", "1999-01-01")],
+            "k long, ts string, event_date string",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("event_date", F.col("event_date").cast("date"))
+    )
+    with pytest.raises(ValueError, match="generated column 'event_date'"):
+        merge_append(spark, target, lying, ["k"])
+    # Provided-and-correct -> accepted.
+    honest = lying.withColumn("event_date", F.to_date("ts"))
+    assert merge_append(spark, target, honest, ["k"]) == 1
+    # Renaming/dropping the source or target column is blocked.
+    with pytest.raises(ValueError, match="generated column"):
+        rename_column(target, "ts", "event_ts")
+    from stonkwhisperer_spark.sinks.writers import drop_column
+
+    with pytest.raises(ValueError, match="generated column"):
+        drop_column(target, "event_date")
+    drop_generated_column(target, "event_date")
+    rename_column(target, "ts", "event_ts")  # now fine
+    assert "event_ts" in read_committed(spark, target).columns
