@@ -1047,6 +1047,80 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_bloom_lookup — bloom-filter file index under the value hash: point
+# lookups on a scattered high-cardinality key open only the files whose
+# filter admits the value (zone maps cannot prune this layout at all).
+# --------------------------------------------------------------------------
+@register(
+    "txlog_bloom_lookup",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id IN (17, 23, 42)
+    """,
+)
+def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file index (Databricks BLOOMFILTER INDEX shape): seed
+    doc_id<200 as four files BY RESIDUE CLASS — every file spans the
+    full id range, so zone-map skipping keeps all of them (asserted:
+    files_read == files_total on the range path) — then declare
+    ``doc_id`` bloom-indexed and point-look-up three ids via
+    ``read_committed_point``. Each lookup must open at most 2 of 4
+    files (the pre-index file has no filter and is always kept;
+    asserted in-query), and the three hits union to exactly the
+    oracle's rows.
+
+    Scale: this is the needle-in-100-TB read — GDPR subject lookups,
+    id debugging — where min/max pruning is useless on unsorted keys;
+    ~10 bits/row at write time buys opening O(matching files) instead
+    of O(table). The skip decision is driver-side manifest metadata,
+    no task scheduled for excluded files."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        read_committed_point,
+        read_committed_pruned,
+        set_bloom_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_bloom_")
+    try:
+        target = f"{scratch}/t"
+        scattered = docs.filter(F.col("doc_id") < 200)
+        merge_append(
+            spark, target,
+            scattered.filter(F.col("doc_id") % 4 == 0).coalesce(1), ["doc_id"],
+        )
+        set_bloom_columns(target, ["doc_id"])
+        for r in (1, 2, 3):
+            merge_append(
+                spark, target,
+                scattered.filter(F.col("doc_id") % 4 == r).coalesce(1),
+                ["doc_id"],
+            )
+        _, zm_read, zm_total = read_committed_pruned(spark, target, "doc_id", 17, 17)
+        if zm_read != zm_total:
+            raise AssertionError(
+                "layout error: zone maps should be unable to prune this table"
+            )
+        rows = []
+        for v in (17, 23, 42):
+            hit, n_read, n_total = read_committed_point(
+                spark, target, "doc_id", v
+            )
+            if n_total != 4 or n_read > 2:
+                raise AssertionError(
+                    f"bloom lookup for {v} opened {n_read}/{n_total} files"
+                )
+            rows.extend(hit.select("doc_id", "source").collect())
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_generated — GENERATED ALWAYS AS under the value hash: a derived
 # date column is computed for every write that omits it and validated for
 # every write that provides it; the oracle recomputes the derivation.

@@ -68,6 +68,7 @@ _GATE_ORDER: list[str] = [
     "txlog_dv_replay",
     "txlog_rename_replay",
     "txlog_generated",
+    "txlog_bloom_lookup",
     "txlog_replace_where",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",

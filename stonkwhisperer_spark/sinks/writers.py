@@ -598,6 +598,166 @@ def drop_constraint(target_path: str, name: str, max_retries: int = 20) -> None:
     )
 
 
+def _bloom_cols_from(commits: list[dict]) -> list[str]:
+    """PHYSICAL names of the columns bloom-indexed at write time (last
+    ``bloom_cols`` commit wins, Delta's CREATE BLOOMFILTER INDEX
+    analog)."""
+    cols: list[str] = []
+    for c in commits:
+        if "bloom_cols" in c:
+            cols = list(c["bloom_cols"])
+    return cols
+
+
+def _bloom_from(commits: list[dict]) -> dict[str, dict]:
+    """Bloom-index replay: {file: {col: spec}}, add/remove applied in
+    version order (same shape as zone maps)."""
+    out: dict[str, dict] = {}
+    for c in commits:
+        for rel in c.get("remove", []):
+            out.pop(rel, None)
+        out.update(c.get("bloom", {}))
+    return out
+
+
+_BLOOM_K = 7  # double-hashed probe count
+_BLOOM_MAX_ROWS = 200_000  # above this, skip (manifest-inline size cap)
+
+
+def _bloom_hashes(value, m: int) -> list[int]:
+    """k deterministic bit positions for a value: double hashing over
+    the sha256 of the value's canonical string form (ints and strings
+    encode identically across engines and sessions)."""
+    import hashlib
+
+    digest = hashlib.sha256(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(digest[:8], "big")
+    h2 = int.from_bytes(digest[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(target_path: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file bloom filters for the indexed columns — one pyarrow
+    column read per (file, col), O(staged batch) at write time. ~10
+    bits/row (fpp ≈ 1%), base64 in the manifest; files larger than
+    _BLOOM_MAX_ROWS rows skip the index (they stay unprunable, never
+    wrong). At production scale the bitsets would move to sidecar
+    index files; the protocol is identical."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        pf = pq.ParquetFile(os.path.join(target_path, rel))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present or pf.metadata.num_rows > _BLOOM_MAX_ROWS:
+            continue
+        n = max(pf.metadata.num_rows, 1)
+        m = 1 << max(6, (10 * n - 1).bit_length())  # ≥10 bits/row, pow2
+        specs: dict[str, dict] = {}
+        t = pf.read(columns=present)
+        for col in present:
+            bits = bytearray(m // 8)
+            any_val = False
+            for v in t.column(col).to_pylist():
+                if v is None:
+                    continue
+                any_val = True
+                for pos in _bloom_hashes(v, m):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            if any_val:
+                specs[col] = {
+                    "m": m,
+                    "k": _BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
+        if specs:
+            out[rel] = specs
+    return out
+
+
+def _bloom_admits(spec: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(spec["b64"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(value, spec["m"])
+    )
+
+
+def set_bloom_columns(
+    target_path: str, cols: Sequence[str], max_retries: int = 20
+) -> None:
+    """Databricks ``CREATE BLOOMFILTER INDEX`` analog: declare the
+    columns every subsequent commit bloom-indexes per data file.
+    Point lookups (:func:`read_committed_point`) then skip files whose
+    filter excludes the value — the skipping zone maps cannot provide
+    for high-cardinality UNSORTED columns (ids, hashes, urls), where
+    every file's [min,max] spans everything. Existing files are not
+    back-indexed (rewrites index them); metadata-only commit."""
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        if not commits:
+            raise ValueError(f"no commits at {target_path}")
+        colmap = _colmap_from(commits)
+        version = commits[-1]["version"]
+        if _try_commit(
+            target_path,
+            version + 1,
+            [],
+            0,
+            bloom_cols=[colmap.get(c, c) for c in cols],
+            op="SET BLOOM COLUMNS",
+        ):
+            return
+    raise RuntimeError(
+        f"set_bloom_columns lost the commit race {max_retries} times "
+        f"at {target_path}"
+    )
+
+
+def read_committed_point(
+    spark: SparkSession,
+    target_path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """Bloom-pruned point lookup: the committed view restricted to
+    ``col = value``, opening ONLY the files whose bloom filter admits
+    the value (files without a filter are kept — pruning is never a
+    correctness device; ≈1% of non-matching filtered files false-
+    positive through). Returns (frame, files_read, files_total).
+
+    This is the needle-in-100-TB read: on a high-cardinality unsorted
+    column (user id, url hash) zone maps keep every file, a bloom
+    index keeps ~the files that really contain the key — the
+    difference between a full scan and a handful of tasks for GDPR
+    lookups and debugging reads. Driver-side decision on manifest
+    metadata, before any task is scheduled; the residual equality
+    filter still applies row-level."""
+    commits = _commits(target_path, version)
+    files = _files_from(commits)
+    if not files:
+        return None, 0, 0
+    pcol = _colmap_from(commits).get(col, col)
+    blooms = _bloom_from(commits)
+    kept = [
+        f
+        for f in files
+        if pcol not in blooms.get(f, {})
+        or _bloom_admits(blooms[f][pcol], value)
+    ]
+    if not kept:
+        kept = files[:1]  # valid empty result with the right schema
+    df = _read_snapshot(
+        spark, target_path, commits, files=kept, schema=_schema_from(commits)
+    ).filter(F.col(col) == F.lit(value))
+    return df, len(kept), len(files)
+
+
 def _generated_from(commits: list[dict]) -> dict[str, str]:
     """Generated-column definitions in force: {column: sql_expr},
     add/drop applied in version order (same replay shape as
@@ -907,6 +1067,7 @@ def _try_commit(
     drop_col: dict | None = None,
     generated_add: dict[str, str] | None = None,
     generated_drop: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -928,6 +1089,15 @@ def _try_commit(
             for field in body_schema.get("fields", []):
                 field["name"] = colmap.get(field["name"], field["name"])
             schema = json.dumps(body_schema)
+    blooms: dict = {}
+    if add:
+        # Bloom-index the committed files when the table declares index
+        # columns — one pyarrow column read per (file, col), O(batch).
+        # Computed BEFORE the CAS open (reading the log after creating
+        # the empty manifest would trip over our own half-written file).
+        bcols = _bloom_cols_from(_commits(target_path))
+        if bcols:
+            blooms = _bloom_build(target_path, add, bcols)
     manifest = os.path.join(log, f"{version:08d}.json")
     try:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -938,6 +1108,10 @@ def _try_commit(
     # CAS time, so commit order and timestamp order agree on one
     # writer host; version order remains the authoritative order.
     body = {"add": add, "n": n, "ts": time.time_ns() // 1_000_000}
+    if blooms:
+        body["bloom"] = blooms
+    if bloom_cols is not None:
+        body["bloom_cols"] = bloom_cols
     if remove:
         body["remove"] = remove
     if compaction:

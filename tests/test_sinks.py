@@ -1465,3 +1465,65 @@ def test_overwrite_where_atomic_region_swap(spark, tmp_path):
     with pytest.raises(ValueError, match="replaceWhere violation"):
         overwrite_where(spark, target, stray, cond)
     assert _committed_version(target) == before
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Bloom file index: on a high-cardinality UNSORTED key every
+    file's zone map spans everything (no skipping), but the bloom
+    index opens only the file(s) that can contain the value."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        read_committed_point,
+        read_committed_pruned,
+        set_bloom_columns,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("tag"),
+    )
+    merge_append(spark, target, df.filter(F.col("k") % 4 == 0).coalesce(1), ["k"])
+    set_bloom_columns(target, ["k", "tag"])
+    for r in (1, 2, 3):  # three more files, all spanning [0, 200)
+        merge_append(spark, target, df.filter(F.col("k") % 4 == r).coalesce(1), ["k"])
+    # Zone maps are useless here: every file covers the full range.
+    _, zm_read, zm_total = read_committed_pruned(spark, target, "k", 17, 17)
+    assert zm_read == zm_total == 4
+    # Bloom pruning: the pre-index file is always kept (no filter),
+    # of the three indexed files only k%4==1's admits 17.
+    hit, read, total = read_committed_point(spark, target, "k", 17)
+    assert total == 4 and read <= 2
+    assert [r["k"] for r in hit.collect()] == [17]
+    # String column lookup.
+    hit2, read2, _ = read_committed_point(spark, target, "tag", "u18")
+    assert read2 <= 2
+    assert [r["k"] for r in hit2.collect()] == [18]
+    # Absent value: only unindexed files open; zero rows survive.
+    miss, read3, _ = read_committed_point(spark, target, "k", 999)
+    assert read3 <= 2 and miss.count() == 0
+
+
+def test_bloom_survives_rewrites(spark, tmp_path):
+    """Rewrites drop old files' blooms with the files and index the
+    replacement files automatically (the commit builds them)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _bloom_from,
+        _commits,
+        compact,
+        committed_files,
+        merge_append,
+        read_committed_point,
+        set_bloom_columns,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    merge_append(spark, target, df.filter(F.col("k") < 50).coalesce(1), ["k"])
+    set_bloom_columns(target, ["k"])
+    merge_append(spark, target, df.filter(F.col("k") >= 50).coalesce(1), ["k"])
+    compact(spark, target, min_files=2)
+    state = _bloom_from(_commits(target))
+    assert set(state) == set(committed_files(target))  # rewrites indexed
+    hit, read, total = read_committed_point(spark, target, "k", 7)
+    assert [r["k"] for r in hit.collect()] == [7]
