@@ -1047,6 +1047,100 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_checkpoint_replay — log checkpointing under the value hash: after
+# a checkpoint + manifest vacuum, every surface replays from ONE file.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_checkpoint_replay",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id >= 20 AND doc_id < 40 THEN source || '_u'
+                ELSE source END AS source
+    FROM documents WHERE doc_id < 70 AND doc_id >= 10
+    """,
+)
+def q_txlog_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpointing (Delta ``_last_checkpoint``): build a
+    5-commit table — two appends, an upsert on [20,40), a delete of
+    doc_id<10, a compaction — then ``checkpoint()`` and ``vacuum_log()``
+    so every covered manifest file is PHYSICALLY GONE (asserted). The
+    snapshot, a pre-delete time travel, and the change feed must all
+    replay from the checkpoint file alone, and a post-checkpoint append
+    must land on the preserved version sequence (asserted). The DuckDB
+    twin recomputes the final state from seed.
+
+    Scale: this is the metadata lever for long-lived tables — a
+    100 TB table ingesting every 5 minutes accrues ~100k commits/year;
+    without checkpoints EVERY operation reparses every manifest
+    (O(#commits) small reads on object storage, the classic Delta
+    listing bottleneck); with them it's one checkpoint read + the
+    tail."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        _txlog_path,
+        checkpoint,
+        compact,
+        delete_where,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_changes,
+        vacuum_log,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_ckpt_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 30), ["doc_id"])
+        merge_append(
+            spark, target,
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
+            ["doc_id"],
+        )
+        merge_upsert(
+            spark, target,
+            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u"))),
+            ["doc_id"],
+        )
+        delete_where(spark, target, F.col("doc_id") < 10)
+        compact(spark, target)
+        v = checkpoint(target)
+        removed = vacuum_log(target)
+        if len(removed) != v:
+            raise AssertionError(
+                f"vacuum_log reclaimed {len(removed)} of {v} covered manifests"
+            )
+        left = [
+            f
+            for f in _os.listdir(_txlog_path(target))
+            if f.endswith(".json") and not f.startswith("_")
+        ]
+        if left:
+            raise AssertionError(f"covered manifests survived: {left}")
+        if read_committed(spark, target, version=3).count() != 60:
+            raise AssertionError("pre-delete time travel broke after vacuum_log")
+        if table_changes(spark, target, from_version=3).count() != 10:
+            raise AssertionError("change feed broke after vacuum_log")
+        merge_append(
+            spark, target,
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 70)),
+            ["doc_id"],
+        )
+        if _committed_version(target) != v + 1:
+            raise AssertionError("post-checkpoint commit broke the version chain")
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_bloom_lookup — bloom-filter file index under the value hash: point
 # lookups on a scattered high-cardinality key open only the files whose
 # filter admits the value (zone maps cannot prune this layout at all).

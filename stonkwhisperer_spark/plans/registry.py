@@ -69,6 +69,7 @@ _GATE_ORDER: list[str] = [
     "txlog_rename_replay",
     "txlog_generated",
     "txlog_bloom_lookup",
+    "txlog_checkpoint_replay",
     "txlog_replace_where",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",

@@ -108,25 +108,59 @@ def _data_files(target_path: str) -> list[str]:
     return out
 
 
+def _last_checkpoint_version(log: str) -> int:
+    """The version of the newest log checkpoint, 0 when none exists
+    (the ``_last_checkpoint`` pointer file, Delta's exact mechanism)."""
+    lc = os.path.join(log, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return 0
+    with open(lc) as fh:
+        return json.load(fh)["version"]
+
+
 def _committed_version(target_path: str) -> int:
     log = _txlog_path(target_path)
     if not os.path.isdir(log):
         return 0
-    versions = [int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")]
-    return max(versions, default=0)
+    versions = [
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".json") and not f.startswith("_")
+    ]
+    return max(_last_checkpoint_version(log), max(versions, default=0))
 
 
 def _commits(target_path: str, through_version: int | None = None) -> list[dict]:
     """Parsed commit manifests in version order, optionally truncated
-    at ``through_version`` (inclusive) for time travel."""
+    at ``through_version`` (inclusive) for time travel.
+
+    With a log checkpoint (:func:`checkpoint`) present, the replay base
+    comes from ONE checkpoint file and only the manifests AFTER it are
+    opened — O(1 + tail) metadata reads instead of O(#commits), the
+    read-amplification fix that keeps a long-lived table's every
+    operation from reparsing thousands of tiny JSON files (Delta's
+    ``_last_checkpoint`` design). Manifests at or below the checkpoint
+    may have been reclaimed by :func:`vacuum_log`."""
     log = _txlog_path(target_path)
     if not os.path.isdir(log):
         return []
-    out = []
+    out: list[dict] = []
+    ckpt_version = _last_checkpoint_version(log)
+    if ckpt_version:
+        with open(
+            os.path.join(log, f"_checkpoint.{ckpt_version:08d}.json")
+        ) as fh:
+            out = [
+                c
+                for c in json.load(fh)["commits"]
+                if through_version is None or c["version"] <= through_version
+            ]
     for manifest in sorted(os.listdir(log)):
-        if not manifest.endswith(".json"):
+        if not manifest.endswith(".json") or manifest.startswith("_"):
             continue
         version = int(manifest.split(".")[0])
+        if version <= ckpt_version:
+            continue  # already covered by the checkpoint base
         if through_version is not None and version > through_version:
             continue
         with open(os.path.join(log, manifest)) as fh:
@@ -134,6 +168,70 @@ def _commits(target_path: str, through_version: int | None = None) -> list[dict]
         c["version"] = version
         out.append(c)
     return out
+
+
+def checkpoint(target_path: str) -> int:
+    """Write a log checkpoint: ONE file holding the parsed commit list
+    through the current head, plus the ``_last_checkpoint`` pointer
+    (both atomic via temp + rename). Subsequent log reads load the
+    checkpoint and only the tail manifests; :func:`vacuum_log` may then
+    reclaim the covered manifest files. Commit timestamps are baked in
+    (pre-timestamp commits resolve their mtime fallback NOW, while the
+    manifest still exists). Returns the checkpointed version.
+
+    Concurrency: writers CAS manifests strictly after the head, so a
+    checkpoint never races a commit; racing checkpointers both write
+    valid files and the last pointer rename wins."""
+    commits = _commits(target_path)
+    if not commits:
+        return 0
+    for c in commits:
+        c.setdefault("ts", _commit_ts(target_path, c))
+    v = commits[-1]["version"]
+    log = _txlog_path(target_path)
+    body = os.path.join(log, f"_checkpoint.{v:08d}.json")
+    tmp = body + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "commits": commits}, fh, allow_nan=False)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, body)
+    pointer = os.path.join(log, "_last_checkpoint")
+    tmp = pointer + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": v}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, pointer)
+    return v
+
+
+def vacuum_log(target_path: str) -> list[str]:
+    """Reclaim commit manifests covered by the newest checkpoint (their
+    content lives in the checkpoint file). Older checkpoint files are
+    reclaimed too. Returns the removed file names. The CAS version
+    sequence is unaffected — new commits key on the head version,
+    which the checkpoint pointer preserves."""
+    log = _txlog_path(target_path)
+    if not os.path.isdir(log):
+        return []
+    ckpt_version = _last_checkpoint_version(log)
+    if not ckpt_version:
+        return []
+    removed: list[str] = []
+    for fn in os.listdir(log):
+        if fn.endswith(".json") and not fn.startswith("_"):
+            if int(fn.split(".")[0]) <= ckpt_version:
+                os.remove(os.path.join(log, fn))
+                removed.append(fn)
+        elif fn.startswith("_checkpoint.") and fn.endswith(".json"):
+            if int(fn.split(".")[1]) < ckpt_version:
+                os.remove(os.path.join(log, fn))
+                removed.append(fn)
+        elif ".tmp-" in fn:  # crashed checkpointer's staging leftovers
+            os.remove(os.path.join(log, fn))
+            removed.append(fn)
+    return sorted(removed)
 
 
 def _files_from(commits: list[dict]) -> list[str]:

@@ -1527,3 +1527,59 @@ def test_bloom_survives_rewrites(spark, tmp_path):
     assert set(state) == set(committed_files(target))  # rewrites indexed
     hit, read, total = read_committed_point(spark, target, "k", 7)
     assert [r["k"] for r in hit.collect()] == [7]
+
+
+def test_log_checkpoint_and_manifest_vacuum(spark, tmp_path):
+    """Log checkpointing: one checkpoint file replaces the manifest
+    tail for replay; vacuum_log reclaims covered manifests; every read
+    surface (snapshot, time travel, history, CDC) survives on the
+    checkpoint alone; new commits append past it."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        _committed_version,
+        checkpoint,
+        delete_where,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        rename_column,
+        table_changes,
+        table_history,
+        vacuum_log,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    merge_append(spark, target, df.filter(F.col("k") < 20), ["k"])
+    merge_append(spark, target, df.filter(F.col("k") >= 20), ["k"])
+    merge_upsert(
+        spark, target,
+        spark.createDataFrame([(5, -5)], "k long, v long"), ["k"],
+    )
+    delete_where(spark, target, F.col("k") >= 35)
+    rename_column(target, "v", "val")
+    full = _commits(target)
+    v = checkpoint(target)
+    assert v == full[-1]["version"]
+    assert _commits(target) == full  # identical replay from checkpoint
+    removed = vacuum_log(target)
+    assert len(removed) == v  # every covered manifest reclaimed
+    # All read surfaces work with the manifests gone.
+    got = read_committed(spark, target)
+    assert got.columns == ["k", "val"] and got.count() == 35
+    assert read_committed(spark, target, version=2).count() == 40
+    assert table_history(spark, target).count() == v
+    assert table_changes(spark, target, from_version=2).count() > 0
+    # New commits land past the checkpoint and replay with the base.
+    assert _committed_version(target) == v
+    merge_append(
+        spark, target, spark.createDataFrame([(100, 1)], "k long, val long"), ["k"]
+    )
+    assert _committed_version(target) == v + 1
+    assert read_committed(spark, target).count() == 36
+    # Second checkpoint covers the tail; old checkpoint file reclaimed.
+    v2 = checkpoint(target)
+    assert v2 == v + 1
+    removed2 = vacuum_log(target)
+    assert any("_checkpoint" in f for f in removed2)
+    assert read_committed(spark, target).count() == 36
