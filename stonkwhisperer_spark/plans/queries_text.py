@@ -908,3 +908,130 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunk_tokens"),
         F.array_join(F.slice("arr", F.col("s"), F.lit(w)), " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 tf-idf keyword extraction — per-document salient terms via a
+# rational tf-idf (no transcendental log, so both engines agree to the bit).
+# --------------------------------------------------------------------------
+@register(
+    "doc_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({{clean}}, ' ')) AS term
+      FROM documents WHERE {{clean}} <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             cast(tf.tf AS double) * (n.n_docs + 1) / (df.df + 1) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 5
+    """.replace("{clean}", _CLEAN_TEXT),
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction by tf-idf — the topic/salience
+    stage of a curation pipeline (cluster labeling, dedup explanation,
+    search indexing). The idf uses the RATIONAL form tf·(N+1)/(df+1)
+    instead of tf·ln(N/df): same ranking intent, but every score is a
+    single double division of exact integers, so the DuckDB twin
+    reproduces it bit-for-bit (ln differs in the last ulp across
+    engines and would poison the hash). Top-5 terms per doc, ties on
+    term.
+
+    Scale: two bounded shuffles — (doc, term) for tf and term for df —
+    both high-cardinality and uniform; the df table is
+    vocabulary-sized and the corpus size N is one driver-side count
+    folded in as a literal. The final ranking windows over each doc's
+    OWN terms (bounded partitions)."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    clean = clean_text_for_nlp("text")
+    toks = docs.filter(clean != "").select(
+        "doc_id", F.explode(tokens_of(clean)).alias("term")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double") * F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-6 deterministic corpus shuffle — reproducible global training
+# order without a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {portable_hash64_sql("cast(doc_id AS varchar)", seed=42)} % 32 AS shard,
+             {portable_hash64_sql("cast(doc_id AS varchar)", seed=43)} AS ord
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (
+                PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the reproducible-training-order
+    stage (Megatron/GPT data-order shuffling): every document gets a
+    stable (shard, position) from two seeded keyed hashes, so ANY
+    engine, any partitioning, any re-run derives the identical global
+    order shard-by-shard — no RNG state, no global sort. Readers
+    consume shard files in order; re-ingestion of the same corpus
+    reproduces the curriculum exactly.
+
+    Scale: ONE bounded shuffle on the 32 shard keys; each shard sorts
+    its own rows (row_number window) — the global-sort-free way to
+    order 100 TB (a true ORDER BY rand() would be a full-corpus range
+    exchange and unreproducible besides)."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sid = F.col("doc_id").cast("string")
+    keyed = docs.select(
+        "doc_id",
+        (portable_hash64(sid, seed=42) % 32).cast("int").alias("shard"),
+        portable_hash64(sid, seed=43).alias("ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -78,6 +78,8 @@ _GATE_ORDER: list[str] = [
     "sq8_topk_embeddings",
     "bigram_familiarity",
     "doc_chunks",
+    "doc_keywords",
+    "corpus_shuffle",
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",

@@ -629,6 +629,48 @@ def table_history(spark: SparkSession, target_path: str) -> DataFrame:
     )
 
 
+def table_detail(target_path: str) -> dict:
+    """Delta ``DESCRIBE DETAIL t``: one dict summarizing the table's
+    current physical and logical state — replayed from the manifests
+    alone (O(#commits-after-checkpoint) driver metadata plus stat calls
+    for file sizes and kill-list column reads for the exact DV-masked
+    row count; no data files opened)."""
+    commits = _commits(target_path)
+    files = _files_from(commits)
+    size = 0
+    for f in files:
+        try:
+            size += os.path.getsize(os.path.join(target_path, f))
+        except FileNotFoundError:
+            pass
+    dv_state = _dv_from(commits)
+    # Exact masked-row count: live kill-list entries targeting live
+    # files (pyarrow single-column reads, bounded by accumulated
+    # deletes; rewritten files' stale entries don't count).
+    n_masked = 0
+    live_files = set(files)
+    import pyarrow.parquet as pq
+
+    for d in {dv for dvs in dv_state.values() for dv in dvs}:
+        t = pq.read_table(os.path.join(target_path, d), columns=["file"])
+        n_masked += sum(1 for v in t.column(0).to_pylist() if v in live_files)
+    colmap = _colmap_from(commits)
+    return {
+        "version": commits[-1]["version"] if commits else 0,
+        "num_files": len(files),
+        "size_bytes": size,
+        "num_dv_files": len({d for dvs in dv_state.values() for d in dvs}),
+        "num_dv_masked_rows": n_masked,
+        "constraints": _constraints_from(commits),
+        "generated_columns": _generated_from(commits),
+        "bloom_columns": _bloom_cols_from(commits),
+        "renamed_columns": {l: p for l, p in colmap.items() if l != p},
+        "dropped_columns": sorted(_dropped_from(commits)),
+        "vacuum_horizon": _vacuum_cutoff(commits),
+        "checkpoint_version": _last_checkpoint_version(_txlog_path(target_path)),
+    }
+
+
 def table_constraints(target_path: str) -> dict[str, str]:
     """The CHECK constraints currently in force on the table —
     {name: sql_expr}, replayed from the commit log."""

@@ -1583,3 +1583,32 @@ def test_log_checkpoint_and_manifest_vacuum(spark, tmp_path):
     removed2 = vacuum_log(target)
     assert any("_checkpoint" in f for f in removed2)
     assert read_committed(spark, target).count() == 36
+
+
+def test_table_detail_summarizes_state(spark, tmp_path):
+    from stonkwhisperer_spark.sinks.writers import (
+        add_constraint,
+        add_generated_column,
+        delete_where_dv,
+        merge_append,
+        rename_column,
+        set_bloom_columns,
+        table_detail,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    merge_append(spark, target, df.coalesce(1), ["k"])
+    add_constraint(spark, target, "pos_k", "k >= 0")
+    set_bloom_columns(target, ["k"])
+    rename_column(target, "v", "val")
+    add_generated_column(target, "dbl", "val * 2")
+    delete_where_dv(spark, target, F.col("k") < 3)
+    d = table_detail(target)
+    assert d["num_files"] == 1 and d["size_bytes"] > 0
+    assert d["num_dv_files"] == 1 and d["num_dv_masked_rows"] == 3
+    assert d["constraints"] == {"pos_k": "k >= 0"}
+    assert d["generated_columns"] == {"dbl": "val * 2"}
+    assert d["bloom_columns"] == ["k"]
+    assert d["renamed_columns"] == {"val": "v"}
+    assert d["version"] == 6 and d["checkpoint_version"] == 0
