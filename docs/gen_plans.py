@@ -32,7 +32,7 @@ NOTES = {
     "doc_repetition": "Repetition scorer: split/sequence/transform/array_distinct all in one projection over the scan — map-only, no exchange; the interpreted HOF lambda is amortized by spread() input splitting.",
     "dedup_canonical": "Canonical selection: the iterative-CC output (tiny vs corpus) joins doc lengths, then one window on cluster_id ranks members — the only shuffles are on the clustered subset, never the full corpus.",
     "sentiment_closed_form": "Closed-form sentiment scoring: lexicon hit counts and the pinned-weight logit are one map-only codegen projection over the scan; the only exchange is the per-source ranking window (bounded partitions, never a global sort).",
-    "revenue_rollup": "ROLLUP in ONE pass: the Expand node fans each row into its 3 grouping sets INSIDE a single hash aggregate — partial aggregation still runs map-side, so the shuffle carries (#groups x #levels) partials, not the fact table; dims broadcast under the fact join.",
+    "revenue_rollup": "ROLLUP in ONE pass: the Expand node fans each row into its 3 grouping sets (region/nation/grand) INSIDE a single hash aggregate — partial aggregation still runs map-side, so the shuffle carries (#groups x #levels) partials, not the orders table; all dims broadcast.",
     "lineitem_status_cube": "CUBE over two low-card dims: Expand x4 grouping sets, one composite-key shuffle, no join; decimal sums keep the partial-merge order-free.",
     "sq8_topk_embeddings": "SQ8 ANN: quantize+dequantize+dot is one 64-term codegen projection per pair (no UDF, no interpreted lambdas); the 8 queries broadcast; one per-query top-k window. The candidate side reads 1 byte/dim when codes are materialized.",
     "bigram_familiarity": "Two bounded shuffles: posexplode+lead keyed on doc_id (sequence pairing stays in its partition group), then the bigram count/join keyed on (w1,w2) — vocabulary-sized, uniform; all counts are integer partials.",

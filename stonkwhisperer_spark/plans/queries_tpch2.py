@@ -286,60 +286,6 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic warehouse subtotal/report query).
 # --------------------------------------------------------------------------
 @register(
-    "revenue_rollup",
-    oracle=f"""
-    SELECT nation, order_year,
-           CAST(GROUPING(nation, order_year) AS BIGINT) AS lvl,
-           cast(sum(rev) AS double) AS revenue,
-           count(*) AS n_items
-    FROM (
-        SELECT n.n_name AS nation,
-               CAST(year(o.o_orderdate) AS INT) AS order_year,
-               {_REV_SQL} AS rev
-        FROM lineitem l
-        JOIN orders o   ON o.o_orderkey = l.l_orderkey
-        JOIN customer c ON c.c_custkey = o.o_custkey
-        JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    )
-    GROUP BY ROLLUP (nation, order_year)
-    """,
-)
-def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP subtotals: revenue by (nation, order year), by nation,
-    and grand total — three aggregation levels from ONE
-    ``df.rollup(...)`` pass, tagged with ``grouping_id()`` (the
-    bitmask DuckDB's GROUPING() mirrors) so subtotal rows are
-    distinguishable from genuine-NULL groups. Money sums over
-    DECIMAL(12,2) (order-insensitive), double only in the final
-    projection.
-
-    Scale: Spark expands the rollup into grouping sets WITHIN one
-    hash aggregate — partial aggregation still applies map-side, and
-    the shuffle carries (#groups × #levels) partial rows, not the
-    fact table. One pass replaces the 3-query UNION ALL a naive
-    report would run over 100 TB."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    joined = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-            _rev_col().alias("rev"),
-        )
-    )
-    return joined.rollup("nation", "order_year").agg(
-        F.grouping_id().alias("lvl"),
-        F.sum("rev").cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    ).select("nation", "order_year", "lvl", "revenue", "n_items")
-
-
-@register(
     "lineitem_status_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -35,6 +35,15 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # Last-wins would silently shadow the earlier query — the
+            # driver's archived-green rows would then refer to dead
+            # code. Fail at import instead.
+            raise ValueError(
+                f"duplicate query registration: '{name}' "
+                f"(first: {QUERIES[name].fn.__module__}, "
+                f"second: {fn.__module__})"
+            )
         QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
         return fn
 

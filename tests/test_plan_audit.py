@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "purchase_funnel": 2,         # three 1-row stage counts cross-joined
     "click_buy_reconcile": 0,
     "temperature_mixture": 1,     # 1-row MIN(lang count) into the rate table
+    "sq8_topk_embeddings": 1,     # |Q|-row query set broadcast (ADC scan)
 }
 
 
