@@ -1531,7 +1531,8 @@ def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txlog_stream_upsert",
     oracle="""
-    SELECT doc_id, source FROM documents WHERE doc_id < 20
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= 10 AND doc_id < 20
     UNION ALL
     SELECT doc_id, source || '_u1' AS source FROM documents
     WHERE doc_id >= 20 AND doc_id < 40
@@ -1541,19 +1542,22 @@ def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming UPSERT replication (``start_cdc_apply_stream``): build
-    a source table in three commits — insert [0,40), upsert [20,60)
-    ``_u1``, upsert [40,60) new image + insert [60,80) ``_u2`` — then
-    stream its typed change feed into a fresh replica via foreachBatch
-    + ``merge_upsert_txn``. The single drained micro-batch spans ALL
-    three commits, so keys [40,60) carry two post-images; the apply
-    step must reduce to the newest per key by ``_commit_version``
-    (pre-images ignored) before merging. Then the whole stream is
-    RE-RUN over a fresh checkpoint: the replayed epoch finds its
-    (app, epoch) marker in the replica's ledger and is a structural
-    no-op — with upserts, key-idempotence alone could NOT guarantee
-    this (a replayed old batch would overwrite newer values); the txn
-    ledger can. The DuckDB twin recomputes the replica from seed.
+    """Streaming CDC replication (``start_cdc_apply_stream``): build a
+    source table in four commits — insert [0,40), upsert [20,60)
+    ``_u1``, upsert [40,60) new image + insert [60,80) ``_u2``, DELETE
+    doc_id<10 — then stream its typed change feed into a fresh replica
+    via foreachBatch + ``merge_cdc_txn``. The single drained
+    micro-batch spans ALL four commits, so keys [40,60) carry two
+    post-images and keys [0,10) an insert THEN a delete; the apply
+    step must reduce to the newest change per key by
+    ``_commit_version`` (pre-images ignored) and apply deletes as
+    deletes — a consumer that ignored delete rows would resurrect
+    [0,10) in the replica. Then the whole stream is RE-RUN over a
+    fresh checkpoint: the replayed epoch finds its (app, epoch) marker
+    in the replica's ledger and is a structural no-op — with upserts,
+    key-idempotence alone could NOT guarantee this (a replayed old
+    batch would overwrite newer values); the txn ledger can. The
+    DuckDB twin recomputes the replica from seed.
 
     Scale: O(changed rows) per poll on the source, one bounded
     key-shuffle for the reduction, O(matched files) rewrite on the
@@ -1593,6 +1597,9 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("source", F.concat(F.col("source"), F.lit("_u2"))),
             ["doc_id"],
         )
+        from stonkwhisperer_spark.sinks.writers import delete_where
+
+        delete_where(spark, source, F.col("doc_id") < 10)
         replica = f"{scratch}/replica"
 
         def run(ckpt: str) -> None:
@@ -1608,11 +1615,11 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         run(f"{scratch}/ckpt1")
         first = read_committed(spark, replica).count()
-        if first != 80:
-            raise AssertionError(f"replica has {first} rows, expected 80")
+        if first != 70:
+            raise AssertionError(f"replica has {first} rows, expected 70")
         run(f"{scratch}/ckpt2")  # full replay, fresh checkpoint
         after = read_committed(spark, replica)
-        if after.count() != 80:
+        if after.count() != 70:
             raise AssertionError("replayed stream changed the replica")
         rows = after.select("doc_id", "source").collect()
     finally:

@@ -228,9 +228,14 @@ def vacuum_log(target_path: str) -> list[str]:
             if int(fn.split(".")[1]) < ckpt_version:
                 os.remove(os.path.join(log, fn))
                 removed.append(fn)
-        elif ".tmp-" in fn:  # crashed checkpointer's staging leftovers
-            os.remove(os.path.join(log, fn))
-            removed.append(fn)
+        elif ".tmp-" in fn:
+            # Crashed checkpointer's staging leftovers — but only when
+            # stale (an IN-FLIGHT checkpoint's tmp file must survive
+            # until its atomic rename).
+            path = os.path.join(log, fn)
+            if time.time() - os.path.getmtime(path) > 3600:
+                os.remove(path)
+                removed.append(fn)
     return sorted(removed)
 
 
@@ -339,6 +344,28 @@ def _to_physical(df: DataFrame, commits: list[dict]) -> DataFrame:
                 "or dropped column — pick a different name"
             )
     return df.select(*[F.col(c).alias(colmap.get(c, c)) for c in df.columns])
+
+
+def _relabel(
+    df: DataFrame, from_commits: list[dict], to_commits: list[dict]
+) -> DataFrame:
+    """Re-express a frame read under one snapshot's LOGICAL names in
+    another snapshot's logical space — physical names are the stable
+    bridge (the reason they exist). Columns logically dropped at the
+    target snapshot are excluded; names outside the mapping (change
+    tags, lineage) pass through. RESTORE needs this: its insert-side
+    CDC reads under the TARGET version's names, its delete side under
+    the head's, and the union/staging must agree on one space."""
+    from_map = _colmap_from(from_commits)
+    to_p2l = {p: l for l, p in _colmap_from(to_commits).items()}
+    dropped = _dropped_from(to_commits)
+    cols = []
+    for c in df.columns:
+        p = from_map.get(c, c)
+        if p in dropped:
+            continue
+        cols.append(F.col(c).alias(to_p2l.get(p, p)))
+    return df.select(*cols)
 
 
 def _to_logical(df: DataFrame, commits: list[dict]) -> DataFrame:
@@ -485,11 +512,19 @@ def _read_files(
 
 
 def _file_uri(target_path: str, rel: str) -> str:
-    """Table-relative path → the URI string Spark's ``_metadata.
-    file_path`` reports for that file (inverse of :func:`_uri_to_rel`)."""
-    from urllib.request import pathname2url
+    """Table-relative path → the EXACT URI string Spark's
+    ``_metadata.file_path`` reports for that file (inverse of
+    :func:`_uri_to_rel`). Spark renders java.net.URI path encoding:
+    space/%/etc. are percent-escaped but the RFC-2396 path characters
+    ``/;:@&=+$,`` and marks ``!~*'()-_.`` stay RAW — notably ``=`` in
+    Hive partition directories (pathname2url would quote it, making
+    every DV/discovery join key miss on partitioned tables)."""
+    from urllib.parse import quote
 
-    return "file:" + pathname2url(os.path.join(os.path.abspath(target_path), rel))
+    return "file:" + quote(
+        os.path.join(os.path.abspath(target_path), rel),
+        safe="/;:@&=+$,!~*'()-_.",
+    )
 
 
 def _read_snapshot(
@@ -764,13 +799,26 @@ _BLOOM_K = 7  # double-hashed probe count
 _BLOOM_MAX_ROWS = 200_000  # above this, skip (manifest-inline size cap)
 
 
+def _bloom_key(value) -> str:
+    """Canonical string form hashed into bloom filters — integral
+    floats collapse to their integer form so a lookup with the Python
+    int 17 finds rows a double column stored as 17.0 (a type-mismatch
+    false NEGATIVE would wrongly prune a file that contains the value,
+    breaking the pruning-is-never-a-correctness-device rule)."""
+    if isinstance(value, bool):
+        return f"bool:{value}"
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
 def _bloom_hashes(value, m: int) -> list[int]:
     """k deterministic bit positions for a value: double hashing over
     the sha256 of the value's canonical string form (ints and strings
     encode identically across engines and sessions)."""
     import hashlib
 
-    digest = hashlib.sha256(str(value).encode("utf-8")).digest()
+    digest = hashlib.sha256(_bloom_key(value).encode("utf-8")).digest()
     h1 = int.from_bytes(digest[:8], "big")
     h2 = int.from_bytes(digest[8:16], "big") | 1
     return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
@@ -1142,6 +1190,26 @@ def drop_column(target_path: str, name: str, max_retries: int = 20) -> None:
     )
 
 
+def _check_type_conflicts(
+    batch: DataFrame, declared, commits: list[dict], target_path: str
+) -> None:
+    """Write-side schema validation (Delta's stance): NEW columns are
+    additive evolution and commit fine; a column re-declared with a
+    different type fails the WRITER, not some later reader. Compared in
+    PHYSICAL name space — a renamed column's batch values arrive under
+    the logical name but land physically."""
+    if declared is None:
+        return
+    types = {f.name: f.dataType.json() for f in declared.fields}
+    for f in _to_physical(batch, commits).schema.fields:
+        if f.name in types and types[f.name] != f.dataType.json():
+            raise ValueError(
+                f"schema evolution type conflict on '{f.name}' at "
+                f"{target_path}: table has {types[f.name]}, "
+                f"batch has {f.dataType.json()}"
+            )
+
+
 def _enforce_constraints(batch: DataFrame, commits: list[dict], target_path: str):
     """Reject a write whose batch violates any CHECK constraint in
     force (Delta's write-time enforcement): one codegen'd filter per
@@ -1214,6 +1282,7 @@ def _try_commit(
     constraints_drop: list[str] | None = None,
     vacuum_cutoff: int | None = None,
     op: str | None = None,
+    commits: list[dict] | None = None,
 ) -> bool:
     """CAS-create ``_txlog/{version}.json``. O_CREAT|O_EXCL is atomic on
     POSIX and HDFS; exactly one concurrent writer can win a version."""
@@ -1223,7 +1292,9 @@ def _try_commit(
         # Commit schemas live in PHYSICAL name space (they union with
         # file footers): translate any logical field names the writer
         # passed through.
-        colmap = _colmap_from(_commits(target_path))
+        colmap = _colmap_from(
+            _commits(target_path) if commits is None else commits
+        )
         if colmap:
             body_schema = json.loads(schema)
             for field in body_schema.get("fields", []):
@@ -1235,7 +1306,9 @@ def _try_commit(
         # columns — one pyarrow column read per (file, col), O(batch).
         # Computed BEFORE the CAS open (reading the log after creating
         # the empty manifest would trip over our own half-written file).
-        bcols = _bloom_cols_from(_commits(target_path))
+        bcols = _bloom_cols_from(
+            _commits(target_path) if commits is None else commits
+        )
         if bcols:
             blooms = _bloom_build(target_path, add, bcols)
     manifest = os.path.join(log, f"{version:08d}.json")
@@ -1292,6 +1365,15 @@ def _try_commit(
         json.dump(body, fh, allow_nan=False)
         fh.flush()
         os.fsync(fh.fileno())
+    # A checkpoint + vacuum_log landing while we held a stale head can
+    # have REMOVED this version's manifest, re-opening its O_EXCL slot —
+    # but _commits skips manifests at or below the checkpoint version,
+    # so a write into a covered slot would be silently invisible.
+    # Convert it to a CAS loss: the caller refreshes and retries on the
+    # real head.
+    if version <= _last_checkpoint_version(log):
+        os.remove(manifest)
+        return False
     return True
 
 
@@ -1299,6 +1381,7 @@ def _stage_files(
     new_rows: DataFrame,
     target_path: str,
     partition_cols: Sequence[str] | None,
+    commits: list[dict] | None = None,
 ) -> list[str]:
     """Write the insert set to a dot-hidden staging dir inside the
     table, then os.replace each part file into the table root (same
@@ -1308,7 +1391,8 @@ def _stage_files(
     Data files always store PHYSICAL column names: the logical→physical
     translation happens here, at the disk boundary, so writers compute
     in logical space and renamed tables keep one on-disk schema."""
-    commits = _commits(target_path)
+    if commits is None:
+        commits = _commits(target_path)
     new_rows = _to_physical(new_rows, commits)
     if partition_cols:
         colmap = _colmap_from(commits)
@@ -1757,7 +1841,7 @@ def compact(
             ).sortWithinPartitions(*cluster_by)
         else:
             arranged = snapshot.coalesce(n_parts)
-        staged = _stage_files(arranged, target_path, partition_cols)
+        staged = _stage_files(arranged, target_path, partition_cols, commits=commits)
         if _try_commit(
             target_path,
             version + 1,
@@ -1767,6 +1851,7 @@ def compact(
             compaction=True,
             stats=_collect_stats(target_path, staged),
             op="OPTIMIZE",
+            commits=commits,
         ):
             return len(old)
         for rel in staged:
@@ -2011,6 +2096,11 @@ def restore(
             ).withColumn(_CHANGE_COL, F.lit(tag))
 
         ins = _tagged(re_add, "insert", old_commits)
+        if ins is not None:
+            # The insert side read under the TARGET version's logical
+            # names; re-express it in the head's so the CDC union,
+            # constraint check, and staging all speak one space.
+            ins = _relabel(ins, old_commits, commits)
         dels = _tagged(drop, "delete", commits)
         if dv_diff:
             # Row-level diff over the DV-changed common files: visible
@@ -2027,8 +2117,14 @@ def restore(
                 schema=evolved, keep_lineage=True,
             )
             resurrected = (
-                vis_old.join(
-                    vis_cur.select(_FP_COL, _RI_COL), [_FP_COL, _RI_COL], "left_anti"
+                _relabel(
+                    vis_old.join(
+                        vis_cur.select(_FP_COL, _RI_COL),
+                        [_FP_COL, _RI_COL],
+                        "left_anti",
+                    ),
+                    old_commits,
+                    commits,
                 )
                 .drop(_FP_COL, _RI_COL)
                 .withColumn(_CHANGE_COL, F.lit("insert"))
@@ -2050,7 +2146,7 @@ def restore(
         cdc = ins.unionByName(dels) if ins is not None and dels is not None else (
             ins if ins is not None else dels
         )
-        cdc_staged = _stage_cdc_files(cdc, target_path)
+        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         n = sum(
             pq.ParquetFile(os.path.join(target_path, f)).metadata.num_rows
             for f in re_add
@@ -2075,6 +2171,7 @@ def restore(
             dv={"reset": old_dv, "n": 0} if old_dv != cur_dv else None,
             restore_of=version,
             op="RESTORE",
+            commits=commits,
         ):
             return len(re_add), len(drop)
         for rel in cdc_staged:  # lost the CAS — recompute against winner
@@ -2132,19 +2229,9 @@ def append_txn(
             return 0  # this transaction (or a later one) already landed
         batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
-        if declared is not None:
-            types = {f.name: f.dataType.json() for f in declared.fields}
-            # Compare in physical name space — a renamed column's batch
-            # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, commits).schema.fields:
-                if f.name in types and types[f.name] != f.dataType.json():
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}' at "
-                        f"{target_path}: table has {types[f.name]}, "
-                        f"batch has {f.dataType.json()}"
-                    )
+        _check_type_conflicts(batch, declared, commits, target_path)
         _enforce_constraints(batch, commits, target_path)
-        staged = _stage_files(batch, target_path, partition_cols)
+        staged = _stage_files(batch, target_path, partition_cols, commits=commits)
         n = _staged_row_count(target_path, staged)
         if _pre_commit_hook is not None:
             _pre_commit_hook()
@@ -2157,6 +2244,7 @@ def append_txn(
             schema=json.dumps(batch.schema.jsonValue()),
             txn={"app": app_id, "version": txn_ver},
             op="STREAMING UPDATE",
+            commits=commits,
         ):
             return n
         for rel in staged:  # lost the CAS — another writer took version+1
@@ -2214,17 +2302,7 @@ def merge_append(
         # Re-checked per retry attempt — the schema may have evolved
         # under a concurrent winner.
         declared = _schema_from(commits)
-        if declared is not None:
-            types = {f.name: f.dataType.json() for f in declared.fields}
-            # Compare in physical name space — a renamed column's batch
-            # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, commits).schema.fields:
-                if f.name in types and types[f.name] != f.dataType.json():
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}' at "
-                        f"{target_path}: table has {types[f.name]}, "
-                        f"batch has {f.dataType.json()}"
-                    )
+        _check_type_conflicts(batch, declared, commits, target_path)
         committed = _files_from(commits)
         legacy: list[str] = []
         if not committed:
@@ -2262,7 +2340,7 @@ def merge_append(
         # plan execution, no cache). On object storage this is a
         # footer-ranged read per file, still far cheaper than
         # recomputing the anti-join for a count().
-        staged = _stage_files(new_rows, target_path, partition_cols)
+        staged = _stage_files(new_rows, target_path, partition_cols, commits=commits)
         n = _staged_row_count(target_path, staged)
         if n == 0:
             for rel in staged:  # writer may emit one empty part file
@@ -2288,6 +2366,7 @@ def merge_append(
             stats=_collect_stats(target_path, staged),
             schema=json.dumps(commit_schema.jsonValue()),
             op="MERGE APPEND",
+            commits=commits,
         ):
             return n
         # Lost the race: another writer committed this version. Remove
@@ -2303,48 +2382,54 @@ def merge_append(
     )
 
 
-def _stage_cdc_files(cdc: DataFrame, target_path: str) -> list[str]:
-    """Write the typed change rows to ``_change_data/`` (underscore
-    prefix: invisible to plain parquet readers and to the data-file
-    walk), returning their table-relative paths for the manifest's
-    ``cdc`` entry. Same stage-then-atomic-rename discipline as
-    :func:`_stage_files`, including the logical→physical column
-    translation at the disk boundary (``table_changes`` translates
-    back on read)."""
-    cdc = _to_physical(cdc, _commits(target_path))
-    dest = os.path.join(target_path, _CDC_DIR)
+def _stage_aux_files(
+    df: DataFrame,
+    target_path: str,
+    subdir: str,
+    prefix: str,
+    commits: list[dict] | None = None,
+    translate: bool = False,
+) -> list[str]:
+    """Shared stage-then-atomic-rename for auxiliary file families
+    (change data, deletion vectors): write to a dot-hidden staging dir,
+    move each part into ``subdir`` under a unique name, return the
+    table-relative paths. ``translate=True`` applies the
+    logical→physical column translation at this disk boundary."""
+    if translate:
+        df = _to_physical(
+            df, _commits(target_path) if commits is None else commits
+        )
+    dest = os.path.join(target_path, subdir)
     os.makedirs(dest, exist_ok=True)
-    stage = os.path.join(target_path, f".stage-cdc-{uuid.uuid4().hex}")
-    cdc.write.mode("overwrite").parquet(stage)
+    stage = os.path.join(target_path, f".stage-{prefix}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
     staged: list[str] = []
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
             continue
-        unique = f"cdc-{uuid.uuid4().hex}.parquet"
+        unique = f"{prefix}-{uuid.uuid4().hex}.parquet"
         os.replace(os.path.join(stage, fn), os.path.join(dest, unique))
-        staged.append(os.path.join(_CDC_DIR, unique))
+        staged.append(os.path.join(subdir, unique))
     shutil.rmtree(stage, ignore_errors=True)
     return staged
+
+
+def _stage_cdc_files(
+    cdc: DataFrame, target_path: str, commits: list[dict] | None = None
+) -> list[str]:
+    """Write the typed change rows to ``_change_data/`` (underscore
+    prefix: invisible to plain parquet readers and the data-file walk),
+    for the manifest's ``cdc`` entry — physical column names on disk
+    (``table_changes`` translates back on read)."""
+    return _stage_aux_files(
+        cdc, target_path, _CDC_DIR, "cdc", commits=commits, translate=True
+    )
 
 
 def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
     """Write kill-list rows — ``(file string, row_index bigint)``, file
-    table-relative — to ``_deletion_vectors/`` (underscore prefix:
-    invisible to plain parquet readers and the data-file walk), same
-    stage-then-atomic-rename discipline as :func:`_stage_files`."""
-    dest = os.path.join(target_path, _DV_DIR)
-    os.makedirs(dest, exist_ok=True)
-    stage = os.path.join(target_path, f".stage-dv-{uuid.uuid4().hex}")
-    kill.write.mode("overwrite").parquet(stage)
-    staged: list[str] = []
-    for fn in os.listdir(stage):
-        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-            continue
-        unique = f"dv-{uuid.uuid4().hex}.parquet"
-        os.replace(os.path.join(stage, fn), os.path.join(dest, unique))
-        staged.append(os.path.join(_DV_DIR, unique))
-    shutil.rmtree(stage, ignore_errors=True)
-    return staged
+    table-relative — to ``_deletion_vectors/``."""
+    return _stage_aux_files(kill, target_path, _DV_DIR, "dv")
 
 
 def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int, int]:
@@ -2507,6 +2592,46 @@ def merge_upsert_txn(
     return inserted, updated
 
 
+def merge_cdc_txn(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    app_id: str,
+    txn_ver: int,
+    change_col: str = "_change_type",
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> tuple[int, int, int]:
+    """Apply a CHANGE-DATA batch to a table, exactly once — the CDC
+    consumer's merge (Delta's documented foreachBatch pattern for
+    readChangeFeed):
+
+        WHEN MATCHED AND src.{change} = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND src.{change} <> 'delete' THEN INSERT *
+
+    Rows tagged ``delete`` in ``change_col`` delete their target keys
+    (a delete for an absent key is a no-op — it may have never
+    replicated); every other row upserts. The change column itself is
+    not written. Returns (inserted, updated, deleted); idempotent per
+    (app_id, txn_ver) like :func:`merge_upsert_txn` — the caller must
+    reduce the batch to ONE change per key first (newest wins)."""
+    return _merge_rows(
+        spark,
+        target_path,
+        batch,
+        keys,
+        partition_cols=partition_cols,
+        max_retries=max_retries,
+        _pre_commit_hook=_pre_commit_hook,
+        matched_delete=F.col(change_col) == "delete",
+        drop_from_data=[change_col],
+        txn={"app": app_id, "version": txn_ver},
+    )
+
+
 def _merge_rows(
     spark: SparkSession,
     target_path: str,
@@ -2516,18 +2641,34 @@ def _merge_rows(
     max_retries: int = 20,
     _pre_commit_hook: Callable[[], None] | None = None,
     nmbs_delete: Column | None = None,
+    matched_delete: Column | None = None,
+    drop_from_data: Sequence[str] | None = None,
     txn: dict | None = None,
 ) -> tuple[int, int, int]:
     """Shared MERGE engine behind :func:`merge_upsert` /
-    :func:`merge_sync` / :func:`merge_upsert_txn`: copy-on-write
-    file-level rewrite with typed CDC and optimistic CAS commits.
-    ``nmbs_delete`` adds the WHEN NOT MATCHED BY SOURCE THEN DELETE
-    clause; ``txn`` adds the (app, version) at-most-once marker."""
+    :func:`merge_sync` / :func:`merge_upsert_txn` /
+    :func:`merge_cdc_txn`: copy-on-write file-level rewrite with typed
+    CDC and optimistic CAS commits. ``nmbs_delete`` adds the WHEN NOT
+    MATCHED BY SOURCE THEN DELETE clause; ``matched_delete`` marks
+    batch rows that are DELETE DIRECTIVES (WHEN MATCHED AND cond THEN
+    DELETE — the CDC-apply shape): their keys delete matching target
+    rows instead of upserting, and a directive with no match is a
+    no-op; ``drop_from_data`` removes directive/metadata columns from
+    the written rows; ``txn`` adds the (app, version) at-most-once
+    marker."""
     batch = batch.dropDuplicates(list(keys))
     key_cols = list(keys)
     nmbs_true = (
         F.coalesce(nmbs_delete, F.lit(False)) if nmbs_delete is not None else None
     )
+    if matched_delete is not None:
+        md_true = F.coalesce(matched_delete, F.lit(False))
+        delete_keys = batch.filter(md_true).select(*key_cols)
+        batch = batch.filter(~md_true)
+    else:
+        delete_keys = None
+    if drop_from_data:
+        batch = batch.drop(*[c for c in drop_from_data if c in batch.columns])
     for _ in range(max_retries):
         commits = _commits(target_path)
         version = commits[-1]["version"] if commits else 0
@@ -2537,17 +2678,7 @@ def _merge_rows(
                 return 0, 0, 0  # this transaction (or a later one) landed
         batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
-        if declared is not None:
-            types = {f.name: f.dataType.json() for f in declared.fields}
-            # Compare in physical name space — a renamed column's batch
-            # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, commits).schema.fields:
-                if f.name in types and types[f.name] != f.dataType.json():
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}' at "
-                        f"{target_path}: table has {types[f.name]}, "
-                        f"batch has {f.dataType.json()}"
-                    )
+        _check_type_conflicts(batch, declared, commits, target_path)
         # Every batch row is written (as insert or update post-image) —
         # the whole batch is in CHECK-constraint scope.
         _enforce_constraints(batch, commits, target_path)
@@ -2585,8 +2716,13 @@ def _merge_rows(
             # Driver-side list bounded by #files, computed from a
             # key-column semi-join (the scan reads key columns only).
             batch_keys = batch.select(*key_cols)
+            all_keys = (
+                batch_keys
+                if delete_keys is None
+                else batch_keys.unionByName(delete_keys)
+            )
             owners = existing.join(
-                batch_keys, on=key_cols, how="left_semi"
+                all_keys, on=key_cols, how="left_semi"
             ).select(_FP_COL)
             if nmbs_true is not None:
                 # WHEN NOT MATCHED BY SOURCE: files owning stale rows
@@ -2617,12 +2753,15 @@ def _merge_rows(
                     merge_schema=bool(legacy),
                 )
                 preimage = touched.join(batch_keys, key_cols, "left_semi")
-                not_matched = touched.join(batch_keys, key_cols, "left_anti")
+                not_matched = touched.join(all_keys, key_cols, "left_anti")
                 if nmbs_true is not None:
                     carried = not_matched.filter(~nmbs_true)
                     dels = not_matched.filter(nmbs_true)
                 else:
                     carried, dels = not_matched, None
+                if delete_keys is not None:
+                    tdel = touched.join(delete_keys, key_cols, "left_semi")
+                    dels = tdel if dels is None else dels.unionByName(tdel)
             else:
                 preimage = carried = dels = None
         else:
@@ -2652,8 +2791,8 @@ def _merge_rows(
                 allowMissingColumns=True,
             )
 
-        staged = _stage_files(new_data, target_path, partition_cols)
-        if nmbs_true is not None:
+        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
+        if nmbs_true is not None or delete_keys is not None:
             # A sync that empties whole files can stage 0-row parts —
             # drop them rather than committing empty files.
             import pyarrow.parquet as pq
@@ -2667,7 +2806,7 @@ def _merge_rows(
                 else:
                     os.remove(os.path.join(target_path, rel))
             staged = live
-        cdc_staged = _stage_cdc_files(cdc, target_path)
+        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         inserted, updated, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
@@ -2696,6 +2835,7 @@ def _merge_rows(
             cdc=cdc_staged,
             txn=txn,
             op="MERGE",
+            commits=commits,
         ):
             return inserted, updated, deleted
         _cleanup()
@@ -2766,7 +2906,7 @@ def delete_where(
         carried = touched.filter(~condition)
         deleted = touched.filter(condition)
 
-        staged = _stage_files(carried, target_path, partition_cols)
+        staged = _stage_files(carried, target_path, partition_cols, commits=commits)
         # The carried set can be empty (whole files deleted): drop the
         # writer's empty part rather than committing a 0-row file.
         live_staged = []
@@ -2776,7 +2916,9 @@ def delete_where(
             else:
                 os.remove(os.path.join(target_path, rel))
         cdc_staged = _stage_cdc_files(
-            deleted.withColumn(_CHANGE_COL, F.lit("delete")), target_path
+            deleted.withColumn(_CHANGE_COL, F.lit("delete")),
+            target_path,
+            commits=commits,
         )
         n_deleted = 0
         for rel in cdc_staged:
@@ -2808,6 +2950,7 @@ def delete_where(
             else None,
             cdc=cdc_staged,
             op="DELETE",
+            commits=commits,
         ):
             return n_deleted
         _cleanup()
@@ -2862,17 +3005,7 @@ def overwrite_where(
         version = commits[-1]["version"] if commits else 0
         batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
-        if declared is not None:
-            types = {f.name: f.dataType.json() for f in declared.fields}
-            # Compare in physical name space — a renamed column's batch
-            # values arrive under the logical name but land physically.
-            for f in _to_physical(batch, commits).schema.fields:
-                if f.name in types and types[f.name] != f.dataType.json():
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}' at "
-                        f"{target_path}: table has {types[f.name]}, "
-                        f"batch has {f.dataType.json()}"
-                    )
+        _check_type_conflicts(batch, declared, commits, target_path)
         _enforce_constraints(batch, commits, target_path)
         committed = _files_from(commits)
         matched_files: list[str] = []
@@ -2913,14 +3046,14 @@ def overwrite_where(
                 dels.withColumn(_CHANGE_COL, F.lit("delete")),
                 allowMissingColumns=True,
             )
-        staged = _stage_files(new_data, target_path, partition_cols)
+        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        cdc_staged = _stage_cdc_files(cdc, target_path)
+        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         inserted, _, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
@@ -2945,6 +3078,7 @@ def overwrite_where(
             schema=json.dumps(new_data.schema.jsonValue()),
             cdc=cdc_staged,
             op="REPLACE WHERE",
+            commits=commits,
         ):
             return inserted, deleted
         _cleanup()
@@ -3025,6 +3159,7 @@ def delete_where_dv(
                 _CHANGE_COL, F.lit("delete")
             ),
             target_path,
+            commits=commits,
         )
         n_deleted = 0
         affected: set[str] = set()
@@ -3053,6 +3188,7 @@ def delete_where_dv(
             dv={"add": dv_staged, "files": sorted(affected), "n": n_deleted},
             cdc=cdc_staged,
             op="DELETE",
+            commits=commits,
         ):
             return n_deleted
         _cleanup()

@@ -190,13 +190,15 @@ def start_cdc_apply_stream(
     :func:`sinks.writers.merge_upsert_txn`.
 
     A micro-batch may span several source commits, so a key can carry
-    multiple images; the reduction keeps the newest
-    insert/update_postimage per key by ``_commit_version`` (pre-images
-    are observers' data, not state). Exactly-once: the (app_id,
-    epoch_id) transaction marker makes replayed batches structural
-    no-ops — necessary with upserts, where key-level idempotence alone
-    would let a replayed old batch resurrect stale values over a later
-    batch's rows.
+    multiple images; the reduction keeps the newest change per key by
+    ``_commit_version`` — an insert/update_postimage upserts, a
+    ``delete`` row DELETES the replica key (pre-images are observers'
+    data, not state), so the replica tracks the source through the
+    full insert/update/delete lifecycle instead of only growing.
+    Exactly-once: the (app_id, epoch_id) transaction marker makes
+    replayed batches structural no-ops — necessary with upserts, where
+    key-level idempotence alone would let a replayed old batch
+    resurrect stale values over a later batch's rows.
 
     Scale: the feed is O(changed rows) per poll (never a source table
     scan), the reduction is one bounded shuffle on the merge keys, and
@@ -204,14 +206,16 @@ def start_cdc_apply_stream(
     end-to-end O(delta) replication for a 100 TB source."""
     from pyspark.sql.window import Window
 
-    from stonkwhisperer_spark.sinks.writers import merge_upsert_txn
+    from stonkwhisperer_spark.sinks.writers import merge_cdc_txn
 
     key_cols = list(keys)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         latest = (
             batch_df.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
+                F.col("_change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
             )
             .withColumn(
                 "_rn",
@@ -222,9 +226,9 @@ def start_cdc_apply_stream(
                 ),
             )
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_change_type", "_commit_version")
+            .drop("_rn", "_commit_version")
         )
-        merge_upsert_txn(
+        merge_cdc_txn(
             batch_df.sparkSession,
             target_path,
             latest,

@@ -294,3 +294,40 @@ def test_generated_columns(spark, tmp_path):
     drop_generated_column(target, "event_date")
     rename_column(target, "ts", "event_ts")  # now fine
     assert "event_ts" in read_committed(spark, target).columns
+
+
+def test_restore_across_rename_boundary(spark, tmp_path):
+    """RESTORE to a pre-rename version: the file view reverts, the
+    CURRENT logical names stay (rename is metadata, data-only restore),
+    and the mixed-name CDC sides reconcile through physical names."""
+    from stonkwhisperer_spark.sinks.writers import delete_where, restore
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)  # k, v over two files
+    v_before = _commits(target)[-1]["version"]
+    delete_where(spark, target, F.col("k") >= 20)  # changes the file view
+    rename_column(target, "v", "val")
+    restore(spark, target, version=v_before)
+    got = read_committed(spark, target)
+    # Data reverted; the rename (metadata) survives, as with schema
+    # evolution ("restore reverts DATA only").
+    assert got.count() == 30
+    assert got.columns == ["k", "val"]
+    feed = table_changes(spark, target, from_version=v_before + 2)
+    assert "val" in feed.columns and "v" not in feed.columns
+    assert feed.filter(F.col("_change_type") == "insert").count() > 0
+
+
+def test_restore_dv_diff_across_rename(spark, tmp_path):
+    """A DV-only restore whose resurrected rows were read under the
+    OLD logical name must still commit (relabel through physical)."""
+    from stonkwhisperer_spark.sinks.writers import delete_where_dv, restore
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    v_before = _commits(target)[-1]["version"]
+    delete_where_dv(spark, target, F.col("k") < 5)
+    rename_column(target, "v", "val")
+    restore(spark, target, version=v_before)
+    got = read_committed(spark, target)
+    assert got.count() == 30 and got.columns == ["k", "val"]

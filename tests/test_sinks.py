@@ -1612,3 +1612,61 @@ def test_table_detail_summarizes_state(spark, tmp_path):
     assert d["bloom_columns"] == ["k"]
     assert d["renamed_columns"] == {"val": "v"}
     assert d["version"] == 6 and d["checkpoint_version"] == 0
+
+
+def test_merge_cdc_txn_applies_typed_changes(spark, tmp_path):
+    """CDC-apply merge: delete rows delete, others upsert, absent-key
+    deletes no-op, the change column is not written, replays skip."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_cdc_txn,
+        merge_upsert_txn,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(10).select(F.col("id").alias("k"), F.lit("v0").alias("v"))
+    merge_upsert_txn(spark, target, seed, ["k"], "repl", 0)
+    batch = spark.createDataFrame(
+        [
+            (0, "v1", "update_postimage"),   # update
+            (3, None, "delete"),             # delete existing
+            (77, None, "delete"),            # delete absent -> no-op
+            (10, "v1", "insert"),            # insert new
+        ],
+        "k long, v string, _change_type string",
+    )
+    ins, upd, n_del = merge_cdc_txn(spark, target, batch, ["k"], "repl", 1)
+    assert (ins, upd, n_del) == (1, 1, 1)
+    got = read_committed(spark, target)
+    assert got.columns == ["k", "v"]  # change column never written
+    assert got.count() == 10
+    assert got.filter(F.col("k") == 3).count() == 0
+    assert got.filter(F.col("k") == 0).first()["v"] == "v1"
+    assert got.filter(F.col("k") == 10).first()["v"] == "v1"
+    # Replay of the same transaction: structural no-op.
+    assert merge_cdc_txn(spark, target, batch, ["k"], "repl", 1) == (0, 0, 0)
+    assert read_committed(spark, target).count() == 10
+
+
+def test_dv_delete_on_partitioned_table(spark, tmp_path):
+    """Deletion vectors on a Hive-partitioned layout: the '=' in the
+    partition directory must survive the file-URI round trip (a quoted
+    '=' would make every kill-list join key miss and the delete a
+    silent no-op)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        delete_where_dv,
+        merge_append,
+        read_committed,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 == 0).alias("even"),
+        F.concat(F.lit("g "), (F.col("id") % 2).cast("string")).alias("grp"),
+    )
+    merge_append(spark, target, df, ["k"], partition_cols=["grp"])
+    n = delete_where_dv(spark, target, F.col("k") < 10)
+    assert n == 10
+    got = read_committed(spark, target)
+    assert got.count() == 30 and got.agg(F.min("k")).collect()[0][0] == 10
