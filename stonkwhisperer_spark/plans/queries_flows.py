@@ -1047,6 +1047,82 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_type_widening — safe type evolution under the value hash: a wider
+# batch widens the column, old narrow files upcast at the scan.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_type_widening",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id, CAST(n_chars + 3000000000 AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id >= 50 AND doc_id < 100
+    """,
+)
+def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (Delta 3.2 / Spark 4 parquet upcast): seed
+    doc_id<50 with ``n_chars`` as INT (v1), then append [50,100) with
+    values above 2^31 as BIGINT — the write must WIDEN the declared
+    type instead of failing, old int files must upcast at the scan
+    (Spark 4's vectorized reader reads int32 under LongType — no
+    rewrite of existing data, the entire point at 100 TB), and a
+    post-widening INT batch must still be accepted at the wide type
+    (asserted in-query along with the declared schema). An
+    incompatible re-type (string) must still fail the writer
+    (asserted). The DuckDB twin recomputes both halves with explicit
+    casts."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        read_committed,
+        table_schema,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_widen_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 50).withColumn(
+                "n_chars", F.col("n_chars").cast("int")
+            ),
+            ["doc_id"],
+        )
+        if table_schema(target)["n_chars"].dataType.typeName() != "integer":
+            raise AssertionError("seed should declare n_chars as int")
+        merge_append(
+            spark,
+            target,
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+            .withColumn("n_chars", (F.col("n_chars") + 3_000_000_000).cast("bigint")),
+            ["doc_id"],
+        )
+        if table_schema(target)["n_chars"].dataType.typeName() != "long":
+            raise AssertionError("wide batch must widen the declared type")
+        try:
+            merge_append(
+                spark,
+                target,
+                docs.filter(F.col("doc_id") == 0)
+                .withColumn("doc_id", F.lit(10_000_000).cast("bigint"))
+                .withColumn("n_chars", F.lit("oops")),
+                ["doc_id"],
+            )
+            raise AssertionError("incompatible re-type must fail the writer")
+        except ValueError:
+            pass
+        rows = read_committed(spark, target).select("doc_id", "n_chars").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+
+
+# --------------------------------------------------------------------------
 # txlog_checkpoint_replay — log checkpointing under the value hash: after
 # a checkpoint + manifest vacuum, every surface replays from ONE file.
 # --------------------------------------------------------------------------

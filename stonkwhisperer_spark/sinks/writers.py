@@ -409,30 +409,58 @@ def _constraints_from(commits: list[dict]) -> dict[str, str]:
     return out
 
 
+# Safe type-widening lattice (Delta 3.2 type widening / Spark 4 parquet
+# upcast support): a column re-declared at a WIDER type in the chain
+# widens the table; narrow files upcast at the scan (verified: Spark 4's
+# vectorized reader reads int32 under LongType and float under
+# DoubleType). Keys are widenable-from, values the allowed wider types.
+_WIDEN = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _widest(a, b):
+    """The wider of two Spark DataTypes under the widening lattice, or
+    None when neither widens to the other."""
+    an, bn = a.typeName(), b.typeName()
+    if bn in _WIDEN.get(an, ()):  # a widens to b
+        return b
+    if an in _WIDEN.get(bn, ()):  # b widens to a
+        return a
+    return None
+
+
 def _union_structs(structs):
-    """Additive union of StructTypes in order; a field re-declared with
-    a different type raises. None for an empty union. Every field is
+    """Additive union of StructTypes in order; a field re-declared at a
+    WIDER type in the widening lattice widens the union (int→long,
+    float→double — old narrow files upcast at the scan); any other
+    type conflict raises. None for an empty union. Every field is
     normalized to nullable=True: evolution implies null-fill (files
     written before a column existed surface NULLs for it), so a
     non-nullable first declaration would be a false contract over data
     that does contain nulls — Delta's union behaves the same way."""
     from pyspark.sql.types import StructField, StructType
 
-    merged: list = []
-    seen: dict[str, str] = {}
+    merged: dict[str, StructField] = {}
     for s in structs:
         for f in s.fields:
-            sig = f.dataType.json()
-            if f.name in seen:
-                if seen[f.name] != sig:
-                    raise ValueError(
-                        f"schema evolution type conflict on '{f.name}': "
-                        f"{seen[f.name]} vs {sig}"
-                    )
+            prev = merged.get(f.name)
+            if prev is None:
+                merged[f.name] = StructField(f.name, f.dataType, True)
                 continue
-            seen[f.name] = sig
-            merged.append(StructField(f.name, f.dataType, True))
-    return StructType(merged) if merged else None
+            if prev.dataType.json() == f.dataType.json():
+                continue
+            wide = _widest(prev.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"schema evolution type conflict on '{f.name}': "
+                    f"{prev.dataType.json()} vs {f.dataType.json()}"
+                )
+            merged[f.name] = StructField(f.name, wide, True)
+    return StructType(list(merged.values())) if merged else None
 
 
 def _schema_from(commits: list[dict]):
@@ -1194,18 +1222,25 @@ def _check_type_conflicts(
     batch: DataFrame, declared, commits: list[dict], target_path: str
 ) -> None:
     """Write-side schema validation (Delta's stance): NEW columns are
-    additive evolution and commit fine; a column re-declared with a
-    different type fails the WRITER, not some later reader. Compared in
+    additive evolution and commit fine; a column re-declared at a
+    WIDER (or narrower — upcast at read) type in the widening lattice
+    commits fine and widens (or keeps) the table type; any other
+    conflict fails the WRITER, not some later reader. Compared in
     PHYSICAL name space — a renamed column's batch values arrive under
     the logical name but land physically."""
     if declared is None:
         return
-    types = {f.name: f.dataType.json() for f in declared.fields}
+    types = {f.name: f.dataType for f in declared.fields}
     for f in _to_physical(batch, commits).schema.fields:
-        if f.name in types and types[f.name] != f.dataType.json():
+        prev = types.get(f.name)
+        if (
+            prev is not None
+            and prev.json() != f.dataType.json()
+            and _widest(prev, f.dataType) is None
+        ):
             raise ValueError(
                 f"schema evolution type conflict on '{f.name}' at "
-                f"{target_path}: table has {types[f.name]}, "
+                f"{target_path}: table has {prev.json()}, "
                 f"batch has {f.dataType.json()}"
             )
 

@@ -1670,3 +1670,63 @@ def test_dv_delete_on_partitioned_table(spark, tmp_path):
     assert n == 10
     got = read_committed(spark, target)
     assert got.count() == 30 and got.agg(F.min("k")).collect()[0][0] == 10
+
+
+def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    """Delta-3.2-style type widening: a batch re-declaring a column at
+    a wider lattice type widens the table; old narrow files upcast at
+    the scan; narrow batches after widening stay accepted; unrelated
+    type changes still fail the writer."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_schema,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("n"),
+        (F.col("id") * 1.5).cast("float").alias("x"),
+    )
+    merge_append(spark, target, seed, ["k"])
+    wide = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10_000_000_000).alias("n"),  # needs long
+        (F.col("id") * 1.5).cast("double").alias("x"),
+    )
+    assert merge_append(spark, target, wide, ["k"]) == 10
+    sch = {f.name: f.dataType.typeName() for f in table_schema(target).fields}
+    assert sch["n"] == "long" and sch["x"] == "double"
+    got = read_committed(spark, target)
+    assert got.count() == 20
+    # Old int rows upcast and aggregate with the long rows.
+    assert got.agg(F.sum("n")).collect()[0][0] == 45 + sum(
+        i * 10_000_000_000 for i in range(10, 20)
+    )
+    # Narrow batch AFTER widening: accepted, table stays wide.
+    narrow = spark.range(20, 25).select(
+        F.col("k").alias("k") if False else F.col("id").alias("k"),
+        F.col("id").cast("int").alias("n"),
+        F.lit(1.0).cast("float").alias("x"),
+    )
+    assert merge_append(spark, target, narrow, ["k"]) == 5
+    sch2 = {f.name: f.dataType.typeName() for f in table_schema(target).fields}
+    assert sch2["n"] == "long" and sch2["x"] == "double"
+    assert read_committed(spark, target).count() == 25
+    # Upserts across the widened boundary work (union coerces).
+    assert merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(0, 7, 2.0)], "k long, n int, x float"),
+        ["k"],
+    ) == (0, 1)
+    # A genuinely incompatible re-type still fails the writer.
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.lit("oops").alias("n"), F.lit(1.0).alias("x")
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_append(spark, target, bad, ["k"])
