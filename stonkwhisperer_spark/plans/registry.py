@@ -71,9 +71,10 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 6: MERGE upsert + typed CDC, closed-form ML gate,
-    #    2-D Z-order skipping, RESTORE + timestamp travel, exactly-once
-    #    txn streaming sink --
+    # -- new in round 6 (second half): deletion vectors, column
+    #    mapping, generated columns, bloom index, log checkpointing,
+    #    type widening, replaceWhere, 3-clause MERGE, CDC replication
+    #    stream, plus the LLM/OLAP additions --
     "txlog_dv_replay",
     "txlog_rename_replay",
     "txlog_generated",
@@ -90,6 +91,9 @@ _GATE_ORDER: list[str] = [
     "doc_chunks",
     "doc_keywords",
     "corpus_shuffle",
+    # -- new in round 6 (first half): MERGE upsert + typed CDC,
+    #    closed-form ML gate, 2-D Z-order skipping, RESTORE +
+    #    timestamp travel, exactly-once txn streaming sink --
     "txlog_cdc_update_replay",
     "txlog_cdc_delete_replay",
     "sentiment_closed_form",
