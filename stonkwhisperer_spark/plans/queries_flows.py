@@ -1047,6 +1047,104 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_update_replay — UPDATE WHERE under the value hash, BOTH physical
+# strategies: copy-on-write (rewrite matched files) and merge-on-read
+# (DV mask + post-image file) must produce identical logical results.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_update_replay",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= 20 AND doc_id < 40
+    UNION ALL
+    SELECT doc_id, source || '_w' AS source FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, source || '_m' AS source FROM documents
+    WHERE doc_id >= 40 AND doc_id < 60
+    """,
+)
+def q_txlog_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE SET ... WHERE`` both ways: seed doc_id<60 in three
+    files, then (a) copy-on-write update doc_id<20 (only matched files
+    rewritten; SET sees the pre-image) and (b) MERGE-ON-READ update
+    [40,60) via ``update_where_dv`` — one commit masks the pre-images
+    with a deletion-vector kill list and adds only the post-image file,
+    leaving every pre-existing data file byte-untouched (asserted on
+    mtimes in-query). Both emit update_preimage/update_postimage CDC
+    pairs (counts asserted); the DuckDB twin recomputes the final
+    snapshot, so a SET applied to the wrong rows, a resurrected
+    pre-image, or a lost post-image hash-fails.
+
+    Scale: CoW costs O(matched files); MoR costs O(matched ROWS) —
+    the cheap-update path for scattered updates on a 100 TB table,
+    with the next compaction folding masks and post-images back into
+    plain files."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        merge_append,
+        read_committed,
+        table_changes,
+        update_where,
+        update_where_dv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_upd2_")
+    try:
+        target = f"{scratch}/t"
+        for lo, hi in ((0, 20), (20, 40), (40, 60)):
+            merge_append(
+                spark,
+                target,
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1),
+                ["doc_id"],
+            )
+        v_seed = _committed_version(target)
+        n_cow = update_where(
+            spark,
+            target,
+            {"source": F.concat(F.col("source"), F.lit("_w"))},
+            F.col("doc_id") < 20,
+        )
+        if n_cow != 20:
+            raise AssertionError(f"CoW update touched {n_cow} rows, expected 20")
+        mtimes = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+        }
+        n_mor = update_where_dv(
+            spark,
+            target,
+            {"source": F.concat(F.col("source"), F.lit("_m"))},
+            F.col("doc_id").between(40, 59),
+        )
+        if n_mor != 20:
+            raise AssertionError(f"MoR update touched {n_mor} rows, expected 20")
+        still = {
+            f: _os.path.getmtime(_os.path.join(target, f))
+            for f in committed_files(target)
+            if f in mtimes
+        }
+        if still != mtimes:
+            raise AssertionError("merge-on-read update rewrote existing files")
+        feed = table_changes(spark, target, from_version=v_seed)
+        pre = feed.filter(F.col("_change_type") == "update_preimage").count()
+        post = feed.filter(F.col("_change_type") == "update_postimage").count()
+        if (pre, post) != (40, 40):
+            raise AssertionError(f"CDC pairs wrong: pre={pre} post={post}")
+        rows = read_committed(spark, target).select("doc_id", "source").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+# --------------------------------------------------------------------------
 # txlog_type_widening — safe type evolution under the value hash: a wider
 # batch widens the column, old narrow files upcast at the scan.
 # --------------------------------------------------------------------------

@@ -81,6 +81,7 @@ _GATE_ORDER: list[str] = [
     "txlog_bloom_lookup",
     "txlog_checkpoint_replay",
     "txlog_type_widening",
+    "txlog_update_replay",
     "txlog_replace_where",
     "txlog_merge_sync_replay",
     "txlog_stream_upsert",

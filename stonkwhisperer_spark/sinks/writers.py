@@ -3122,6 +3122,229 @@ def overwrite_where(
     )
 
 
+def _updated_frame(
+    changed: DataFrame,
+    set_exprs: dict[str, Column],
+    commits: list[dict],
+    target_path: str,
+) -> DataFrame:
+    """Apply UPDATE SET expressions to the matched rows (expressions
+    see the PRE-image values, standard UPDATE semantics), recompute
+    any generated column not explicitly set (its sources may have
+    changed), and validate constraints + generated definitions on the
+    post-image."""
+    updated = changed
+    for name, expr in set_exprs.items():
+        updated = updated.withColumn(name, expr)
+    for gname, gexpr in _generated_from(commits).items():
+        if gname not in set_exprs and gname in updated.columns:
+            updated = updated.withColumn(gname, F.expr(gexpr))
+    updated = _apply_generated(updated, commits, target_path)
+    _enforce_constraints(updated, commits, target_path)
+    return updated
+
+
+def update_where(
+    spark: SparkSession,
+    target_path: str,
+    set_exprs: dict[str, Column],
+    condition: Column,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> int:
+    """Delta ``UPDATE target SET col = expr, ... WHERE condition`` —
+    file-level copy-on-write: only files CONTAINING matching rows are
+    rewritten (survivors carried over, matched rows replaced by their
+    post-images; SET expressions evaluate against the PRE-image row).
+    Returns the number of rows updated. Generated columns not named in
+    SET are recomputed (their sources may change); CHECK constraints
+    validate the post-images; TYPED CDC records update_preimage +
+    update_postimage pairs, exactly as a key-merge would.
+
+    Scale: O(matched data) — a predicate on a zone-mapped column opens
+    only the files whose stats admit it; see :func:`update_where_dv`
+    for the merge-on-read variant that avoids rewriting unmatched
+    neighbors entirely."""
+    import pyarrow.parquet as pq
+
+    cond_true = F.coalesce(condition, F.lit(False))
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        declared = _schema_from(commits)
+        committed = _files_from(commits)
+        if not committed:
+            return 0
+        existing = _read_snapshot(
+            spark, target_path, commits, files=committed,
+            schema=declared, keep_lineage=True,
+        )
+        root = os.path.abspath(target_path)
+        matched_files = sorted(
+            {
+                _uri_to_rel(r[0], root)
+                for r in existing.filter(condition)
+                .select(_FP_COL)
+                .distinct()
+                .collect()
+            }
+        )
+        if not matched_files:
+            return 0
+        touched = _read_snapshot(
+            spark, target_path, commits, files=matched_files, schema=declared
+        )
+        changed = touched.filter(cond_true)
+        carried = touched.filter(~cond_true)
+        updated = _updated_frame(changed, set_exprs, commits, target_path)
+        new_data = updated.unionByName(carried, allowMissingColumns=True)
+        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
+        live_staged: list[str] = []
+        for rel in staged:
+            if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
+                live_staged.append(rel)
+            else:
+                os.remove(os.path.join(target_path, rel))
+        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
+            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
+            allowMissingColumns=True,
+        )
+        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
+        _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
+
+        def _cleanup():
+            for rel in live_staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if n_updated == 0:
+            _cleanup()
+            return 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            live_staged,
+            n_updated,
+            remove=matched_files,
+            stats=_collect_stats(target_path, live_staged),
+            schema=json.dumps(new_data.schema.jsonValue()),
+            cdc=cdc_staged,
+            op="UPDATE",
+            commits=commits,
+        ):
+            return n_updated
+        _cleanup()
+    raise RuntimeError(
+        f"update_where lost the commit race {max_retries} times at {target_path}"
+    )
+
+
+def update_where_dv(
+    spark: SparkSession,
+    target_path: str,
+    set_exprs: dict[str, Column],
+    condition: Column,
+    partition_cols: Sequence[str] | None = None,
+    max_retries: int = 20,
+    _pre_commit_hook: Callable[[], None] | None = None,
+) -> int:
+    """Merge-on-read ``UPDATE ... WHERE`` — ONE commit that (a) masks
+    the matched rows in place via a deletion-vector kill list and (b)
+    adds a new file holding their post-images. Returns the number of
+    rows updated. At 100 TB this is the cheap-update path: updating k
+    scattered rows costs O(k) write I/O (kill list + post-image file),
+    never a rewrite of the unmatched neighbors copy-on-write drags
+    along — Delta's DV-backed UPDATE. Readers already compose the two
+    halves (adds are visible, masks hide the pre-images) and the next
+    compaction folds them together. TYPED CDC: update_preimage +
+    update_postimage, indistinguishable from the copy-on-write
+    variant (the CDF contract)."""
+    import pyarrow.parquet as pq
+
+    cond_true = F.coalesce(condition, F.lit(False))
+    for _ in range(max_retries):
+        commits = _commits(target_path)
+        version = commits[-1]["version"] if commits else 0
+        declared = _schema_from(commits)
+        committed = _files_from(commits)
+        if not committed:
+            return 0
+        existing = _read_snapshot(
+            spark, target_path, commits, files=committed,
+            schema=declared, keep_lineage=True,
+        )
+        matched = existing.filter(condition)
+        uri_map = spark.createDataFrame(
+            [(_file_uri(target_path, f), f) for f in committed],
+            "file_uri string, file string",
+        )
+        kill = (
+            matched.select(
+                F.col(_FP_COL).alias("file_uri"),
+                F.col(_RI_COL).alias("row_index"),
+            )
+            .join(F.broadcast(uri_map), "file_uri")
+            .select("file", "row_index")
+        )
+        changed = matched.drop(_FP_COL, _RI_COL)
+        updated = _updated_frame(changed, set_exprs, commits, target_path)
+        dv_staged = _stage_dv_files(kill, target_path)
+        staged = _stage_files(updated, target_path, partition_cols, commits=commits)
+        live_staged: list[str] = []
+        for rel in staged:
+            if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
+                live_staged.append(rel)
+            else:
+                os.remove(os.path.join(target_path, rel))
+        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
+            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
+            allowMissingColumns=True,
+        )
+        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
+        _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
+        affected: set[str] = set()
+        n_masked = 0
+        for rel in dv_staged:
+            t = pq.read_table(os.path.join(target_path, rel), columns=["file"])
+            n_masked += t.num_rows
+            affected.update(t.column(0).to_pylist())
+
+        def _cleanup():
+            for rel in dv_staged + live_staged + cdc_staged:
+                try:
+                    os.remove(os.path.join(target_path, rel))
+                except FileNotFoundError:
+                    pass
+
+        if n_updated == 0:
+            _cleanup()
+            return 0
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        if _try_commit(
+            target_path,
+            version + 1,
+            live_staged,
+            n_updated,
+            stats=_collect_stats(target_path, live_staged),
+            schema=json.dumps(updated.schema.jsonValue()),
+            dv={"add": dv_staged, "files": sorted(affected), "n": n_masked},
+            cdc=cdc_staged,
+            op="UPDATE",
+            commits=commits,
+        ):
+            return n_updated
+        _cleanup()
+    raise RuntimeError(
+        f"update_where_dv lost the commit race {max_retries} times at {target_path}"
+    )
+
+
 def delete_where_dv(
     spark: SparkSession,
     target_path: str,

@@ -1730,3 +1730,122 @@ def test_type_widening_int_to_long_and_float_to_double(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type conflict"):
         merge_append(spark, target, bad, ["k"])
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    """UPDATE SET ... WHERE: only matched files rewritten, SET sees the
+    pre-image, typed pre/post CDC, constraints gate the post-image."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        add_constraint,
+        merge_append,
+        read_committed,
+        table_changes,
+        update_where,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    for lo in (0, 10, 20):
+        merge_append(
+            spark, target, df.filter(F.col("k").between(lo, lo + 9)).coalesce(1), ["k"]
+        )
+    v_seed = _committed_version(target)
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in __import__("stonkwhisperer_spark.sinks.writers", fromlist=["committed_files"]).committed_files(target)
+    }
+    n = update_where(
+        spark, target, {"v": F.col("v") + 1000}, F.col("k").between(10, 19)
+    )
+    assert n == 10
+    got = read_committed(spark, target)
+    assert got.count() == 30
+    assert got.filter(F.col("v") >= 1000).count() == 10
+    assert got.filter((F.col("k") == 15) & (F.col("v") == 1150)).count() == 1
+    # Only the matched file was replaced: the other two kept their mtimes.
+    from stonkwhisperer_spark.sinks.writers import committed_files
+
+    after_files = set(committed_files(target))
+    untouched = {f for f in before if f in after_files}
+    assert len(untouched) == 2
+    feed = table_changes(spark, target, from_version=v_seed)
+    kinds = {
+        r["_change_type"]: r["cnt"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert kinds == {"update_preimage": 10, "update_postimage": 10}
+    # Constraint gates the POST-image.
+    add_constraint(spark, target, "v_cap", "v < 100000")
+    with pytest.raises(ValueError, match="v_cap"):
+        update_where(spark, target, {"v": F.col("v") + 1_000_000}, F.col("k") == 0)
+
+
+def test_update_where_dv_merge_on_read(spark, tmp_path):
+    """DV-backed UPDATE: one commit masks pre-images and adds the
+    post-image file — NO existing data file rewritten; stacking works;
+    compaction folds the halves."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        _dv_from,
+        committed_files,
+        compact,
+        merge_append,
+        read_committed,
+        update_where_dv,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    merge_append(spark, target, df.filter(F.col("k") < 10).coalesce(1), ["k"])
+    merge_append(spark, target, df.filter(F.col("k") >= 10).coalesce(1), ["k"])
+    before = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    n = update_where_dv(
+        spark, target, {"v": F.col("v") + 5}, F.col("k").isin(3, 13)
+    )
+    assert n == 2
+    # Every PRE-existing file untouched; one new post-image file added.
+    after = {
+        f: os.path.getmtime(os.path.join(target, f))
+        for f in committed_files(target)
+    }
+    assert all(after[f] == m for f, m in before.items())
+    assert len(after) > len(before)  # only post-image file(s) added
+    assert _dv_from(_commits(target))
+    got = read_committed(spark, target)
+    assert got.count() == 20
+    assert {r["v"] for r in got.filter(F.col("k").isin(3, 13)).collect()} == {35, 135}
+    # Stacked second update over the first's post-images.
+    assert update_where_dv(
+        spark, target, {"v": F.col("v") + 1}, F.col("k") == 3
+    ) == 1
+    assert read_committed(spark, target).filter(F.col("k") == 3).first()["v"] == 36
+    # Compaction folds masks + post-images into plain files.
+    compact(spark, target)
+    assert _dv_from(_commits(target)) == {}
+    assert read_committed(spark, target).count() == 20
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    from stonkwhisperer_spark.sinks.writers import (
+        add_generated_column,
+        merge_append,
+        read_committed,
+        update_where,
+    )
+
+    target = str(tmp_path / "tbl")
+    seed = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    merge_append(spark, target, seed, ["k"])
+    add_generated_column(target, "dbl", "v * 2")
+    merge_append(
+        spark, target, spark.createDataFrame([(10, 7)], "k long, v long"), ["k"]
+    )
+    update_where(spark, target, {"v": F.lit(100)}, F.col("k") == 10)
+    row = read_committed(spark, target).filter(F.col("k") == 10).first()
+    assert row["v"] == 100 and row["dbl"] == 200  # generated recomputed
