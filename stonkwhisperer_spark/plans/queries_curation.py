@@ -155,3 +155,110 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redactions"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-shaped importance resampling: select raw documents that look like a
+# target distribution using hashed n-gram bucket statistics (Xie et al.
+# 2023, "Data Selection for Language Models via Importance Resampling").
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 4096
+_DSIR_SEED = 4242
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_oracle() -> str:
+    from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp_sql
+
+    clean = clean_text_for_nlp_sql("text")
+    bucket = f"{portable_hash64_sql('tok', seed=_DSIR_SEED)} % {_DSIR_BUCKETS}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array({clean}, ' ')) AS tok
+      FROM documents
+    ),
+    tt AS (
+      SELECT doc_id, lang, {bucket} AS bucket FROM toks WHERE tok <> ''
+    ),
+    tgt AS (
+      SELECT bucket, count(*) AS c_t FROM tt WHERE lang = 'en' GROUP BY bucket
+    ),
+    rawd AS (SELECT bucket, count(*) AS c_r FROM tt GROUP BY bucket),
+    aff AS (
+      SELECT r.bucket,
+             ((COALESCE(t.c_t, 0) + 1) * {_DSIR_SCALE})
+               // (COALESCE(t.c_t, 0) + r.c_r + 2) AS a_q
+      FROM rawd r LEFT JOIN tgt t USING (bucket)
+    )
+    SELECT tt.doc_id,
+           tt.lang,
+           count(*) AS n_toks,
+           CAST(sum(a_q) AS BIGINT) AS score_q,
+           (2 * sum(a_q) >= CAST({_DSIR_SCALE} AS BIGINT) * count(*)) AS keep
+    FROM tt JOIN aff USING (bucket)
+    GROUP BY tt.doc_id, tt.lang
+    """
+
+
+@register("dsir_sample", oracle=_dsir_oracle())
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection: score every raw document by how much
+    its hashed-unigram bucket profile matches a target distribution
+    (here: the corpus's English documents standing in for the "looks
+    like Wikipedia" target), then keep the docs whose mean bucket
+    affinity clears 0.5. Per DSIR, features are token hashes into
+    ``_DSIR_BUCKETS`` buckets; unlike the paper's float log-likelihood
+    ratio, the per-bucket statistic is the INTEGER-EXACT smoothed
+    target share ``(c_t+1)*1e6 DIV (c_t+c_r+2)`` — monotone in the
+    likelihood ratio, and its per-doc sum is order-free so two engines
+    hash-match (a float log-sum cannot; see bigram_familiarity for the
+    same convention). On a cluster with no cross-engine oracle the
+    float log-ratio drops in unchanged.
+
+    Scale: two corpus passes. Pass 1 builds the bucket table — a
+    map-side-combinable count keyed on 4096 buckets, shuffling only
+    #buckets×#tasks partials. Pass 2 re-streams tokens and joins the
+    BROADCAST affinity table (4096 rows), then aggregates per doc_id —
+    hash-uniform, no hot keys, no UDF, codegen end to end. This is the
+    shape DSIR runs at: the Pile-sized raw pool is never materialized,
+    only streamed twice."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64, tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (portable_hash64("tok", seed=_DSIR_SEED) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    tgt = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    aff = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            f"((coalesce(c_t, 0) + 1) * {_DSIR_SCALE}) "
+            f"DIV (coalesce(c_t, 0) + c_r + 2)"
+        ).alias("a_q"),
+    )
+    return (
+        bucketed.join(F.broadcast(aff), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("a_q").alias("score_q"),
+            (
+                2 * F.sum("a_q")
+                >= F.lit(_DSIR_SCALE).cast("bigint") * F.count(F.lit(1))
+            ).alias("keep"),
+        )
+    )

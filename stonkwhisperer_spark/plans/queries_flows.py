@@ -2558,3 +2558,92 @@ def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, operation string, num_rows bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# txlog_clone_replay — DEEP CLONE under the value hash: the clone must
+# reproduce the source snapshot (files, DV masks, renames) byte-for-byte,
+# stay isolated from post-clone source mutations, and cost zero data I/O
+# (hardlinks, asserted on inodes in-query).
+# --------------------------------------------------------------------------
+@register(
+    "txlog_clone_replay",
+    oracle="""
+    SELECT doc_id, source AS origin, 'clone' AS side FROM documents
+    WHERE doc_id < 60 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id, source AS origin, 'source' AS side FROM documents
+    WHERE (doc_id < 60 AND doc_id % 5 <> 0)
+       OR (doc_id >= 60 AND doc_id < 80)
+    """,
+)
+def q_txlog_clone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE end to end: seed doc_id<60 in two commits, mask the
+    doc_id%5==0 rows with a deletion-vector delete, RENAME COLUMN
+    source→origin, then clone at head. The clone must read back the
+    masked + renamed snapshot exactly; its data files must be
+    HARDLINKS of the source's (same inode — zero data bytes moved,
+    asserted); appending doc_id 60..79 to the SOURCE afterwards must
+    leave the clone untouched (isolation both directions, asserted by
+    re-reading). The DuckDB twin recomputes both final states from
+    seed: the clone = the pre-append view, the source = the appended
+    view, both under the renamed column.
+
+    Scale: CLONE is O(#files) metadata + link calls with no Spark job
+    and no data I/O — the table-format answer to "give me a
+    consistent copy to experiment on" that a 100 TB parquet re-write
+    cannot afford."""
+    import os as _os
+
+    from stonkwhisperer_spark.sinks.writers import (
+        clone_table,
+        committed_files,
+        delete_where_dv,
+        merge_append,
+        read_committed,
+        rename_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_clone_")
+    try:
+        src = f"{scratch}/src"
+        dst = f"{scratch}/dst"
+        merge_append(spark, src, docs.filter(F.col("doc_id") < 30), ["doc_id"])
+        merge_append(
+            spark, src, docs.filter(F.col("doc_id").between(30, 59)), ["doc_id"]
+        )
+        delete_where_dv(spark, src, F.col("doc_id") % 5 == 0)
+        rename_column(src, "source", "origin")
+        clone_table(src, dst)
+        for f in committed_files(dst):
+            a = _os.stat(_os.path.join(src, f))
+            b = _os.stat(_os.path.join(dst, f))
+            if (a.st_ino, a.st_dev) != (b.st_ino, b.st_dev):
+                raise AssertionError(f"clone copied {f} instead of linking")
+        merge_append(
+            spark,
+            src,
+            docs.filter(F.col("doc_id").between(60, 79)).withColumnRenamed(
+                "source", "origin"
+            ),
+            ["doc_id"],
+        )
+        clone_rows = (
+            read_committed(spark, dst).select("doc_id", "origin").collect()
+        )
+        if len(clone_rows) != 48:  # 60 seeded - 12 masked
+            raise AssertionError(
+                f"clone drifted after source append: {len(clone_rows)} rows"
+            )
+        src_rows = (
+            read_committed(spark, src).select("doc_id", "origin").collect()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    out = [(r.doc_id, r.origin, "clone") for r in clone_rows] + [
+        (r.doc_id, r.origin, "source") for r in src_rows
+    ]
+    return spark.createDataFrame(
+        out, "doc_id bigint, origin string, side string"
+    )

@@ -906,3 +906,260 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", word_spans(F.col("text"), 16).alias("spans"))
     )
     return span_dedup(docs, id_col="doc_id", spans_col="spans")
+
+
+# --------------------------------------------------------------------------
+# Integer-exact k-means over embeddings + SemDeDup within-cluster pruning.
+# Embedding components are quantized to 2^20 fixed-point BIGINTs at the
+# scan, so every distance / dot product / centroid mean is an exact
+# integer both engines compute identically — the same hash-portability
+# convention as bigram_familiarity (float sums are summation-order-
+# dependent; integer sums are not). On a cluster without a cross-engine
+# oracle the float arithmetic (or MLlib KMeans) drops in unchanged.
+# --------------------------------------------------------------------------
+_KM_K = 8           # clusters; seeds = vec_id 0..7
+_KM_DIM = 64        # embedding dimensionality (fixed in the corpus)
+_KM_Q = 1_048_576   # 2^20 fixed-point scale: float32 * 2^20 is exact
+
+_KM_QVEC_SQL = (
+    "list_transform(embedding, "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))"
+)
+
+
+def _km_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+_KM_CTES = f"""
+    q AS (SELECT vec_id, {_KM_QVEC_SQL} AS qv FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+    a1 AS (
+      SELECT q.vec_id,
+             min({_km_dist_sql('q.qv', 'c0.cv')} * {_KM_K} + c0.cid)
+               % {_KM_K} AS cluster
+      FROM q CROSS JOIN c0 GROUP BY q.vec_id
+    ),
+    dims AS (
+      SELECT a1.cluster, t.i,
+             CAST(sum(q.qv[t.i]) // count(*) AS BIGINT) AS cval
+      FROM a1 JOIN q USING (vec_id), unnest(range(1, {_KM_DIM + 1})) AS t(i)
+      GROUP BY a1.cluster, t.i
+    ),
+    c1 AS (
+      SELECT cluster AS cid, list(cval ORDER BY i) AS cv
+      FROM dims GROUP BY cluster
+    ),
+    a2 AS (
+      SELECT q.vec_id,
+             min({_km_dist_sql('q.qv', 'c1.cv')} * {_KM_K} + c1.cid) AS key
+      FROM q CROSS JOIN c1 GROUP BY q.vec_id
+    )
+"""
+
+
+def _km_quantize() -> F.Column:
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(_KM_Q))),
+    )
+
+
+def _km_dist(a: F.Column | str, b: F.Column | str) -> F.Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _km_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, key) with key = min over centroids of dist*K + cid —
+    the integer argmin encoding (cid < K), deterministic under ties.
+    The centroid side is K rows → broadcast; the pass over the corpus
+    is map-only (partial min per task), one hash shuffle on vec_id."""
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            (_km_dist("qv", "cv") * _KM_K + F.col("cid")).alias("key"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("key").alias("key"))
+    )
+
+
+def _km_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(quantized embeddings, final-iteration assignment keys): one
+    Lloyd's refinement from the fixed seeds — assign → integer-mean
+    update → reassign."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.select("vec_id", _km_quantize().alias("qv"))
+    c0 = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = _km_assign(q, c0).select(
+        "vec_id", (F.col("key") % _KM_K).alias("cluster")
+    )
+    dims = (
+        a1.join(q, "vec_id")
+        .select("cluster", F.posexplode("qv").alias("i", "val"))
+        .groupBy("cluster", "i")
+        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
+    )
+    c1 = dims.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cv")
+    ).select(F.col("cluster").alias("cid"), "cv")
+    return q, _km_assign(q, c1)
+
+
+@register(
+    "semantic_clusters",
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT vec_id,
+           CAST(key % {_KM_K} AS BIGINT) AS cluster_id,
+           CAST(key // {_KM_K} AS BIGINT) AS dist_q
+    FROM a2
+    """,
+)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (K=8, seeds = the
+    first K vec_ids, one Lloyd's refinement) in integer-exact
+    arithmetic: assignment is an argmin of squared L2 distance over
+    broadcast centroids encoded as ``dist*K + cid`` (deterministic
+    tie-break on cid), the centroid update is a per-dimension integer
+    mean. The DuckDB twin replays both iterations; the hash covers
+    every document's final cluster and distance.
+
+    Scale: this is exactly MLlib KMeans' execution shape — centroids
+    broadcast (K×D values), each iteration one map-only pass with a
+    partial-aggregated argmin plus a K×D-sized update shuffle; the
+    corpus is streamed, never collected. MLlib itself isn't used here
+    only because its init is RNG-seeded per-partition (not
+    cross-engine reproducible); swap it in when no oracle gates the
+    result. Downstream: semantic_dedup prunes within these clusters
+    (SemDeDup), and the same assignment is the IVF coarse quantizer
+    (operators/similarity.py)."""
+    _, a2 = _km_frames(spark, sf_dir)
+    return a2.select(
+        "vec_id",
+        (F.col("key") % _KM_K).cast("bigint").alias("cluster_id"),
+        F.expr(f"key DIV {_KM_K}").cast("bigint").alias("dist_q"),
+    )
+
+
+_SD_Q = 1024      # coarser 2^10 scale: keeps cos² comparison in int64
+_SD_COS100 = 90   # keep threshold: cosine >= 0.90
+
+_SD_QVEC_SQL = (
+    "list_transform(embedding, "
+    f"x -> CAST(floor(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT))"
+)
+
+
+def _sd_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_KM_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_KM_CTES},
+    assign AS (SELECT vec_id, key % {_KM_K} AS cluster FROM a2),
+    s AS (SELECT vec_id, {_SD_QVEC_SQL} AS sv FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS kill_id
+      FROM assign a JOIN assign b ON a.cluster = b.cluster
+                                 AND a.vec_id < b.vec_id
+      JOIN s sa ON sa.vec_id = a.vec_id
+      JOIN s sb ON sb.vec_id = b.vec_id
+      WHERE {_sd_dot_sql('sa.sv', 'sb.sv')} > 0
+        AND 10000 * {_sd_dot_sql('sa.sv', 'sb.sv')}
+                  * {_sd_dot_sql('sa.sv', 'sb.sv')}
+            >= {_SD_COS100 * _SD_COS100}
+               * {_sd_dot_sql('sa.sv', 'sa.sv')}
+               * {_sd_dot_sql('sb.sv', 'sb.sv')}
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster_id,
+           vec_id NOT IN (SELECT kill_id FROM pairs) AS keep
+    FROM assign
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    pruning WITHIN k-means clusters — a document dies when an
+    earlier-id member of its own cluster has cosine similarity >= 0.9.
+    The cosine test is integer-exact: with 2^10 fixed-point vectors,
+    ``cos >= 0.9  <=>  dot > 0 and 10000*dot² >= 8100*|a|²*|b|²`` —
+    every term a bigint product two engines compute identically (the
+    coarser scale keeps dot² inside int64: dot <= 64*2^20 = 2^26,
+    squared 2^52).
+
+    Scale: the whole point of SemDeDup's clustering step — candidate
+    pairs are generated per CLUSTER, never corpus×corpus; with K
+    proportional to corpus size the per-cluster pair work stays
+    bounded, and the pair join shuffles on the cluster key. The
+    embedding-cosine variant of the dedup family (exact: dedup_keep_
+    first; lexical: near_dup_jaccard/minhash; semantic: this)."""
+    q, a2 = _km_frames(spark, sf_dir)
+    assign = a2.select("vec_id", (F.col("key") % _KM_K).alias("cluster"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    s = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(_SD_Q))),
+        ).alias("sv"),
+    )
+    sa = assign.join(s, "vec_id")
+    a = sa.select(
+        F.col("cluster"), F.col("vec_id").alias("keep_id"), F.col("sv").alias("sva")
+    )
+    b = sa.select(
+        F.col("cluster"), F.col("vec_id").alias("kill_id"), F.col("sv").alias("svb")
+    )
+    dot = F.aggregate(
+        F.zip_with("sva", "svb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.aggregate(
+        F.transform("sva", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    norm_b = F.aggregate(
+        F.transform("svb", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    kills = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("kill_id"))
+        .filter(
+            (dot > 0)
+            & (10000 * dot * dot >= _SD_COS100 * _SD_COS100 * norm_a * norm_b)
+        )
+        .select("kill_id")
+        .distinct()
+    )
+    return (
+        assign.join(kills, assign.vec_id == kills.kill_id, "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster_id"),
+            F.col("kill_id").isNull().alias("keep"),
+        )
+    )

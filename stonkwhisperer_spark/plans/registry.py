@@ -71,6 +71,12 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
+    # -- new in round 6 (third wave): DSIR importance resampling,
+    #    integer-exact k-means + SemDeDup, txlog DEEP CLONE --
+    "dsir_sample",
+    "semantic_clusters",
+    "semantic_dedup",
+    "txlog_clone_replay",
     # -- new in round 6 (second half): deletion vectors, column
     #    mapping, generated columns, bloom index, log checkpointing,
     #    type widening, replaceWhere, 3-clause MERGE, CDC replication

@@ -1311,6 +1311,7 @@ def _try_commit(
     generated_add: dict[str, str] | None = None,
     generated_drop: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_index: dict[str, dict] | None = None,
     txn: dict | None = None,
     restore_of: int | None = None,
     constraints_add: dict[str, str] | None = None,
@@ -1335,8 +1336,8 @@ def _try_commit(
             for field in body_schema.get("fields", []):
                 field["name"] = colmap.get(field["name"], field["name"])
             schema = json.dumps(body_schema)
-    blooms: dict = {}
-    if add:
+    blooms: dict = dict(bloom_index or {})
+    if add and not blooms:
         # Bloom-index the committed files when the table declares index
         # columns — one pyarrow column read per (file, col), O(batch).
         # Computed BEFORE the CAS open (reading the log after creating
@@ -2217,6 +2218,137 @@ def restore(
     raise RuntimeError(
         f"restore lost the commit race {max_retries} times at {target_path}"
     )
+
+
+def clone_table(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Delta ``CREATE TABLE dst DEEP CLONE src [VERSION AS OF v]``: an
+    independent table whose initial state is the source snapshot. Data
+    and deletion-vector files are HARDLINKED into the destination
+    (``os.link`` — zero bytes copied on one filesystem; cross-device
+    falls back to a copy), which is safe because committed files are
+    immutable by construction: every writer stages NEW uuid-named
+    parts, so neither table can ever see the other's mutations, and a
+    VACUUM on one side merely unlinks its own name while the inode
+    lives on for the other. On S3 the same protocol is a server-side
+    copy — the manifest-level mechanics are identical.
+
+    Everything the snapshot's logical view depends on is carried: the
+    live file list, zone maps, per-file bloom filters (not rebuilt —
+    linked files keep their indexes), the merged physical schema, the
+    deletion-vector state (as a reset entry), CHECK constraints,
+    generated columns, bloom index columns, and the column-mapping
+    state (net renames and drops re-emitted as metadata commits). The
+    clone's HISTORY starts fresh at version 1 — time travel inside the
+    clone reaches only post-clone states, exactly Delta's CLONE
+    contract — and the source's vacuum horizon does not carry (every
+    linked file is live at the cloned snapshot).
+
+    Cost at 100 TB: O(#files) driver-side metadata + link calls, zero
+    data I/O, no Spark job. Returns the clone's head version.
+
+    Reference parity: the reference snapshots tables by re-writing
+    parquet per ingestion date (load_to_s3.py:16-27); CLONE is the
+    table-format-native upgrade of that snapshot step."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_as_of(src_path, timestamp_ms)
+    all_commits = _commits(src_path)
+    if not all_commits:
+        raise ValueError(f"no commits at {src_path}")
+    if version is not None and version < _vacuum_cutoff(all_commits):
+        raise ValueError(
+            f"version {version} is below the vacuum retention horizon "
+            f"({_vacuum_cutoff(all_commits)}) at {src_path} — its files "
+            "may be reclaimed"
+        )
+    commits = [
+        c for c in all_commits if version is None or c["version"] <= version
+    ]
+    if not commits:
+        raise ValueError(
+            f"version {version} predates the first commit at {src_path}"
+        )
+    if _commits(dst_path):
+        raise ValueError(
+            f"clone destination {dst_path} already has a transaction log"
+        )
+    if os.path.isdir(dst_path) and _data_files(dst_path):
+        raise ValueError(
+            f"clone destination {dst_path} already contains data files"
+        )
+    files = _files_from(commits)
+    fset = set(files)
+    dv_state = {
+        f: list(dvs) for f, dvs in _dv_from(commits).items() if f in fset and dvs
+    }
+    dv_files = sorted({d for dvs in dv_state.values() for d in dvs})
+    os.makedirs(dst_path, exist_ok=True)
+    for rel in [*files, *dv_files]:
+        dst_f = os.path.join(dst_path, rel)
+        os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+        try:
+            os.link(os.path.join(src_path, rel), dst_f)
+        except OSError:  # cross-device or FS without hardlinks
+            shutil.copy2(os.path.join(src_path, rel), dst_f)
+    struct = _schema_from(commits)
+    stats = {f: s for f, s in _stats_from(commits).items() if f in fset}
+    blooms = {f: b for f, b in _bloom_from(commits).items() if f in fset}
+    if not _try_commit(
+        dst_path,
+        1,
+        files,
+        0,
+        stats=stats or None,
+        schema=json.dumps(struct.jsonValue()) if struct is not None else None,
+        dv={"reset": dv_state} if dv_state else None,
+        bloom_index=blooms or None,
+        bloom_cols=_bloom_cols_from(commits) or None,
+        constraints_add=_constraints_from(commits) or None,
+        generated_add=_generated_from(commits) or None,
+        op="CLONE",
+        commits=[],
+    ):
+        raise RuntimeError(
+            f"clone destination {dst_path} committed concurrently"
+        )
+    v = 1
+    # Column-mapping state: the NET rename per mapped column plus the
+    # original drop entries, as metadata-only commits after the base —
+    # replaying them in the clone reproduces the source's logical view
+    # and its retired-name guards exactly.
+    for logical, physical in sorted(_colmap_from(commits).items()):
+        if logical == physical:
+            continue
+        v += 1
+        if not _try_commit(
+            dst_path,
+            v,
+            [],
+            0,
+            rename={"from": physical, "to": logical},
+            op="CLONE",
+            commits=[],
+        ):
+            raise RuntimeError(
+                f"clone destination {dst_path} committed concurrently"
+            )
+    for c in commits:
+        d = c.get("drop_col")
+        if d:
+            v += 1
+            if not _try_commit(
+                dst_path, v, [], 0, drop_col=dict(d), op="CLONE", commits=[]
+            ):
+                raise RuntimeError(
+                    f"clone destination {dst_path} committed concurrently"
+                )
+    return v
 
 
 def last_txn_version(target_path: str, app_id: str) -> int | None:

@@ -1849,3 +1849,77 @@ def test_update_recomputes_generated_columns(spark, tmp_path):
     update_where(spark, target, {"v": F.lit(100)}, F.col("k") == 10)
     row = read_committed(spark, target).filter(F.col("k") == 10).first()
     assert row["v"] == 100 and row["dbl"] == 200  # generated recomputed
+
+
+# ---------------------------------------------------------------------------
+# DEEP CLONE (clone_table): independence, version travel, metadata carry.
+# ---------------------------------------------------------------------------
+def test_clone_at_version_and_isolation(spark, tmp_path):
+    from stonkwhisperer_spark.sinks.writers import (
+        clone_table,
+        delete_where,
+        merge_append,
+        read_committed,
+        vacuum,
+    )
+
+    src, dst1, dst2 = (str(tmp_path / d) for d in ("src", "v1", "head"))
+    merge_append(spark, src, _articles(spark), ["url"])  # v1: 20 rows
+    merge_append(spark, src, _articles(spark, n=10, offset=20), ["url"])  # v2
+    clone_table(src, dst1, version=1)
+    clone_table(src, dst2)
+    assert read_committed(spark, dst1).count() == 20
+    assert read_committed(spark, dst2).count() == 30
+    # Clone history is fresh: version travel inside the clone reaches
+    # only its own commits.
+    assert read_committed(spark, dst2, version=1).count() == 30
+    # Mutating the source (delete + vacuum reclaiming the old files)
+    # must not disturb either clone: hardlinked inodes survive the
+    # source-side unlink.
+    delete_where(spark, src, F.col("url").isNotNull())
+    vacuum(src, retain_versions=0)
+    assert read_committed(spark, dst1).count() == 20
+    assert read_committed(spark, dst2).count() == 30
+    # And mutating a clone must not disturb the source's view.
+    merge_append(spark, dst1, _articles(spark, n=5, offset=100), ["url"])
+    assert read_committed(spark, dst1).count() == 25
+    assert read_committed(spark, src) is None  # fully deleted above
+
+
+def test_clone_refuses_nonempty_destination(spark, tmp_path):
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import clone_table, merge_append
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge_append(spark, src, _articles(spark), ["url"])
+    clone_table(src, dst)
+    with pytest.raises(ValueError, match="already has a transaction log"):
+        clone_table(src, dst)
+
+
+def test_clone_carries_constraints_and_dv(spark, tmp_path):
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        add_constraint,
+        clone_table,
+        delete_where_dv,
+        merge_append,
+        read_committed,
+        table_constraints,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge_append(spark, src, _articles(spark), ["url"])
+    add_constraint(spark, src, "has_title", "title IS NOT NULL")
+    delete_where_dv(spark, src, F.col("url") == "https://ex.com/3")
+    clone_table(src, dst)
+    assert read_committed(spark, dst).count() == 19  # DV mask carried
+    assert table_constraints(dst) == {"has_title": "title IS NOT NULL"}
+    bad = spark.range(1).select(
+        F.lit("https://ex.com/x").alias("url"),
+        F.lit(None).cast("string").alias("title"),
+    )
+    with pytest.raises(ValueError, match="has_title"):
+        merge_append(spark, dst, bad, ["url"])
