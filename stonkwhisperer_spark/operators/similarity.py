@@ -45,6 +45,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled_int(a: str, b: str, dim: int) -> Column:
+    """Σ a[i]·b[i] over BIGINT-element arrays as one codegen'd literal-
+    indexed expression — integer addition is associative, so the result
+    is EXACT and summation-order-free (the hash-portability requirement
+    of the fixed-point similarity queries; see queries_llm.py
+    semantic_dedup). Built as a single F.expr string: one py4j call."""
+    terms = " + ".join(
+        f"(element_at({a}, {d + 1}) * element_at({b}, {d + 1}))"
+        for d in range(dim)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
+def sqdist_unrolled_int(a: str, b: str, dim: int) -> Column:
+    """Σ (a[i]-b[i])² over BIGINT-element arrays, codegen'd and exact
+    (see dot_unrolled_int) — the k-means assignment kernel."""
+    terms = " + ".join(
+        f"((element_at({a}, {d + 1}) - element_at({b}, {d + 1}))"
+        f" * (element_at({a}, {d + 1}) - element_at({b}, {d + 1})))"
+        for d in range(dim)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+
+
 def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ a[i]·b[i] as a literal-indexed expression tree: stays inside
     whole-stage codegen (no interpreted array lambdas) — the throughput

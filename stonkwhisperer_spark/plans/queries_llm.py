@@ -968,14 +968,12 @@ def _km_quantize() -> F.Column:
     )
 
 
-def _km_dist(a: F.Column | str, b: F.Column | str) -> F.Column:
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+def _km_dist(a: str, b: str) -> F.Column:
+    # Codegen'd unrolled integer kernel — the interpreted zip_with/
+    # aggregate route is ~4x slower per evaluation at dim 64.
+    from stonkwhisperer_spark.operators.similarity import sqdist_unrolled_int
+
+    return sqdist_unrolled_int(a, b, _KM_DIM)
 
 
 def _km_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -1113,44 +1111,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, and the pair join shuffles on the cluster key. The
     embedding-cosine variant of the dedup family (exact: dedup_keep_
     first; lexical: near_dup_jaccard/minhash; semantic: this)."""
+    from stonkwhisperer_spark.operators.similarity import dot_unrolled_int
+
     q, a2 = _km_frames(spark, sf_dir)
     assign = a2.select("vec_id", (F.col("key") % _KM_K).alias("cluster"))
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # Norms are per-VECTOR, not per-pair: compute each once here (one
+    # codegen'd pass over n rows) instead of twice per candidate pair.
     s = emb.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
             lambda x: F.floor(x.cast("double") * F.lit(float(_SD_Q))),
         ).alias("sv"),
-    )
+    ).withColumn("nrm", dot_unrolled_int("sv", "sv", _KM_DIM))
     sa = assign.join(s, "vec_id")
     a = sa.select(
-        F.col("cluster"), F.col("vec_id").alias("keep_id"), F.col("sv").alias("sva")
+        F.col("cluster"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("sv").alias("sva"),
+        F.col("nrm").alias("na"),
     )
     b = sa.select(
-        F.col("cluster"), F.col("vec_id").alias("kill_id"), F.col("sv").alias("svb")
-    )
-    dot = F.aggregate(
-        F.zip_with("sva", "svb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    norm_a = F.aggregate(
-        F.transform("sva", lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    norm_b = F.aggregate(
-        F.transform("svb", lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+        F.col("cluster"),
+        F.col("vec_id").alias("kill_id"),
+        F.col("sv").alias("svb"),
+        F.col("nrm").alias("nb"),
     )
     kills = (
         a.join(b, "cluster")
         .filter(F.col("keep_id") < F.col("kill_id"))
+        .withColumn("_dot", dot_unrolled_int("sva", "svb", _KM_DIM))
         .filter(
-            (dot > 0)
-            & (10000 * dot * dot >= _SD_COS100 * _SD_COS100 * norm_a * norm_b)
+            (F.col("_dot") > 0)
+            & (
+                10000 * F.col("_dot") * F.col("_dot")
+                >= _SD_COS100 * _SD_COS100 * F.col("na") * F.col("nb")
+            )
         )
         .select("kill_id")
         .distinct()
