@@ -2647,3 +2647,135 @@ def q_txlog_clone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "doc_id bigint, origin string, side string"
     )
+
+
+# --------------------------------------------------------------------------
+# txlog_incremental_agg — incremental materialized-view maintenance from
+# the typed CDC feed: the aggregate is advanced by O(changes) algebra
+# (insert/postimage add, delete/preimage subtract), never recomputed from
+# the table, and must equal the from-scratch recompute exactly.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_incremental_agg",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id BETWEEN 150 AND 219
+                  THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id < 220
+    ),
+    after_del AS (SELECT * FROM base WHERE doc_id % 10 <> 3),
+    final AS (
+      SELECT source,
+             CASE WHEN doc_id % 10 = 4 THEN n_chars * 2 ELSE n_chars END
+               AS n_chars
+      FROM after_del
+    )
+    SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM final GROUP BY source
+    """,
+)
+def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the typed change
+    feed (the Delta Live Tables / materialized-view pattern): snapshot
+    a per-source (count, sum) aggregate at the seed version, then push
+    the table through a MERGE upsert (updates + inserts), a DELETE, and
+    an UPDATE — and advance the aggregate using ONLY ``table_changes``:
+    insert/update_postimage rows add, delete/update_preimage rows
+    subtract. Counts and sums are self-inverting under this signed
+    algebra, so the maintained view must equal the from-scratch
+    recompute EXACTLY — asserted in-query with a two-sided exceptAll
+    before returning. The DuckDB twin replays the same mutation script
+    against the seed relation.
+
+    Scale: this is why the CDC feed exists — maintaining a dashboard
+    aggregate over a 100 TB table costs O(rows changed since the last
+    refresh) (each commit's added/change files only, per table_changes)
+    plus a keyed merge into a view that is #groups-sized; the
+    from-scratch recompute here is only the test's ground truth. All
+    algebraic aggregates (sum/count/avg) maintain this way; min/max
+    need the monotonic-insert case or a recompute fallback."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        table_changes,
+        update_where,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_inc_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 200), ["doc_id"])
+        v_seed = _committed_version(target)
+        base_agg = (
+            read_committed(spark, target)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)  # pin the seed-version snapshot
+        )
+        merge_upsert(
+            spark,
+            target,
+            docs.filter(F.col("doc_id").between(150, 219)).withColumn(
+                "n_chars", F.col("n_chars") + 1000
+            ),
+            ["doc_id"],
+        )
+        delete_where(spark, target, F.col("doc_id") % 10 == 3)
+        update_where(
+            spark,
+            target,
+            {"n_chars": F.col("n_chars") * 2},
+            F.col("doc_id") % 10 == 4,
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta_agg = (
+            table_changes(spark, target, from_version=v_seed)
+            .groupBy("source")
+            .agg(
+                F.sum(sign).alias("cnt"),
+                F.sum(sign * F.col("n_chars")).alias("sum_chars"),
+            )
+        )
+        view = (
+            base_agg.unionByName(delta_agg)
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        recomputed = (
+            read_committed(spark, target)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        drift = (
+            view.exceptAll(recomputed).count()
+            + recomputed.exceptAll(view).count()
+        )
+        if drift:
+            raise AssertionError(
+                f"incremental view drifted from recompute by {drift} rows"
+            )
+        rows = view.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, cnt bigint, sum_chars bigint"
+    )

@@ -1114,7 +1114,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stonkwhisperer_spark.operators.similarity import dot_unrolled_int
 
     q, a2 = _km_frames(spark, sf_dir)
-    assign = a2.select("vec_id", (F.col("key") % _KM_K).alias("cluster"))
+    # The assignment feeds BOTH pair sides and the final projection —
+    # left lazy, the whole two-iteration k-means sub-DAG would execute
+    # three times. Materialize it once: n×2 bigints (localCheckpoint;
+    # at cluster scale this is the persisted assignment table every
+    # IVF/SemDeDup pipeline writes anyway).
+    assign = (
+        a2.select("vec_id", (F.col("key") % _KM_K).alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     # Norms are per-VECTOR, not per-pair: compute each once here (one
     # codegen'd pass over n rows) instead of twice per candidate pair.

@@ -77,6 +77,7 @@ _GATE_ORDER: list[str] = [
     "semantic_clusters",
     "semantic_dedup",
     "txlog_clone_replay",
+    "txlog_incremental_agg",
     # -- new in round 6 (second half): deletion vectors, column
     #    mapping, generated columns, bloom index, log checkpointing,
     #    type widening, replaceWhere, 3-clause MERGE, CDC replication
