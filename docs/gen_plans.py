@@ -37,6 +37,9 @@ NOTES = {
     "sq8_topk_embeddings": "SQ8 ANN: quantize+dequantize+dot is one 64-term codegen projection per pair (no UDF, no interpreted lambdas); the 8 queries broadcast; one per-query top-k window. The candidate side reads 1 byte/dim when codes are materialized.",
     "bigram_familiarity": "Two bounded shuffles: posexplode+lead keyed on doc_id (sequence pairing stays in its partition group), then the bigram count/join keyed on (w1,w2) — vocabulary-sized, uniform; all counts are integer partials.",
     "doc_chunks": "Sliding-window chunking: sequence/slice/array_join/explode in one map-only codegen projection — zero exchanges; output is corpus x (1 + overlap/stride).",
+    "dsir_sample": "DSIR selection: pass 1 is a map-side-combinable count keyed on 4096 hash buckets; pass 2 re-streams tokens against the BROADCAST affinity table (4096 rows) and aggregates per doc — the raw pool is streamed twice, never materialized.",
+    "semantic_clusters": "Integer k-means: centroids are K-row broadcasts into a map-side argmin (partial-aggregated min over the dist*K+cid encoding); the update shuffle carries K x D integer partials; the 64-dim distance kernel is ONE codegen'd literal-indexed expression, no interpreted lambdas.",
+    "semantic_dedup": "SemDeDup: candidate pairs generated per CLUSTER (join on the assignment key, never corpus x corpus); per-vector norms computed once before the pair join; dot and the integer cos^2 test are codegen'd unrolled expressions.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")
