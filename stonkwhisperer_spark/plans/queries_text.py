@@ -1035,3 +1035,127 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 BPE merge learning — the tokenizer-training step of an LLM data
+# pipeline: learn the first 3 byte-pair merges from the corpus character
+# stream, each step counting adjacent unit pairs corpus-wide, picking the
+# most frequent (lexicographic tie-break), and applying it before the
+# next count. Everything stays in-plan: the learned pair flows into the
+# apply step as a 1-row broadcast, never a collect round trip.
+# --------------------------------------------------------------------------
+_BPE_STEPS = 3
+
+
+def _bpe_oracle() -> str:
+    w0 = f"""
+      SELECT array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS seq
+      FROM (
+        SELECT unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    """
+    ctes = [f"w0 AS ({w0})"]
+    selects = []
+    for s in range(1, _BPE_STEPS + 1):
+        ctes.append(f"""
+        p{s} AS (
+          SELECT u AS pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                          j -> a[j] || ' ' || a[j + 1])) AS u
+            FROM (SELECT string_split(seq, ' ') AS a FROM w{s - 1})
+          ) GROUP BY u
+        ),
+        m{s} AS (
+          SELECT pair, cnt FROM p{s}
+          WHERE cnt = (SELECT max(cnt) FROM p{s})
+          ORDER BY pair LIMIT 1
+        )""")
+        if s < _BPE_STEPS:
+            ctes.append(f"""
+        w{s} AS (
+          SELECT replace(seq, (SELECT pair FROM m{s}),
+                         replace((SELECT pair FROM m{s}), ' ', '')) AS seq
+          FROM w{s - 1}
+        )""")
+        selects.append(
+            f"SELECT {s} AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m{s}"
+        )
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+@register("bpe_merges", oracle=_bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merges: split every cleaned word
+    occurrence into characters, count adjacent unit pairs corpus-wide,
+    merge the most frequent pair (smallest pair on ties), re-segment,
+    repeat. Step k's counts depend on step k-1's APPLICATION, so the
+    hash gates the whole learn→apply loop, not just one counting pass.
+    The DuckDB twin replays the same three rounds.
+
+    Scale: each round is (a) a map-only pair extraction (literal-index
+    transform over the unit array — no window, no shuffle) feeding one
+    partial-aggregated count keyed on the pair (vocabulary²-bounded,
+    hash-uniform), and (b) a map-only replace() with the learned pair
+    attached as a 1-ROW BROADCAST — the argmax never leaves the plan
+    (max-count scalar + min-pair pick, the same in-plan-threshold
+    pattern as idle_rich_customers). The corpus is streamed once per
+    merge; production BPE trainers batch thousands of merges per pass
+    with pair-delta bookkeeping, but the per-merge dataflow is exactly
+    this shape."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            F.expr(
+                "array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)), ' ')"
+            ).alias("seq")
+        )
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        pairs = F.expr(
+            "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
+            "j -> concat(element_at(a, j), ' ', element_at(a, j + 1))) "
+            "ELSE array() END"
+        )
+        return (
+            wdf.select(F.split("seq", " ").alias("a"))
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def top_pair(counts: DataFrame) -> DataFrame:
+        mx = counts.agg(F.max("cnt").alias("_mx"))
+        return (
+            counts.join(F.broadcast(mx), F.col("cnt") == F.col("_mx"))
+            .groupBy()
+            .agg(F.min("pair").alias("pair"), F.max("cnt").alias("cnt"))
+        )
+
+    out = None
+    wdf = words
+    for s in range(1, _BPE_STEPS + 1):
+        best = top_pair(pair_counts(wdf)).localCheckpoint(eager=True)
+        row = best.select(F.lit(s).cast("int").alias("step"), "pair", "cnt")
+        out = row if out is None else out.unionByName(row)
+        if s < _BPE_STEPS:
+            wdf = (
+                wdf.crossJoin(F.broadcast(best.select("pair")))
+                .select(
+                    F.expr(
+                        "replace(seq, pair, replace(pair, ' ', ''))"
+                    ).alias("seq")
+                )
+            )
+    return out
