@@ -29,6 +29,8 @@ BNLJ_ALLOWED = {
     "click_buy_reconcile": 0,
     "temperature_mixture": 1,     # 1-row MIN(lang count) into the rate table
     "sq8_topk_embeddings": 1,     # |Q|-row query set broadcast (ADC scan)
+    "semantic_clusters": 2,       # K-row centroid broadcast, one per
+                                  # Lloyd's assignment pass (K=8)
 }
 
 
