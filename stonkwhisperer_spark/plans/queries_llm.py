@@ -1113,7 +1113,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first; lexical: near_dup_jaccard/minhash; semantic: this)."""
     from stonkwhisperer_spark.operators.similarity import dot_unrolled_int
 
-    q, a2 = _km_frames(spark, sf_dir)
+    _, a2 = _km_frames(spark, sf_dir)
     # The assignment feeds BOTH pair sides and the final projection —
     # left lazy, the whole two-iteration k-means sub-DAG would execute
     # three times. Materialize it once: n×2 bigints (localCheckpoint;
