@@ -80,6 +80,92 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08): identical output to :func:`jaccard_pairs`
+    at threshold = num/den, but candidate pairs are generated only
+    through each document's PREFIX — its ``n - ceil(t·n) + 1`` rarest
+    shingles under a total global order (document frequency, then
+    shingle text). The prefix-filter theorem guarantees two documents
+    with Jaccard ≥ t share at least one prefix shingle, so the pruning
+    is LOSSLESS; candidates are then verified with a full intersection
+    count.
+
+    The threshold arrives as an integer fraction so the prefix length
+    is computed in EXACT integer arithmetic — ``ceil(0.8 * 5)`` in
+    doubles is 5 (0.8 is not representable), which would make the
+    prefix empty and silently drop true pairs.
+
+    Scale: this is the exact-join answer to the inverted-index hot-key
+    problem — the self-join cost drops from Σ df(shingle)² over ALL
+    shingles to Σ df_prefix(shingle)² over prefix occurrences only
+    (rare shingles by construction, so hot keys are structurally
+    excluded rather than capped); verification touches only candidate
+    pairs. Three hash-uniform shuffles (df count, prefix rank window
+    on id, candidate/verify joins), no UDFs."""
+    from pyspark.sql.window import Window
+
+    dfreq = postings.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix = (
+        postings.join(dfreq, "shingle")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        # prefix_len = n - ceil(t*n) + 1, exact:
+        # ceil(num*n/den) = (num*n + den - 1) DIV den
+        .filter(
+            F.col("_rk")
+            <= F.col("n")
+            - F.expr(
+                f"(({threshold_num} * n + {threshold_den - 1}) "
+                f"DIV {threshold_den})"
+            )
+            + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = postings.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = postings.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.col("inter") * threshold_den
+            >= threshold_num * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
     """MinHash signature (array of n_hashes bigints) of a shingle array:
     sig[i] = min over shingles of hash_i(shingle). Empty shingle set →

@@ -1168,3 +1168,40 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kill_id").isNull().alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (PPJoin-style): identical answers to
+# near_dup_jaccard — same oracle — through a lossless candidate pruning
+# that removes the inverted-index hot-key problem structurally.
+# --------------------------------------------------------------------------
+@register(
+    "near_dup_jaccard_prefix",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM scored_pairs WHERE jaccard >= 0.8
+    """,
+)
+def q_near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (threshold 0.8) via PREFIX FILTERING
+    (PPJoin family, Xiao et al. WWW'08) — the SAME relation as
+    near_dup_jaccard under the SAME oracle, proving the pruning is
+    lossless: candidates are generated only through each doc's
+    ``n - ceil(0.8n) + 1`` globally-rarest shingles, then verified with
+    a full intersection count. The threshold is threaded as the exact
+    fraction 4/5 (prefix lengths and the final test run in integer
+    arithmetic — ``ceil(0.8*5)`` in doubles is 5, which would empty
+    the prefix and silently drop true pairs).
+
+    Scale: the self-join cost falls from Σ df² over all shingles to
+    Σ df² over PREFIX occurrences — boilerplate shingles (the hot
+    keys a doc-frequency cap must truncate in the plain index) are
+    structurally excluded because a frequent shingle is in almost no
+    one's rarest-20%; verification is O(candidates), and every shuffle
+    key is hash-uniform. The exact-dedup scale path when MinHash's
+    approximation is not acceptable."""
+    from stonkwhisperer_spark.operators.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _postings(spark, sf_dir), threshold_num=4, threshold_den=5
+    )

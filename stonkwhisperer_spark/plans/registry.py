@@ -79,6 +79,7 @@ _GATE_ORDER: list[str] = [
     "txlog_clone_replay",
     "txlog_incremental_agg",
     "bpe_merges",
+    "near_dup_jaccard_prefix",
     # -- new in round 6 (second half): deletion vectors, column
     #    mapping, generated columns, bloom index, log checkpointing,
     #    type widening, replaceWhere, 3-clause MERGE, CDC replication
