@@ -40,6 +40,7 @@ NOTES = {
     "dsir_sample": "DSIR selection: pass 1 is a map-side-combinable count keyed on 4096 hash buckets; pass 2 re-streams tokens against the BROADCAST affinity table (4096 rows) and aggregates per doc — the raw pool is streamed twice, never materialized.",
     "semantic_clusters": "Integer k-means: centroids are K-row broadcasts into a map-side argmin (partial-aggregated min over the dist*K+cid encoding); the update shuffle carries K x D integer partials; the 64-dim distance kernel is ONE codegen'd literal-indexed expression, no interpreted lambdas.",
     "semantic_dedup": "SemDeDup: candidate pairs generated per CLUSTER (join on the assignment key, never corpus x corpus); per-vector norms computed once before the pair join; dot and the integer cos^2 test are codegen'd unrolled expressions.",
+    "near_dup_jaccard_prefix": "PPJoin-style exact join: the candidate self-join runs on PREFIX postings only (each doc's rarest n-ceil(0.8n)+1 shingles under the global df order), structurally excluding hot keys; verification joins full postings against the candidate set — O(candidates), hash-uniform shuffles throughout.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")
