@@ -1048,6 +1048,78 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 3
 
 
+def bpe_apply_merge_expr(seq: str, pair: str) -> str:
+    """SQL expression applying ONE learned BPE merge to a space-joined
+    unit sequence, as a left-to-right fold over the UNIT ARRAY — never a
+    raw substring replace (which can match across unit boundaries: after
+    merge 1 creates unit ``th``, a later pair ``h e`` would substring-match
+    the tail of ``th`` plus the separator, merging across units; see
+    tests/test_plans.py::test_bpe_merge_respects_unit_boundaries).
+
+    The fold keeps the accumulator as the space-joined merged prefix:
+    at each incoming unit ``u``, if the LAST accumulated unit equals the
+    pair's left element and ``u`` equals its right, the last unit is
+    replaced by the merged token (greedy non-overlapping left-to-right,
+    standard BPE application); otherwise ``u`` is appended. A merged
+    token can never re-match as the left element within the same pass
+    (``x||y`` != ``x``), so the single fold is exact.
+
+    ``seq`` and ``pair`` are SQL sub-expressions (column names or
+    scalars); ``pair`` is the space-joined two-unit merge, e.g. 'h e'.
+    Identical semantics in Spark and DuckDB modulo the fold builtin —
+    see _bpe_apply_merge_duck for the oracle twin.
+    """
+    last = f"element_at(split(acc, ' '), -1)"
+    return f"""
+      aggregate(
+        slice(split({seq}, ' '), 2, size(split({seq}, ' ')) - 1),
+        element_at(split({seq}, ' '), 1),
+        (acc, u) -> CASE
+          WHEN {last} = element_at(split({pair}, ' '), 1)
+               AND u = element_at(split({pair}, ' '), 2)
+          THEN CASE
+            WHEN length(acc) = length({last})
+            THEN replace({pair}, ' ', '')
+            ELSE concat(substring(acc, 1, length(acc) - length({last})),
+                        replace({pair}, ' ', ''))
+          END
+          ELSE concat(acc, ' ', u) END)
+    """
+
+
+def _bpe_apply_merge_duck(seq: str, px: str, py: str, pm: str) -> str:
+    """DuckDB twin of bpe_apply_merge_expr: same fold via list_reduce
+    (acc starts as the first unit, folds over the rest — identical to
+    Spark's slice+initial-value aggregate). ``px``/``py``/``pm`` are the
+    pair's left unit, right unit and merged token as plain column refs —
+    DuckDB 1.0 forbids subqueries inside lambdas, so callers cross-join
+    the 1-row merge CTE instead (the lambda captures its columns)."""
+    last = "list_extract(string_split(acc, ' '), -1)"
+    return f"""
+      list_reduce(
+        string_split({seq}, ' '),
+        (acc, u) -> CASE
+          WHEN {last} = {px} AND u = {py}
+          THEN CASE
+            WHEN length(acc) = length({last})
+            THEN {pm}
+            ELSE substr(acc, 1, length(acc) - length({last})) || {pm}
+          END
+          ELSE acc || ' ' || u END)
+    """
+
+
+def _bpe_merge_units_cte(s: int) -> str:
+    """CTE mm{s}: the step-s learned merge split into (px, py, pm)."""
+    return f"""
+        mm{s} AS (
+          SELECT list_extract(string_split(pair, ' '), 1) AS px,
+                 list_extract(string_split(pair, ' '), 2) AS py,
+                 replace(pair, ' ', '') AS pm
+          FROM m{s}
+        )"""
+
+
 def _bpe_oracle() -> str:
     w0 = f"""
       SELECT array_to_string(
@@ -1074,11 +1146,12 @@ def _bpe_oracle() -> str:
           ORDER BY pair LIMIT 1
         )""")
         if s < _BPE_STEPS:
+            apply = _bpe_apply_merge_duck("seq", "px", "py", "pm")
+            ctes.append(_bpe_merge_units_cte(s))
             ctes.append(f"""
         w{s} AS (
-          SELECT replace(seq, (SELECT pair FROM m{s}),
-                         replace((SELECT pair FROM m{s}), ' ', '')) AS seq
-          FROM w{s - 1}
+          SELECT {apply} AS seq
+          FROM w{s - 1}, mm{s}
         )""")
         selects.append(
             f"SELECT {s} AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m{s}"
@@ -1098,64 +1171,197 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is (a) a map-only pair extraction (literal-index
     transform over the unit array — no window, no shuffle) feeding one
     partial-aggregated count keyed on the pair (vocabulary²-bounded,
-    hash-uniform), and (b) a map-only replace() with the learned pair
-    attached as a 1-ROW BROADCAST — the argmax never leaves the plan
+    hash-uniform), and (b) a map-only unit-array fold (see
+    bpe_apply_merge_expr — boundary-exact, never a raw substring
+    replace) with the learned pair attached as a 1-ROW BROADCAST — the argmax never leaves the plan
     (max-count scalar + min-pair pick, the same in-plan-threshold
     pattern as idle_rich_customers). The corpus is streamed once per
     merge; production BPE trainers batch thousands of merges per pass
     with pair-delta bookkeeping, but the per-merge dataflow is exactly
     this shape."""
-    from stonkwhisperer_spark.functions.hashing import tokens_of
-    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
-
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    words = (
-        docs.select(
-            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .select(
-            F.expr(
-                "array_join(transform(sequence(1, length(w)), "
-                "i -> substring(w, i, 1)), ' ')"
-            ).alias("seq")
-        )
-    )
-
-    def pair_counts(wdf: DataFrame) -> DataFrame:
-        pairs = F.expr(
-            "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
-            "j -> concat(element_at(a, j), ' ', element_at(a, j + 1))) "
-            "ELSE array() END"
-        )
-        return (
-            wdf.select(F.split("seq", " ").alias("a"))
-            .select(F.explode(pairs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    def top_pair(counts: DataFrame) -> DataFrame:
-        mx = counts.agg(F.max("cnt").alias("_mx"))
-        return (
-            counts.join(F.broadcast(mx), F.col("cnt") == F.col("_mx"))
-            .groupBy()
-            .agg(F.min("pair").alias("pair"), F.max("cnt").alias("cnt"))
-        )
+    words = _bpe_char_seqs(docs).select("seq")
 
     out = None
     wdf = words
     for s in range(1, _BPE_STEPS + 1):
-        best = top_pair(pair_counts(wdf)).localCheckpoint(eager=True)
+        best = _bpe_top_pair(_bpe_pair_counts(wdf)).localCheckpoint(
+            eager=True
+        )
         row = best.select(F.lit(s).cast("int").alias("step"), "pair", "cnt")
         out = row if out is None else out.unionByName(row)
         if s < _BPE_STEPS:
-            wdf = (
-                wdf.crossJoin(F.broadcast(best.select("pair")))
-                .select(
-                    F.expr(
-                        "replace(seq, pair, replace(pair, ' ', ''))"
-                    ).alias("seq")
-                )
-            )
+            wdf = _bpe_apply(wdf, best)
     return out
+
+
+def _bpe_char_seqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, seq): one row per non-empty cleaned word occurrence, seq
+    the space-joined character units — the BPE base segmentation."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)), ' ')"
+            ).alias("seq"),
+        )
+    )
+
+
+def _bpe_pair_counts(wdf: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-unit pair counts: map-only literal-index
+    transform + one partial-aggregated count keyed on the pair."""
+    pairs = F.expr(
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
+        "j -> concat(element_at(a, j), ' ', element_at(a, j + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        wdf.select(F.split("seq", " ").alias("a"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_top_pair(counts: DataFrame) -> DataFrame:
+    """Argmax-by-count, min-pair tie-break, all in-plan (1-row result)."""
+    mx = counts.agg(F.max("cnt").alias("_mx"))
+    return (
+        counts.join(F.broadcast(mx), F.col("cnt") == F.col("_mx"))
+        .groupBy()
+        .agg(F.min("pair").alias("pair"), F.max("cnt").alias("cnt"))
+    )
+
+
+def _bpe_apply(wdf: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the learned 1-row merge to every sequence: 1-row broadcast
+    cross join + the boundary-exact unit-array fold, preserving any
+    extra columns (doc_id) on wdf."""
+    keep = [c for c in wdf.columns if c != "seq"]
+    return wdf.crossJoin(F.broadcast(best.select("pair"))).select(
+        *keep, F.expr(bpe_apply_merge_expr("seq", "pair")).alias("seq")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin for bpe_encode: replay the 3-round learn loop (same
+    CTEs as _bpe_oracle), then apply ALL learned merges to the doc-keyed
+    word sequences and tokenize."""
+    w0 = f"""
+      SELECT doc_id, array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS seq
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    """
+    ctes = [f"d0 AS ({w0})"]
+    for s in range(1, _BPE_STEPS + 1):
+        ctes.append(f"""
+        p{s} AS (
+          SELECT u AS pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                          j -> a[j] || ' ' || a[j + 1])) AS u
+            FROM (SELECT string_split(seq, ' ') AS a FROM d{s - 1})
+          ) GROUP BY u
+        ),
+        m{s} AS (
+          SELECT pair FROM p{s}
+          WHERE cnt = (SELECT max(cnt) FROM p{s})
+          ORDER BY pair LIMIT 1
+        )""")
+        ctes.append(_bpe_merge_units_cte(s))
+        apply = _bpe_apply_merge_duck("seq", "px", "py", "pm")
+        ctes.append(f"""
+        d{s} AS (
+          SELECT doc_id, {apply} AS seq FROM d{s - 1}, mm{s}
+        )""")
+    body = f"""
+        toks AS (
+          SELECT doc_id, unnest(string_split(seq, ' ')) AS token
+          FROM d{_BPE_STEPS}
+        ),
+        vocab AS (
+          SELECT token, count(*) AS vcnt FROM toks GROUP BY token
+        ),
+        ids AS (
+          SELECT token, CAST(row_number() OVER (
+                   ORDER BY vcnt DESC, token) AS BIGINT) AS token_id
+          FROM vocab
+        ),
+        dcnt AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY doc_id, token
+        ),
+        ranked AS (
+          SELECT doc_id, token, cnt, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, token) AS rk
+          FROM dcnt
+        )
+        SELECT r.doc_id, r.token, i.token_id, r.cnt
+        FROM ranked r JOIN ids i USING (token)
+        WHERE r.rk <= 5
+    """
+    return "WITH " + ",".join(ctes) + "," + body
+
+
+@register("bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the half a training-data pipeline actually runs:
+    learn the first 3 merges from the corpus (same loop as bpe_merges),
+    then tokenize every document with the learned merge table and emit
+    each doc's top-5 tokens with corpus-global token ids (id = rank by
+    corpus frequency, token tie-break) and per-doc counts. The hash
+    therefore gates learn → apply-all-merges → vocabulary-id assignment
+    → per-doc ranking end to end.
+
+    Scale: merge application is a map-only unit-array fold per learned
+    pair attached as a 1-ROW BROADCAST (bpe_apply_merge_expr —
+    boundary-exact, see bpe_merges). Per-doc counting and top-5 ranking
+    shuffle/partition on doc_id (uniform). The vocabulary-id window is
+    single-partition BY DESIGN over the VOCAB, not the corpus: |vocab|
+    <= |alphabet| + #merges (bounded, here dozens), and the id table
+    re-joins the doc tokens as a BROADCAST. At a production merge count
+    (30k) the vocab is still megabytes — the same broadcast shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wdf = _bpe_char_seqs(docs)
+
+    for _ in range(_BPE_STEPS):
+        best = _bpe_top_pair(
+            _bpe_pair_counts(wdf.select("seq"))
+        ).localCheckpoint(eager=True)
+        wdf = _bpe_apply(wdf, best)
+
+    toks = wdf.select(
+        "doc_id", F.explode(F.split("seq", " ")).alias("token")
+    )
+    from pyspark.sql.window import Window
+
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("vcnt"))
+    ids = vocab.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("vcnt"), F.asc("token")))
+        .cast("bigint")
+        .alias("token_id"),
+    )
+    dcnt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        dcnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .join(F.broadcast(ids), "token")
+        .select("doc_id", "token", "token_id", "cnt")
+    )

@@ -98,3 +98,60 @@ def test_gate_window_rotation(qmap):
     must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("ohlcv_1min")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted
+
+
+def test_bpe_merge_respects_unit_boundaries(spark):
+    """The ADVICE-r6 finding: raw substring replace on the space-joined
+    sequence merges ACROSS unit boundaries once an earlier merge created
+    a multi-char unit ('b a th e' + pair 'h e' substring-matches the
+    tail of 'th' plus the separator -> ['b','a','the']). The unit-array
+    fold must refuse that, merge greedily left-to-right, and handle
+    single-unit / back-to-back cases."""
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.plans.queries_text import bpe_apply_merge_expr
+
+    rows = [
+        ("b a th e", "b a th e"),  # boundary: naive replace gives 'b a the'
+        ("t h e h e", "t he he"),  # back-to-back, both merge
+        ("h e h", "he h"),         # trailing left unit survives
+        ("h h e", "h he"),         # left-left then match
+        ("e h e", "e he"),
+        ("x", "x"),                # single unit: fold over empty rest
+        ("h e", "he"),             # whole word merges to one unit
+    ]
+    df = (
+        spark.createDataFrame([(s,) for s, _ in rows], "seq string")
+        .withColumn("pair", F.lit("h e"))
+        .select("seq", F.expr(bpe_apply_merge_expr("seq", "pair")).alias("out"))
+    )
+    got = {r["seq"]: r["out"] for r in df.collect()}
+    assert got == dict(rows)
+
+    # the DuckDB twin agrees on the identical corpus
+    import duckdb
+
+    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merge_duck
+
+    vals = ", ".join(f"('{s}')" for s, _ in rows)
+    expr = _bpe_apply_merge_duck("s", "px", "py", "pm")
+    duck = duckdb.sql(
+        f"WITH m AS (SELECT 'h' AS px, 'e' AS py, 'he' AS pm) "
+        f"SELECT s, {expr} AS o FROM (VALUES {vals}) v(s), m"
+    ).fetchall()
+    assert {s: o for s, o in duck} == dict(rows)
+
+
+def test_bpe_run_parity_same_unit():
+    """x == y runs ('e e e e' with pair 'e e') must merge greedily
+    left-to-right into non-overlapping pairs on both engines."""
+    import duckdb
+
+    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merge_duck
+
+    expr = _bpe_apply_merge_duck("s", "px", "py", "pm")
+    duck = duckdb.sql(
+        f"WITH m AS (SELECT 'e' AS px, 'e' AS py, 'ee' AS pm) "
+        f"SELECT {expr} FROM (VALUES ('e e e'), ('e e e e')) v(s), m"
+    ).fetchall()
+    assert [r[0] for r in duck] == ["ee e", "ee ee"]
