@@ -1071,6 +1071,30 @@ def _sd_dot_sql(a: str, b: str) -> str:
     )
 
 
+# ||qv||² ceiling enforced on every vector before the cosine test:
+# 10000·dot² stays inside int64 iff na·nb <= (2^63-1)/10000, i.e.
+# per-vector norm² <= ~2^24.9 (dot² <= na·nb by Cauchy-Schwarz). 2^24
+# leaves a 16x margin over the ~2^20 a unit-norm corpus produces.
+_SD_NORM_CAP = 1 << 24
+
+
+def _sd_norm_guard(nrm):
+    """In-plan precondition: semantic_dedup's integer cosine test is
+    int64-safe ONLY for (approximately) unit-norm embeddings — on
+    unbounded inputs Spark would wrap silently (non-ANSI) while DuckDB
+    raises, breaking cross-engine parity. Raise loudly instead. Folded
+    into the consumed ``nrm`` column so the optimizer cannot prune it."""
+    return F.when(nrm <= F.lit(_SD_NORM_CAP), nrm).otherwise(
+        F.raise_error(
+            F.lit(
+                "semantic_dedup requires ~unit-norm embeddings: "
+                f"||qv||^2 > 2^24 (scale {_SD_Q}) would overflow the "
+                "int64 cosine test — normalize the embedding column"
+            )
+        )
+    )
+
+
 @register(
     "semantic_dedup",
     oracle=f"""
@@ -1101,9 +1125,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier-id member of its own cluster has cosine similarity >= 0.9.
     The cosine test is integer-exact: with 2^10 fixed-point vectors,
     ``cos >= 0.9  <=>  dot > 0 and 10000*dot² >= 8100*|a|²*|b|²`` —
-    every term a bigint product two engines compute identically (the
-    coarser scale keeps dot² inside int64: dot <= 64*2^20 = 2^26,
-    squared 2^52).
+    every term a bigint product two engines compute identically. The
+    int64 headroom is NORM-based, not component-based: for ~unit-norm
+    embeddings |a|² ≈ 2^20, so 10000·dot² <= 10000·|a|²·|b|² ≈ 2^53.3
+    (Cauchy-Schwarz); the worst per-component bound (dot up to 64·2^20
+    = 2^26) would NOT fit — 10000·2^52 ≈ 2^65. The precondition is
+    therefore enforced in-plan (_sd_norm_guard raises on ||qv||² >
+    2^24, which is exactly the bound that keeps every product below
+    2^63), matching DuckDB's always-checked arithmetic instead of
+    Spark's silent non-ANSI wraparound.
 
     Scale: the whole point of SemDeDup's clustering step — candidate
     pairs are generated per CLUSTER, never corpus×corpus; with K
@@ -1132,7 +1162,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
             lambda x: F.floor(x.cast("double") * F.lit(float(_SD_Q))),
         ).alias("sv"),
-    ).withColumn("nrm", dot_unrolled_int("sv", "sv", _KM_DIM))
+    ).withColumn(
+        "nrm", _sd_norm_guard(dot_unrolled_int("sv", "sv", _KM_DIM))
+    )
     sa = assign.join(s, "vec_id")
     a = sa.select(
         F.col("cluster"),

@@ -1337,16 +1337,25 @@ def _try_commit(
                 field["name"] = colmap.get(field["name"], field["name"])
             schema = json.dumps(body_schema)
     blooms: dict = dict(bloom_index or {})
-    if add and not blooms:
+    if add:
         # Bloom-index the committed files when the table declares index
         # columns — one pyarrow column read per (file, col), O(batch).
         # Computed BEFORE the CAS open (reading the log after creating
         # the empty manifest would trip over our own half-written file).
-        bcols = _bloom_cols_from(
-            _commits(target_path) if commits is None else commits
-        )
-        if bcols:
-            blooms = _bloom_build(target_path, add, bcols)
+        # A caller-provided bloom_index (CLONE carrying the source's
+        # filters) is honored per file, but any added file ABSENT from
+        # it is still built here — a partial map must never leave files
+        # silently unindexed on a bloom-declared table.
+        missing = [f for f in add if f not in blooms]
+        if missing:
+            if bloom_cols is not None:  # declared by THIS commit: wins
+                bcols = list(bloom_cols)
+            else:
+                bcols = _bloom_cols_from(
+                    _commits(target_path) if commits is None else commits
+                )
+            if bcols:
+                blooms.update(_bloom_build(target_path, missing, bcols))
     manifest = os.path.join(log, f"{version:08d}.json")
     try:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -2321,17 +2330,30 @@ def clone_table(
     # Column-mapping state: the NET rename per mapped column plus the
     # original drop entries, as metadata-only commits after the base —
     # replaying them in the clone reproduces the source's logical view
-    # and its retired-name guards exactly.
-    for logical, physical in sorted(_colmap_from(commits).items()):
-        if logical == physical:
-            continue
+    # and its retired-name guards exactly. Replayed renames CHAIN
+    # through each other (_colmap_from pops the prior entry), so a
+    # rename cycle (a→t, b→a, t→b nets to {a: b, b: a}) replayed as
+    # direct physical→logical renames would collapse to the identity;
+    # route every net rename through a unique temporary name instead:
+    # phase 1 parks each physical under a temp, phase 2 lands the
+    # logical, and no replayed commit's source can collide with
+    # another's target.
+    net = sorted(
+        (l, p) for l, p in _colmap_from(commits).items() if l != p
+    )
+    replay: list[dict] = []
+    for i, (_, physical) in enumerate(net):
+        replay.append({"from": physical, "to": f"__clone_tmp_{i}__"})
+    for i, (logical, _) in enumerate(net):
+        replay.append({"from": f"__clone_tmp_{i}__", "to": logical})
+    for r in replay:
         v += 1
         if not _try_commit(
             dst_path,
             v,
             [],
             0,
-            rename={"from": physical, "to": logical},
+            rename=r,
             op="CLONE",
             commits=[],
         ):

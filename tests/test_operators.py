@@ -584,3 +584,27 @@ def test_sq8_quantized_topk_recall(spark):
     assert recall >= 0.6, f"SQ8 recall {recall} below floor"
     codes = df.select(sq8_codes("embedding", los, his, dim).alias("c")).first()["c"]
     assert len(codes) == dim and all(-128 <= x <= 127 for x in codes)
+
+
+def test_semantic_dedup_norm_guard(spark):
+    """ADVICE-r6: the integer cosine test is int64-safe only for
+    ~unit-norm embeddings (norm-based headroom, not component-based);
+    on unbounded inputs Spark would wrap silently where DuckDB raises.
+    The in-plan guard must raise instead of wrapping."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.plans.queries_llm import (
+        _SD_NORM_CAP,
+        _sd_norm_guard,
+    )
+
+    ok = spark.range(1).select(
+        _sd_norm_guard(F.lit(_SD_NORM_CAP).cast("bigint")).alias("n")
+    )
+    assert ok.collect()[0]["n"] == _SD_NORM_CAP
+    bad = spark.range(1).select(
+        _sd_norm_guard(F.lit(_SD_NORM_CAP + 1).cast("bigint")).alias("n")
+    )
+    with pytest.raises(Exception, match="unit-norm"):
+        bad.collect()

@@ -1923,3 +1923,90 @@ def test_clone_carries_constraints_and_dv(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="has_title"):
         merge_append(spark, dst, bad, ["url"])
+
+
+def test_clone_replays_rename_swaps(spark, tmp_path):
+    """ADVICE-r6: a rename cycle (a->t, b->a, t->b, i.e. swap url/title)
+    nets to {url: title, title: url}; replayed as direct renames those
+    chain through each other (_colmap_from pops the prior entry) and
+    collapse to the identity map, silently reading the wrong physical
+    columns in the clone. The temp-name replay must reproduce the
+    source's logical view exactly.
+
+    rename_column's retired-name guard blocks building this cycle via
+    the public API, but the txlog manifest is the table's PUBLIC FORMAT
+    — another writer can legally produce it — so the swap commits are
+    laid down directly."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        _try_commit,
+        clone_table,
+        merge_append,
+        read_committed,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    merge_append(spark, src, _articles(spark, n=5), ["url"])
+    for i, r in enumerate(
+        [
+            {"from": "url", "to": "tmpswap"},
+            {"from": "title", "to": "url"},
+            {"from": "tmpswap", "to": "title"},
+        ]
+    ):
+        assert _try_commit(
+            src, 2 + i, [], 0, rename=r, op="RENAME", commits=_commits(src)
+        )
+    src_rows = {
+        (r["url"], r["title"]) for r in read_committed(spark, src).collect()
+    }
+    assert ("title 0", "https://ex.com/0") in src_rows  # swap took effect
+    clone_table(src, dst)
+    got = {
+        (r["url"], r["title"]) for r in read_committed(spark, dst).collect()
+    }
+    assert got == src_rows
+
+
+def test_partial_bloom_index_still_indexes_missing_files(spark, tmp_path):
+    """ADVICE-r6: a caller passing a PARTIAL bloom_index to the commit
+    (legitimate for CLONE carrying source filters) must not leave the
+    other added files silently unindexed — the commit builds blooms for
+    every added file absent from the provided map."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _bloom_from,
+        _commits,
+        _staged_row_count,
+        _stage_files,
+        _try_commit,
+        merge_append,
+        set_bloom_columns,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    merge_append(spark, target, df.coalesce(1), ["k"])
+    set_bloom_columns(target, ["k"])
+    commits = _commits(target)
+    batch = spark.range(50, 100).select(F.col("id").alias("k")).coalesce(2)
+    staged = _stage_files(batch, target, None, commits=commits)
+    assert len(staged) == 2
+    pre = _bloom_from(commits)  # source map covering only older files
+    partial = {staged[0]: {"k": {"fake": True}}}  # one of the two new
+    assert _try_commit(
+        target,
+        commits[-1]["version"] + 1,
+        staged,
+        _staged_row_count(target, staged),
+        bloom_index=partial,
+        op="WRITE",
+        commits=commits,
+    )
+    state = _bloom_from(_commits(target))
+    for f in staged:
+        assert f in state and "k" in state[f], f"file {f} left unindexed"
+    # the caller-provided entry is honored verbatim, not rebuilt
+    assert state[staged[0]]["k"] == {"fake": True}
+    assert state[staged[1]]["k"] != {"fake": True}
+    for f in pre:
+        assert f in state  # older files' blooms untouched
