@@ -976,7 +976,7 @@ def _km_dist(a: str, b: str) -> F.Column:
     return sqdist_unrolled_int(a, b, _KM_DIM)
 
 
-def _km_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
+def _km_assign(q: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
     """(vec_id, key) with key = min over centroids of dist*K + cid —
     the integer argmin encoding (cid < K), deterministic under ties.
     The centroid side is K rows → broadcast; the pass over the corpus
@@ -985,24 +985,42 @@ def _km_assign(q: DataFrame, centroids: DataFrame) -> DataFrame:
         q.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
-            (_km_dist("qv", "cv") * _KM_K + F.col("cid")).alias("key"),
+            (_km_dist("qv", "cv") * k + F.col("cid")).alias("key"),
         )
         .groupBy("vec_id")
         .agg(F.min("key").alias("key"))
     )
 
 
-def _km_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(quantized embeddings, final-iteration assignment keys): one
+# Data-derived K default: K ≈ n / target cluster size, so per-cluster
+# SemDeDup pair work stays O(target²) as the corpus grows — the scale
+# path. The oracle-gated queries pin k=_KM_K (=8) explicitly so their
+# hashes are corpus-size-independent.
+_KM_TARGET_CLUSTER_SIZE = 64
+
+
+def _km_default_k(emb: DataFrame) -> int:
+    """K ≈ n/target (1-scalar count job, bounded)."""
+    n = emb.count()
+    return max(1, -(-n // _KM_TARGET_CLUSTER_SIZE))
+
+
+def _km_frames(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """(quantized embeddings, final-iteration assignment keys, K): one
     Lloyd's refinement from the fixed seeds — assign → integer-mean
-    update → reassign."""
+    update → reassign. ``k=None`` derives K from the corpus size
+    (n / target cluster size) — see _KM_TARGET_CLUSTER_SIZE."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    if k is None:
+        k = _km_default_k(emb)
     q = emb.select("vec_id", _km_quantize().alias("qv"))
-    c0 = q.filter(F.col("vec_id") < _KM_K).select(
+    c0 = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    a1 = _km_assign(q, c0).select(
-        "vec_id", (F.col("key") % _KM_K).alias("cluster")
+    a1 = _km_assign(q, c0, k).select(
+        "vec_id", (F.col("key") % k).alias("cluster")
     )
     dims = (
         a1.join(q, "vec_id")
@@ -1016,7 +1034,22 @@ def _km_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             lambda s: s.getField("cval"),
         ).alias("cv")
     ).select(F.col("cluster").alias("cid"), "cv")
-    return q, _km_assign(q, c1)
+    return q, _km_assign(q, c1, k), k
+
+
+def semantic_clusters_frame(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """Public K-parameterized k-means assignment: (vec_id, cluster_id,
+    dist_q). ``k=None`` derives K ≈ n/target cluster size — the 100 TB
+    path, where K must scale with the corpus so per-cluster work stays
+    bounded."""
+    _, a2, k = _km_frames(spark, sf_dir, k)
+    return a2.select(
+        "vec_id",
+        (F.col("key") % k).cast("bigint").alias("cluster_id"),
+        F.expr(f"key DIV {k}").cast("bigint").alias("dist_q"),
+    )
 
 
 @register(
@@ -1046,13 +1079,10 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine reproducible); swap it in when no oracle gates the
     result. Downstream: semantic_dedup prunes within these clusters
     (SemDeDup), and the same assignment is the IVF coarse quantizer
-    (operators/similarity.py)."""
-    _, a2 = _km_frames(spark, sf_dir)
-    return a2.select(
-        "vec_id",
-        (F.col("key") % _KM_K).cast("bigint").alias("cluster_id"),
-        F.expr(f"key DIV {_KM_K}").cast("bigint").alias("dist_q"),
-    )
+    (operators/similarity.py). K is pinned to {_KM_K} here so the
+    oracle hash is corpus-size-independent; semantic_clusters_frame
+    takes any K (default data-derived n/target — the scale path)."""
+    return semantic_clusters_frame(spark, sf_dir, k=_KM_K)
 
 
 _SD_Q = 1024      # coarser 2^10 scale: keeps cos² comparison in int64
@@ -1140,17 +1170,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to corpus size the per-cluster pair work stays
     bounded, and the pair join shuffles on the cluster key. The
     embedding-cosine variant of the dedup family (exact: dedup_keep_
-    first; lexical: near_dup_jaccard/minhash; semantic: this)."""
+    first; lexical: near_dup_jaccard/minhash; semantic: this). K is
+    pinned to {_KM_K} here for a corpus-size-independent oracle hash;
+    semantic_dedup_frame takes any K (default data-derived n/target)."""
+    return semantic_dedup_frame(spark, sf_dir, k=_KM_K)
+
+
+def semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """K-parameterized SemDeDup: (vec_id, cluster_id, keep). See
+    q_semantic_dedup for semantics; ``k=None`` derives K from the
+    corpus size (n / target cluster size) so per-cluster pair work
+    stays O(target²) as the corpus grows — the 100 TB path."""
     from stonkwhisperer_spark.operators.similarity import dot_unrolled_int
 
-    _, a2 = _km_frames(spark, sf_dir)
+    _, a2, k = _km_frames(spark, sf_dir, k)
     # The assignment feeds BOTH pair sides and the final projection —
     # left lazy, the whole two-iteration k-means sub-DAG would execute
     # three times. Materialize it once: n×2 bigints (localCheckpoint;
     # at cluster scale this is the persisted assignment table every
     # IVF/SemDeDup pipeline writes anyway).
     assign = (
-        a2.select("vec_id", (F.col("key") % _KM_K).alias("cluster"))
+        a2.select("vec_id", (F.col("key") % k).alias("cluster"))
         .localCheckpoint(eager=True)
     )
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")

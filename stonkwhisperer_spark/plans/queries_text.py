@@ -1342,9 +1342,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         wdf = _bpe_apply(wdf, best)
 
+    # The tokenized corpus feeds BOTH the vocabulary count and the
+    # per-doc count — left lazy, the 3-merge fold sub-DAG (and its three
+    # 1-row pair broadcasts) would execute twice. Materialize once
+    # (same pattern as semantic_dedup's assignment table; at cluster
+    # scale this is the persisted tokenized corpus every training
+    # pipeline writes anyway).
     toks = wdf.select(
         "doc_id", F.explode(F.split("seq", " ")).alias("token")
-    )
+    ).localCheckpoint(eager=True)
     from pyspark.sql.window import Window
 
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("vcnt"))

@@ -608,3 +608,44 @@ def test_semantic_dedup_norm_guard(spark):
     )
     with pytest.raises(Exception, match="unit-norm"):
         bad.collect()
+
+
+def test_semantic_dedup_parameterized_k(spark):
+    """VERDICT-r6 task 5: K is a parameter (the gated queries pin K=8;
+    the operator takes any K, default data-derived n/target) — per-
+    cluster pair cost is O(n²/K), so K must scale with the corpus."""
+    from stonkwhisperer_spark.plans.queries_llm import (
+        _km_default_k,
+        semantic_clusters_frame,
+        semantic_dedup_frame,
+    )
+    from stonkwhisperer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n = load_table(spark, sf, "embeddings").count()
+
+    rows32 = semantic_dedup_frame(spark, sf, k=32).collect()
+    assert len(rows32) == n
+    assert {r["cluster_id"] for r in rows32} <= set(range(32))
+    assert len({r["cluster_id"] for r in rows32}) > 8  # K took effect
+    assert all(isinstance(r["keep"], bool) for r in rows32)
+
+    c32 = semantic_clusters_frame(spark, sf, k=32)
+    assert {r["cluster_id"] for r in c32.collect()} <= set(range(32))
+
+    # data-derived default: K ≈ ceil(n / target cluster size)
+    import math
+
+    from stonkwhisperer_spark.plans.queries_llm import (
+        _KM_TARGET_CLUSTER_SIZE,
+    )
+
+    class _FakeCount:
+        def count(self):
+            return 1000
+
+    assert _km_default_k(_FakeCount()) == math.ceil(
+        1000 / _KM_TARGET_CLUSTER_SIZE
+    )
+    default_rows = semantic_clusters_frame(spark, sf).collect()
+    assert len(default_rows) == n

@@ -31,8 +31,6 @@ BNLJ_ALLOWED = {
     "sq8_topk_embeddings": 1,     # |Q|-row query set broadcast (ADC scan)
     "semantic_clusters": 2,       # K-row centroid broadcast, one per
                                   # Lloyd's assignment pass (K=8)
-    "bpe_encode": 3,              # one 1-row learned-pair broadcast per
-                                  # applied BPE merge (_BPE_STEPS)
 }
 
 
