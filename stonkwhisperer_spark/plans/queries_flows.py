@@ -2178,6 +2178,77 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_merge_evolve — MERGE schema evolution (Delta withSchemaEvolution)
+# under the value hash: the default rejects new source columns, the
+# opt-in unions them; pre-evolution and carried rows null-fill.
+# --------------------------------------------------------------------------
+@register(
+    "txlog_merge_evolve",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN doc_id >= 30 THEN lang END AS lang
+    FROM documents WHERE doc_id < 90
+    """,
+)
+def q_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution, the Delta ``withSchemaEvolution``
+    contract: seed doc_id<60 as (doc_id, source) (v1), then
+    ``merge_upsert`` a batch over [30,90) carrying a NEW ``lang``
+    column. WITHOUT the flag the writer must REFUSE (asserted
+    in-query — Delta's MERGE default); with ``schema_evolution=True``
+    the merge updates 30-59 (acquiring lang), inserts 60-89, and the
+    union schema null-fills the untouched 0-29 carried rows. The
+    DuckDB twin recomputes the expected relation from the seed table,
+    so an evolve that leaked lang into pre-evolution rows, dropped the
+    new column from updates, or defaulted it wrong hash-fails.
+
+    Scale: identical copy-on-write file-level MERGE as merge_upsert —
+    evolution adds zero data passes (the union schema is commit
+    metadata; carried rows null-fill AT READ, no rewrite of untouched
+    files)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_mev_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 60).select("doc_id", "source"),
+            ["doc_id"],
+        )
+        batch = docs.filter(
+            (F.col("doc_id") >= 30) & (F.col("doc_id") < 90)
+        ).select("doc_id", "source", "lang")
+        try:
+            merge_upsert(spark, target, batch, ["doc_id"])
+        except ValueError:
+            pass  # the Delta default: new source column refused
+        else:
+            raise AssertionError(
+                "merge accepted a new source column without "
+                "schema_evolution=True"
+            )
+        ins, upd = merge_upsert(
+            spark, target, batch, ["doc_id"], schema_evolution=True
+        )
+        if (ins, upd) != (30, 30):
+            raise AssertionError(f"expected (30, 30), got {(ins, upd)}")
+        snap = read_committed(spark, target)
+        rows = snap.select("doc_id", "source", "lang").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string"
+    )
+
+
+# --------------------------------------------------------------------------
 # txlog_restore_replay — RESTORE TO VERSION AS OF under the value hash:
 # mutate a table through upsert + delete, roll it back, and prove the
 # head snapshot equals the original seed bit-for-bit.

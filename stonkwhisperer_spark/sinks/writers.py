@@ -130,6 +130,35 @@ def _committed_version(target_path: str) -> int:
     return max(_last_checkpoint_version(log), max(versions, default=0))
 
 
+# Manifest-key → feature-flag map: the features whose commits an
+# OLDER/FOREIGN reader would silently MISREAD if it ignored the key
+# (Delta's minReaderVersion/readerFeatures analog). Writers stamp
+# ``"features": [...]`` on every commit using one; readers raise on a
+# feature outside _FEATURES_SUPPORTED instead of misreading the table.
+_FEATURE_OF_KEY = {
+    "dv": "deletion-vectors",
+    "rename": "column-mapping",
+    "drop_col": "column-mapping",
+    "generated_add": "generated-columns",
+    "constraints_add": "check-constraints",
+}
+_FEATURES_SUPPORTED = frozenset(_FEATURE_OF_KEY.values())
+
+
+def _check_features(c: dict, target_path: str) -> None:
+    unknown = [
+        f for f in c.get("features", []) if f not in _FEATURES_SUPPORTED
+    ]
+    if unknown:
+        raise ValueError(
+            f"table at {target_path} requires reader feature(s) "
+            f"{unknown} (commit version {c.get('version')}) that this "
+            f"reader does not support — supported: "
+            f"{sorted(_FEATURES_SUPPORTED)}. Refusing to read rather "
+            "than silently misread."
+        )
+
+
 def _commits(target_path: str, through_version: int | None = None) -> list[dict]:
     """Parsed commit manifests in version order, optionally truncated
     at ``through_version`` (inclusive) for time travel.
@@ -167,6 +196,8 @@ def _commits(target_path: str, through_version: int | None = None) -> list[dict]
             c = json.load(fh)
         c["version"] = version
         out.append(c)
+    for c in out:  # checkpoint-sourced commits carry features too
+        _check_features(c, target_path)
     return out
 
 
@@ -1402,6 +1433,19 @@ def _try_commit(
         body["vacuum"] = {"cutoff": vacuum_cutoff}
     if op is not None:
         body["op"] = op
+    feats = sorted(
+        feat
+        for key, feat in _FEATURE_OF_KEY.items()
+        if key in body
+    )
+    if feats:
+        # Protocol guard (Delta's reader-feature flags): any commit
+        # using a feature an ignorant reader would MISREAD (dv entries
+        # ignored = deleted rows resurrected; physical names read as
+        # logical; generated/constraint columns unenforced) declares it,
+        # and _commits refuses manifests declaring features this reader
+        # doesn't know.
+        body["features"] = feats
     with os.fdopen(fd, "w") as fh:
         # allow_nan=False: the manifest is the table's public format —
         # strict JSON only (Infinity/NaN tokens would break non-Python
@@ -2648,6 +2692,7 @@ def merge_upsert(
     keys: Sequence[str],
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
+    schema_evolution: bool = False,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> tuple[int, int]:
     """K2 full MERGE: ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
@@ -2678,8 +2723,12 @@ def merge_upsert(
     data + change files, CAS the next version; on collision delete both
     staged sets, refresh the snapshot, recompute (so an update-update
     race serializes: the loser re-reads the winner's rows and rewrites
-    them, last writer wins per key). Additive schema evolution commits
-    fine; a re-typed column fails the writer. A legacy plain-parquet
+    them, last writer wins per key). Schema evolution is OPT-IN, the
+    Delta MERGE contract: by default a batch column absent from the
+    declared schema fails the writer; ``schema_evolution=True``
+    (Delta's ``withSchemaEvolution``) unions new columns additively —
+    carried-over and pre-evolution rows null-fill. A re-typed column
+    fails the writer either way. A legacy plain-parquet
     table is adopted: untouched legacy files enter the log, matched
     legacy files are rewritten and simply not adopted (vacuum reclaims
     them)."""
@@ -2691,6 +2740,7 @@ def merge_upsert(
         partition_cols=partition_cols,
         max_retries=max_retries,
         _pre_commit_hook=_pre_commit_hook,
+        schema_evolution=schema_evolution,
     )
     return inserted, updated
 
@@ -2703,6 +2753,7 @@ def merge_sync(
     delete_condition: Column | None = None,
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
+    schema_evolution: bool = False,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> tuple[int, int, int]:
     """The FULL three-clause MERGE — Delta's
@@ -2741,6 +2792,7 @@ def merge_sync(
         nmbs_delete=delete_condition
         if delete_condition is not None
         else F.lit(True),
+        schema_evolution=schema_evolution,
     )
 
 
@@ -2753,6 +2805,7 @@ def merge_upsert_txn(
     txn_ver: int,
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
+    schema_evolution: bool = False,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> tuple[int, int]:
     """Idempotent transactional MERGE upsert — :func:`append_txn`'s
@@ -2777,6 +2830,7 @@ def merge_upsert_txn(
         max_retries=max_retries,
         _pre_commit_hook=_pre_commit_hook,
         txn={"app": app_id, "version": txn_ver},
+        schema_evolution=schema_evolution,
     )
     return inserted, updated
 
@@ -2791,6 +2845,7 @@ def merge_cdc_txn(
     change_col: str = "_change_type",
     partition_cols: Sequence[str] | None = None,
     max_retries: int = 20,
+    schema_evolution: bool = False,
     _pre_commit_hook: Callable[[], None] | None = None,
 ) -> tuple[int, int, int]:
     """Apply a CHANGE-DATA batch to a table, exactly once — the CDC
@@ -2818,6 +2873,7 @@ def merge_cdc_txn(
         matched_delete=F.col(change_col) == "delete",
         drop_from_data=[change_col],
         txn={"app": app_id, "version": txn_ver},
+        schema_evolution=schema_evolution,
     )
 
 
@@ -2833,6 +2889,7 @@ def _merge_rows(
     matched_delete: Column | None = None,
     drop_from_data: Sequence[str] | None = None,
     txn: dict | None = None,
+    schema_evolution: bool = False,
 ) -> tuple[int, int, int]:
     """Shared MERGE engine behind :func:`merge_upsert` /
     :func:`merge_sync` / :func:`merge_upsert_txn` /
@@ -2868,6 +2925,24 @@ def _merge_rows(
         batch = _apply_generated(batch, commits, target_path)
         declared = _schema_from(commits)
         _check_type_conflicts(batch, declared, commits, target_path)
+        if not schema_evolution and declared is not None:
+            # Delta's MERGE default: WITHOUT withSchemaEvolution a
+            # source column absent from the target schema fails the
+            # writer (UPDATE SET * / INSERT * cannot bind it); pass
+            # schema_evolution=True to union new columns additively
+            # (the append path's behavior, and Delta's opt-in).
+            new_cols = [
+                f.name
+                for f in _to_physical(batch, commits).schema.fields
+                if f.name not in {x.name for x in declared.fields}
+            ]
+            if new_cols:
+                raise ValueError(
+                    f"MERGE batch has columns {new_cols} not in the "
+                    f"declared schema at {target_path}; pass "
+                    "schema_evolution=True to evolve additively "
+                    "(Delta's withSchemaEvolution)"
+                )
         # Every batch row is written (as insert or update post-image) —
         # the whole batch is in CHECK-constraint scope.
         _enforce_constraints(batch, commits, target_path)

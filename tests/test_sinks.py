@@ -710,9 +710,11 @@ def test_merge_upsert_vacuum_and_time_travel(spark, tmp_path):
 
 
 def test_merge_upsert_schema_evolution(spark, tmp_path):
-    """An upsert batch with a NEW column evolves the table additively:
-    carried-over and pre-evolution rows null-fill, the log schema
-    unions, and a re-typed column still fails the writer."""
+    """Delta's MERGE contract: WITHOUT schema_evolution a batch with a
+    NEW column fails the writer; WITH schema_evolution=True (Delta's
+    withSchemaEvolution) it evolves the table additively — carried-over
+    and pre-evolution rows null-fill, the log schema unions. A re-typed
+    column fails the writer either way."""
     import pytest as _pytest
 
     from stonkwhisperer_spark.sinks.writers import (
@@ -728,12 +730,12 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
         spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
         ["k"],
     )
-    merge_upsert(
-        spark,
-        target,
-        spark.createDataFrame([(2, "B", 0.5)], "k long, s string, score double"),
-        ["k"],
+    evolving = spark.createDataFrame(
+        [(2, "B", 0.5)], "k long, s string, score double"
     )
+    with _pytest.raises(ValueError, match="schema_evolution=True"):
+        merge_upsert(spark, target, evolving, ["k"])
+    merge_upsert(spark, target, evolving, ["k"], schema_evolution=True)
     snap = read_committed(spark, target)
     assert set(snap.columns) == {"k", "s", "score"}
     assert {r.k: (r.s, r.score) for r in snap.collect()} == {
@@ -2010,3 +2012,54 @@ def test_partial_bloom_index_still_indexes_missing_files(spark, tmp_path):
     assert state[staged[1]]["k"] != {"fake": True}
     for f in pre:
         assert f in state  # older files' blooms untouched
+
+
+def test_unknown_reader_feature_refuses_to_read(spark, tmp_path):
+    """Protocol guard (VERDICT-r6 task 8): a manifest declaring a
+    feature this reader doesn't know must REFUSE to read — an ignorant
+    reader would silently misread the table (e.g. resurrect
+    DV-deleted rows). Known features keep reading fine."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        merge_append,
+        read_committed,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(spark, target, _articles(spark), ["url"])
+    assert read_committed(spark, target).count() == 20
+    log = _os.path.join(target, "_txlog")
+    with open(_os.path.join(log, "00000002.json"), "w") as fh:
+        _json.dump(
+            {"add": [], "n": 0, "features": ["wormhole-compression-v9"]},
+            fh,
+        )
+    with _pytest.raises(ValueError, match="wormhole-compression-v9"):
+        _commits(target)
+    with _pytest.raises(ValueError, match="does not support"):
+        read_committed(spark, target)
+
+
+def test_feature_flags_stamped_on_commits(spark, tmp_path):
+    """Commits using reader-breaking features declare them; plain
+    appends stay unstamped (old readers read them fine)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _commits,
+        delete_where_dv,
+        merge_append,
+        rename_column,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(spark, target, _articles(spark), ["url"])
+    delete_where_dv(spark, target, F.col("url") == "https://ex.com/3")
+    rename_column(target, "title", "headline")
+    cs = {c["version"]: c.get("features", []) for c in _commits(target)}
+    assert cs[1] == []
+    assert "deletion-vectors" in cs[2]
+    assert "column-mapping" in cs[3]
