@@ -1776,16 +1776,23 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(spark, source, F.col("doc_id") < 10)
         replica = f"{scratch}/replica"
 
+        from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+
         def run(ckpt: str) -> None:
+            # processingTime + drain_until_caught_up: the Python-source
+            # bridge downgrades availableNow to a single batch (warning
+            # noise, and a silent stop-short under maxCommitsPerTrigger).
             with _stream_shuffle_width(spark):
                 q = start_cdc_apply_stream(
-                    spark, source, replica, ["doc_id"], "replicator", ckpt
+                    spark,
+                    source,
+                    replica,
+                    ["doc_id"],
+                    "replicator",
+                    ckpt,
+                    processing_time="0 seconds",
                 )
-                try:
-                    if not q.awaitTermination(300):
-                        raise TimeoutError("cdc apply stream did not drain")
-                finally:
-                    q.stop()
+                drain_until_caught_up(q, source, timeout_sec=300)
 
         run(f"{scratch}/ckpt1")
         first = read_committed(spark, replica).count()
@@ -1854,20 +1861,20 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("startingVersion", v1 + 1)
             .load()
         )
+        from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+
         with _stream_shuffle_width(spark):
             q = (
                 feed.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
                 .option("checkpointLocation", f"{scratch}/ckpt")
-                .trigger(availableNow=True)
+                .trigger(processingTime="0 seconds")
                 .start()
             )
-            try:
-                if not q.awaitTermination(300):
-                    raise TimeoutError("txlog_stream_cdc did not drain within 300s")
-            finally:
-                q.stop()
+            # drain-until-caught-up instead of availableNow: the Python
+            # source bridge downgrades availableNow to single-batch.
+            drain_until_caught_up(q, target, timeout_sec=300)
         rows = spark.table(name).select("doc_id", "source", "_commit_version").collect()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -122,7 +122,11 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # a long-history table plans EVERY commit into one giant batch.
         # Use with a processingTime trigger: the Python micro-batch
         # bridge downgrades availableNow to single-batch execution,
-        # which would stop after the first rate-limited slice.
+        # which would stop after the first rate-limited slice. For
+        # batch-shaped "drain the backlog then stop" runs, pair the
+        # processingTime trigger with
+        # streaming.jobs.drain_until_caught_up, which loops
+        # micro-batches until the end offset covers every commit.
         raw = opts.get("maxcommitspertrigger")
         self._max_commits = int(raw) if raw is not None else None
         if self._max_commits is not None and self._max_commits < 1:

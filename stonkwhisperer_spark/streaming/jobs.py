@@ -284,3 +284,66 @@ def join_streams_time_bounded(
         & (rc >= lc - F.expr(f"INTERVAL {lookback}"))
         & (rc <= lc),
     )
+
+
+def drain_until_caught_up(
+    query: StreamingQuery,
+    table_path: str,
+    timeout_sec: float = 300.0,
+    poll_sec: float = 0.05,
+) -> int:
+    """Drain-until-caught-up for the txlog CDC source — the
+    ``Trigger.AvailableNow`` the Python data-source bridge doesn't
+    give us: Spark downgrades availableNow to ONE micro-batch for
+    Python ``DataSourceStreamReader`` sources ("does not support
+    Trigger.AvailableNow. Falling back to single batch"), and with
+    ``maxCommitsPerTrigger`` that single batch covers one rate-limited
+    SLICE of the backlog, silently stopping short.
+
+    Start the stream with a ``processingTime`` trigger instead (e.g.
+    ``processing_time="0 seconds"``) and call this helper: it blocks
+    until a COMPLETED micro-batch's end offset covers every commit
+    present at call time — honoring the rate limit, which simply
+    spreads the backlog over several micro-batches — then stops the
+    query. Returns the commit version reached. Raises the query's own
+    exception if it fails, or TimeoutError past ``timeout_sec``.
+
+    Scale: pure driver-side progress polling — no extra Spark jobs, no
+    data reads beyond what the stream itself plans."""
+    import ast as _ast
+    import json as _json
+    import time as _time
+
+    from stonkwhisperer_spark.sinks.writers import _committed_version
+
+    def _parse(eo):
+        if not isinstance(eo, str):
+            return eo
+        try:  # the Python-source bridge serializes offsets as dict repr
+            return _json.loads(eo)
+        except _json.JSONDecodeError:
+            return _ast.literal_eval(eo)
+
+    head = _committed_version(table_path)
+    deadline = _time.monotonic() + timeout_sec
+    reached = -1
+    try:
+        while _time.monotonic() < deadline:
+            exc = query.exception()
+            if exc is not None:
+                raise exc
+            p = query.lastProgress
+            if p and p.get("sources"):
+                eo = p["sources"][0].get("endOffset")
+                if eo is not None:
+                    off = _parse(eo)
+                    reached = int(off.get("version", -1))
+                    if reached >= head:
+                        return reached
+            _time.sleep(poll_sec)
+        raise TimeoutError(
+            f"stream did not catch up to commit version {head} at "
+            f"{table_path} within {timeout_sec}s (reached {reached})"
+        )
+    finally:
+        query.stop()

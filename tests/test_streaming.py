@@ -389,3 +389,93 @@ def test_txn_append_stream_exactly_once(spark, tmp_path):
 
     run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
     assert read_committed(spark, target).count() == 5  # no duplicates
+
+
+def test_drain_until_caught_up_rate_limited(spark, tmp_path):
+    """VERDICT-r6 task 4: a 6-commit backlog with maxCommitsPerTrigger=2
+    drains FULLY under drain_until_caught_up in >=3 micro-batches —
+    where trigger(availableNow=True) on the Python source would stop
+    after ONE rate-limited slice (4 rows lost). The helper must also
+    stop the query itself."""
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+    )
+    from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+
+    target = str(tmp_path / "t")
+    for i in range(6):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([(i, f"v{i}")], "k long, s string"),
+            ["k"],
+        )
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:
+        pass
+    feed = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .option("maxCommitsPerTrigger", 2)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("drain_helper_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    reached = drain_until_caught_up(q, target, timeout_sec=120)
+    assert reached >= 6
+    assert not q.isActive  # helper stopped it
+    assert spark.table("drain_helper_t").count() == 6  # FULL drain
+    busy = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(busy) >= 3, (
+        f"rate limit not honored: drained in {len(busy)} batches"
+    )
+
+
+def test_drain_until_caught_up_raises_stream_failure(spark, tmp_path):
+    """A failing stream surfaces its own exception through the helper
+    instead of timing out."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+    )
+    from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        ["k"],
+    )
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:
+        pass
+    feed = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .load()
+    )
+
+    def boom(batch_df, _epoch):
+        raise RuntimeError("sink exploded")
+
+    q = (
+        feed.writeStream.foreachBatch(boom)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    with pytest.raises(Exception, match="sink exploded|Terminated with exception"):
+        drain_until_caught_up(q, target, timeout_sec=60)
+    assert not q.isActive
