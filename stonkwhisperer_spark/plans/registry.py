@@ -71,70 +71,24 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 6 (third wave): DSIR importance resampling,
-    #    integer-exact k-means + SemDeDup, txlog DEEP CLONE --
-    "dsir_sample",
+    # -- new in round 7: BPE encoding (learned-merge tokenization) and
+    #    MERGE schema evolution --
+    "bpe_encode",
+    "txlog_merge_evolve",
+    # -- changed in round 7 (boundary-exact BPE fold, K-parameterized
+    #    SemDeDup + norm guard, drain-until-caught-up streaming, clone
+    #    rename-cycle replay, partial-bloom-map fix, opt-in MERGE
+    #    evolution guard, curation trim): re-confirm under the driver --
+    "bpe_merges",
     "semantic_clusters",
     "semantic_dedup",
-    "txlog_clone_replay",
-    "txlog_incremental_agg",
-    "bpe_merges",
-    "near_dup_jaccard_prefix",
-    # -- new in round 6 (second half): deletion vectors, column
-    #    mapping, generated columns, bloom index, log checkpointing,
-    #    type widening, replaceWhere, 3-clause MERGE, CDC replication
-    #    stream, plus the LLM/OLAP additions --
-    "txlog_dv_replay",
-    "txlog_rename_replay",
-    "txlog_generated",
-    "txlog_bloom_lookup",
-    "txlog_checkpoint_replay",
-    "txlog_type_widening",
-    "txlog_update_replay",
-    "txlog_replace_where",
-    "txlog_merge_sync_replay",
-    "txlog_stream_upsert",
-    "revenue_rollup",
-    "lineitem_status_cube",
-    "sq8_topk_embeddings",
-    "bigram_familiarity",
-    "doc_chunks",
-    "doc_keywords",
-    "corpus_shuffle",
-    # -- new in round 6 (first half): MERGE upsert + typed CDC,
-    #    closed-form ML gate, 2-D Z-order skipping, RESTORE +
-    #    timestamp travel, exactly-once txn streaming sink --
-    "txlog_cdc_update_replay",
-    "txlog_cdc_delete_replay",
-    "sentiment_closed_form",
-    "txlog_skipping_2d",
-    "txlog_restore_replay",
-    "txlog_stream_sink",
-    "span_dedup",
-    "txlog_constraints",
-    "txlog_vacuum_replay",
-    "txlog_history",
-    "histogram_quantiles",
-    # -- changed in round 6 (typed CDC in table_changes/stream source,
-    #    zone-map hardening, star-CC fallback, postings checkpoint,
-    #    per-run bucketed tables): re-confirm under the driver --
-    "txlog_cdc_replay",
     "txlog_stream_cdc",
-    "txlog_skipping",
-    "txlog_schema_evolution",
-    "bucketed_order_lineitem_join",
-    "dup_clusters",
-    "dedup_canonical",
+    "txlog_stream_upsert",
+    "txlog_clone_replay",
+    "txlog_bloom_lookup",
+    "txlog_merge_sync_replay",
     "curation_e2e",
-    # -- rows-only by design: keep a recorded smoke row every round --
-    "txlog_e2e",
-    "flows_e2e",
-    "sentiment_scores",
-    # -- oldest archived-green (last recorded row: round 3) --
-    "ohlcv_1min",
-    "pricing_summary",
-    "topk_newest_events",
-    "user_event_pivot",
+    # -- backlog: newest green row is round 3 (three rounds stale) --
     "vwap_1min",
     "clickers_and_buyers",
     "value_outliers",
@@ -148,7 +102,10 @@ _GATE_ORDER: list[str] = [
     "order_relative_ranks",
     "zip_docs_embeddings",
     "region_revenue",
-    # -- r4-green rotation: unchanged code, oldest families first --
+    # -- e2e smoke row for the round --
+    "flows_e2e",
+    # -- backlog: newest green row is round 4 (25 of 43; the remaining
+    #    18 lead round 8's window) --
     "streaming_ohlcv",
     "streaming_join",
     "streaming_sessions",
@@ -167,6 +124,13 @@ _GATE_ORDER: list[str] = [
     "media_manifest",
     "gapfill_events",
     "price_qty_correlation",
+    "big_order_customers",
+    "cust_order_dist",
+    "customer_order_ranks",
+    "disjunctive_promo_revenue",
+    "doc_constraints",
+    "doc_split_assign",
+    "event_type_enrich_salted",
 ]
 
 

@@ -92,10 +92,10 @@ def test_gate_window_rotation(qmap):
 
     names = list(qmap)
     window = set(names[:50])
-    # r6 window: the archived-green re-confirmation section starts at
-    # the oldest r3 row ("ohlcv_1min"); everything before it is new,
-    # changed, or rows-only and MUST be driver-checked this round.
-    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("ohlcv_1min")]
+    # r7 window: the archived-green backlog section starts at the
+    # oldest r3 row ("vwap_1min"); everything before it is new or
+    # changed this round and MUST be driver-checked.
+    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("vwap_1min")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted
 
