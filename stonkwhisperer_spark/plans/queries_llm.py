@@ -773,13 +773,16 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     # Stage 2 first (it reads the full corpus): canonical-survivor kill
-    # list over the near-dup graph. The shingle posting list feeds FOUR
-    # subplans inside jaccard_pairs (doc-freq gate, sizes, both join
-    # sides); materialize it ONCE via localCheckpoint instead of
-    # re-running the scan+clean+shingle chain per subplan — at sf0.1
-    # this halves the stage, and at 100 TB it's the difference between
-    # one corpus pass and four. (localCheckpoint, not cache: blocks are
-    # freed by the ContextCleaner when the frame drops out of scope.)
+    # list over the near-dup graph. The shingle posting list feeds
+    # THREE subplans inside jaccard_pairs (sizes, both join sides);
+    # materialize it ONCE via localCheckpoint instead of re-running the
+    # scan+clean+shingle chain per subplan — measured r7: steady-state
+    # wall time is a wash (~6.6 s either way, the subplans execute
+    # concurrently inside CC's edge-checkpoint job), but the lazy form
+    # TRIPLES the plan's codegen footprint (13.5 s vs 8.4 s cold), and
+    # at 100 TB one corpus pass beats three. (localCheckpoint, not
+    # cache: blocks are freed by the ContextCleaner when the frame
+    # drops out of scope.)
     lengths = docs.select("doc_id", F.length("text").alias("_len"))
     postings = _postings(spark, sf_dir).localCheckpoint(eager=True)
     clusters = connected_components(
