@@ -445,3 +445,149 @@ def sq8_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third FAISS-style ANN leg next to the
+# IVF coarse quantizer and SQ8 scalar quantization: split each vector
+# into M subvectors, k-means each subspace into K centroids, store one
+# K-ary code per subspace (M bytes/vector at K<=256 — here 8 codes, a
+# 32x compression over float32), and answer queries by asymmetric
+# distance over per-query lookup tables. Integer-exact throughout
+# (2^20 fixed-point, the semantic_clusters convention) so a DuckDB twin
+# reproduces codes and distances to the bit.
+# ---------------------------------------------------------------------------
+PQ_M = 8          # subspaces (64-dim corpus -> 8 dims each)
+PQ_K = 16         # centroids per subspace; seeds = vec_id 0..15
+PQ_SCALE = 1 << 20
+
+
+def pq_subvectors(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+) -> DataFrame:
+    """(id, m, sv): integer-quantized subvectors — one map-only pass,
+    F.inline over a literal array of (m, slice) structs, everything in
+    codegen. sv elements are floor(x·2^20) bigints, so all downstream
+    distances are exact int64 (unit-norm components keep every
+    subspace distance below 8·(2·2^20)² = 2^45)."""
+    dsub = dim // m
+    qv = [
+        F.floor(F.col(vec)[i].cast("double") * F.lit(float(PQ_SCALE))).cast(
+            "bigint"
+        )
+        for i in range(dim)
+    ]
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).cast("int").alias("m"),
+                F.array(*qv[mm * dsub : (mm + 1) * dsub]).alias("sv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    return vecs.select(F.col(id_col), F.inline(subs))
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, dsub: int) -> DataFrame:
+    """(id, m, key) with key = min over same-subspace centroids of
+    dist·K + cid — the integer argmin encoding (cid < K), deterministic
+    under ties. Centroids are M·K rows -> broadcast; one map-only pass
+    + a partial-aggregated min keyed on (id, m)."""
+    idc = sub.columns[0]
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .select(
+            idc,
+            "m",
+            (sqdist_unrolled_int("sv", "cv", dsub) * PQ_K + F.col("cid")).alias(
+                "key"
+            ),
+        )
+        .groupBy(idc, "m")
+        .agg(F.min("key").alias("key"))
+    )
+
+
+def pq_codebooks(sub: DataFrame, dsub: int) -> DataFrame:
+    """(m, cid, cv): K centroids per subspace — seeds are the first K
+    ids' subvectors, one Lloyd refinement with integer-mean updates
+    (the semantic_clusters k-means, keyed by subspace). The update
+    shuffle carries M·K·dsub values; assignment is broadcast+map."""
+    idc = sub.columns[0]
+    c0 = sub.filter(F.col(idc) < PQ_K).select(
+        "m", F.col(idc).alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_assign(sub, c0, dsub).select(
+        idc, "m", (F.col("key") % PQ_K).alias("cluster")
+    )
+    dims = (
+        a1.join(sub, [idc, "m"])
+        .select("m", "cluster", F.posexplode("sv").alias("i", "val"))
+        .groupBy("m", "cluster", "i")
+        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
+    )
+    return (
+        dims.groupBy("m", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cval"))),
+                lambda s: s.getField("cval"),
+            ).alias("cv")
+        )
+        .select("m", F.col("cluster").alias("cid"), "cv")
+    )
+
+
+def pq_topk(
+    vecs: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ approximate k-NN: encode every vector as PQ_M subspace codes
+    against corpus-learned codebooks, then rank candidates per query by
+    ADC — the query's exact distance to each centroid, summed over the
+    candidate's codes. Returns (q_id, c_id, adist) with adist ascending,
+    ties on c_id, self-matches excluded. Queries = rows satisfying
+    ``query_pred``.
+
+    Scale: codes are M small ints per vector (32× under float32 — the
+    reason PQ is the billion-vector default); the distance TABLE is
+    |Q|·M·K rows broadcast into a map-only join against the codes, and
+    the per-(q, c) sum is one partial-aggregated shuffle keyed on
+    uniform ids. Compose with IVF bucketing for FAISS IVF-PQ: coarse
+    cells prune candidates, PQ codes score the survivors."""
+    dsub = dim // PQ_M
+    sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
+    cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents, dsub).select(
+        F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
+    )
+    qsub = pq_subvectors(vecs.filter(query_pred), id_col, vec, dim).select(
+        F.col(id_col).alias("q_id"), "m", "sv"
+    )
+    dt = qsub.join(F.broadcast(cents), "m").select(
+        "q_id",
+        "m",
+        F.col("cid").alias("code"),
+        sqdist_unrolled_int("sv", "cv", dsub).alias("d"),
+    )
+    adist = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").cast("bigint").alias("adist"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("adist"), F.col("c_id"))
+    return (
+        adist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

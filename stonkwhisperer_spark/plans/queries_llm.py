@@ -355,6 +355,99 @@ def q_sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product-quantization (PQ) approximate top-k — FAISS's billion-vector
+# default: M subspace codebooks, one code per subspace, ADC scoring.
+# --------------------------------------------------------------------------
+_PQ_DIST = (
+    "list_sum(list_transform(range(1, 9), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def _pq_oracle() -> str:
+    d_sc = _PQ_DIST.format(a="s.sv", b="c.cv")
+    d_qc = _PQ_DIST.format(a="q.sv", b="c.cv")
+    return f"""
+    WITH q0 AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m, qv[m*8+1 : m*8+8] AS sv
+      FROM q0, range(0, 8) t(m)
+    ),
+    c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+    a1 AS (
+      SELECT s.vec_id, s.m, min({d_sc} * 16 + c.cid) % 16 AS cluster
+      FROM sub s JOIN c0 c USING (m) GROUP BY s.vec_id, s.m
+    ),
+    dims AS (
+      SELECT a.m, a.cluster, t.i,
+             CAST(sum(s.sv[t.i]) // count(*) AS BIGINT) AS cval
+      FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+           unnest(range(1, 9)) AS t(i)
+      GROUP BY a.m, a.cluster, t.i
+    ),
+    c1 AS (
+      SELECT m, cluster AS cid, list(cval ORDER BY i) AS cv
+      FROM dims GROUP BY m, cluster
+    ),
+    codes AS (
+      SELECT s.vec_id AS c_id, s.m, min({d_sc} * 16 + c.cid) % 16 AS code
+      FROM sub s JOIN c1 c USING (m) GROUP BY s.vec_id, s.m
+    ),
+    dt AS (
+      SELECT q.vec_id AS q_id, q.m, c.cid AS code, {d_qc} AS d
+      FROM sub q JOIN c1 c USING (m) WHERE q.vec_id < 8
+    ),
+    adist AS (
+      SELECT dt.q_id, codes.c_id, CAST(sum(dt.d) AS BIGINT) AS adist
+      FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
+      WHERE dt.q_id <> codes.c_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY adist, c_id) AS rn
+      FROM adist
+    )
+    SELECT q_id, c_id, adist FROM ranked WHERE rn <= 5
+    """
+
+
+@register("pq_topk_embeddings", oracle=_pq_oracle())
+def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, FAISS's
+    billion-vector default): split each 64-dim embedding into 8
+    subvectors, k-means each subspace into 16 centroids (seeds = the
+    first 16 ids, one integer-mean Lloyd refinement — the
+    semantic_clusters convention keyed by subspace), encode every
+    vector as 8 codes (32× smaller than float32), and answer the first
+    8 queries by ASYMMETRIC DISTANCE: the query's exact distance to
+    every centroid (an 8×16-row table per query) summed over each
+    candidate's codes. Top-5 per query ascending, ties on c_id,
+    self-matches excluded. Everything is 2^20 fixed-point integer
+    arithmetic, so codebooks, codes, and distances hash identically
+    cross-engine — the DuckDB twin replays the full train→encode→ADC
+    chain.
+
+    Scale: codebook training touches M·K·dsub values in the update
+    shuffle; encoding is a broadcast(M·K centroids)+map pass; the ADC
+    join streams the CODES (M small ints/vector — why PQ is the
+    memory-bound scale path) against a broadcast |Q|·M·K distance
+    table, and the per-(q,c) sum is one partial-aggregated shuffle on
+    uniform keys. Compose with ivf_topk_embeddings' coarse cells for
+    FAISS IVF-PQ. Completes the ANN family: exact (knn_embeddings),
+    pruning (LSH/IVF), scalar compression (SQ8), vector compression
+    (this)."""
+    from stonkwhisperer_spark.operators.similarity import pq_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    return pq_topk(emb, F.col("vec_id") < 8, k=5, dim=_DIM)
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH buckets over embeddings (the ANN scale path).
 # --------------------------------------------------------------------------
 _N_PLANES, _DIM = 8, 64

@@ -71,10 +71,11 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 7: BPE encoding (learned-merge tokenization) and
-    #    MERGE schema evolution --
+    # -- new in round 7: BPE encoding (learned-merge tokenization),
+    #    MERGE schema evolution, product-quantization ANN --
     "bpe_encode",
     "txlog_merge_evolve",
+    "pq_topk_embeddings",
     # -- changed in round 7 (boundary-exact BPE fold, K-parameterized
     #    SemDeDup + norm guard, drain-until-caught-up streaming, clone
     #    rename-cycle replay, partial-bloom-map fix, opt-in MERGE
@@ -104,8 +105,8 @@ _GATE_ORDER: list[str] = [
     "region_revenue",
     # -- e2e smoke row for the round --
     "flows_e2e",
-    # -- backlog: newest green row is round 4 (25 of 43; the remaining
-    #    18 lead round 8's window) --
+    # -- backlog: newest green row is round 4 (24 of 43; the remaining
+    #    19 lead round 8's window) --
     "streaming_ohlcv",
     "streaming_join",
     "streaming_sessions",

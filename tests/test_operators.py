@@ -649,3 +649,52 @@ def test_semantic_dedup_parameterized_k(spark):
     )
     default_rows = semantic_clusters_frame(spark, sf).collect()
     assert len(default_rows) == n
+
+
+def test_pq_topk_recall(spark):
+    """Product quantization must preserve neighbor structure: the PQ
+    top-5 per query (8 subspaces x 16 centroids, asymmetric distance)
+    overlaps the exact squared-L2 top-5 by a measured floor on 64-dim
+    random vectors, and the learned codebook is M*K rows of dsub-length
+    integer centroids."""
+    import random
+
+    from stonkwhisperer_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codebooks,
+        pq_subvectors,
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in pq_topk(df, F.col("vec_id") < 6, k=5, dim=dim).collect()
+    }
+    # Exact squared-L2 reference (PQ's metric), computed driver-side.
+    vecs = dict(rows)
+    exact = set()
+    for qid in range(6):
+        scores = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[cid])), cid)
+                for cid in vecs
+                if cid != qid
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        exact.update((qid, cid) for _, cid in scores[:5])
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.3, f"PQ recall {recall} below floor"
+    cb = pq_codebooks(
+        pq_subvectors(df, dim=dim), dim // PQ_M
+    ).collect()
+    assert len(cb) <= PQ_M * PQ_K
+    assert {r["m"] for r in cb} == set(range(PQ_M))
+    assert all(len(r["cv"]) == dim // PQ_M for r in cb)
