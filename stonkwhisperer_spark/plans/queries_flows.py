@@ -1776,12 +1776,17 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(spark, source, F.col("doc_id") < 10)
         replica = f"{scratch}/replica"
 
-        from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+        from stonkwhisperer_spark.streaming.jobs import (
+            enable_available_now_wrapper,
+            run_available_now,
+        )
+
+        enable_available_now_wrapper(spark)
 
         def run(ckpt: str) -> None:
-            # processingTime + drain_until_caught_up: the Python-source
-            # bridge downgrades availableNow to a single batch (warning
-            # noise, and a silent stop-short under maxCommitsPerTrigger).
+            # Unratelimited subscription → native availableNow via the
+            # wrapper; run_available_now asserts the drain covered the
+            # head (drain_until_caught_up remains the rate-limited path).
             with _stream_shuffle_width(spark):
                 q = start_cdc_apply_stream(
                     spark,
@@ -1790,9 +1795,8 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["doc_id"],
                     "replicator",
                     ckpt,
-                    processing_time="0 seconds",
                 )
-                drain_until_caught_up(q, source, timeout_sec=300)
+                run_available_now(q, source, timeout_sec=300)
 
         run(f"{scratch}/ckpt1")
         first = read_committed(spark, replica).count()
@@ -1828,10 +1832,13 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_commit_version``. Drained availableNow into an append-mode memory
     sink and hash-compared to the identical DuckDB relation, proving
     batch replay and streaming subscription agree row-for-row (and that
-    compaction rewrites stay invisible to subscribers). (Spark's Python
-    micro-batch bridge downgrades availableNow to single-batch execution
-    — correct here because every commit exists before the stream starts;
-    a live tail would run the processingTime trigger instead.)
+    compaction rewrites stay invisible to subscribers). Drained under
+    TRUE ``Trigger.AvailableNow`` semantics via Spark's
+    ``triggerAvailableNowWrapper`` (see
+    ``streaming.jobs.enable_available_now_wrapper``): the wrapper
+    captures the head commit version at start, the single batch covers
+    exactly that backlog, and ``run_available_now`` asserts coverage.
+    A live tail would run a processingTime trigger instead.
 
     Scale: offset resolution is O(#commits) driver-side metadata; the
     data plane schedules exactly the files the polled commits added —
@@ -1861,20 +1868,25 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("startingVersion", v1 + 1)
             .load()
         )
-        from stonkwhisperer_spark.streaming.jobs import drain_until_caught_up
+        from stonkwhisperer_spark.streaming.jobs import (
+            enable_available_now_wrapper,
+            run_available_now,
+        )
 
+        enable_available_now_wrapper(spark)
         with _stream_shuffle_width(spark):
             q = (
                 feed.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
                 .option("checkpointLocation", f"{scratch}/ckpt")
-                .trigger(processingTime="0 seconds")
+                .trigger(availableNow=True)
                 .start()
             )
-            # drain-until-caught-up instead of availableNow: the Python
-            # source bridge downgrades availableNow to single-batch.
-            drain_until_caught_up(q, target, timeout_sec=300)
+            # Native availableNow via the wrapper (unratelimited
+            # subscription → the single captured-target batch covers the
+            # whole backlog); run_available_now asserts full coverage.
+            run_available_now(q, target, timeout_sec=300)
         rows = spark.table(name).select("doc_id", "source", "_commit_version").collect()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

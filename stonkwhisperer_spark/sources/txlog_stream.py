@@ -120,13 +120,15 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # (the reference polls newest-first LIMIT 100,
         # extraction.py:116-119). Without it, a catch-up subscription on
         # a long-history table plans EVERY commit into one giant batch.
-        # Use with a processingTime trigger: the Python micro-batch
-        # bridge downgrades availableNow to single-batch execution,
-        # which would stop after the first rate-limited slice. For
-        # batch-shaped "drain the backlog then stop" runs, pair the
-        # processingTime trigger with
-        # streaming.jobs.drain_until_caught_up, which loops
-        # micro-batches until the end offset covers every commit.
+        # Use ONLY with a processingTime trigger +
+        # streaming.jobs.drain_until_caught_up: no availableNow path
+        # honors a hand-rolled rate limit — the plain bridge downgrades
+        # to one micro-batch (one slice, silent stop-short) and the
+        # triggerAvailableNowWrapper captures the FIRST latestOffset()
+        # slice as its final target (same stop-short; pinned by
+        # tests/test_streaming.py). Unratelimited subscriptions get
+        # true availableNow via enable_available_now_wrapper +
+        # run_available_now, which asserts the drain covered the head.
         raw = opts.get("maxcommitspertrigger")
         self._max_commits = int(raw) if raw is not None else None
         if self._max_commits is not None and self._max_commits < 1:

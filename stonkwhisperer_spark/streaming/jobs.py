@@ -286,43 +286,137 @@ def join_streams_time_bounded(
     )
 
 
+def enable_available_now_wrapper(spark: SparkSession) -> None:
+    """Turn on Spark's ``AvailableNowDataStreamWrapper`` for sources —
+    like every Python data source (``PythonMicroBatchStream`` does not
+    implement ``SupportsTriggerAvailableNow``; verified against the
+    Spark 4.1.2 class files) — that would otherwise downgrade
+    ``Trigger.AvailableNow`` to single-batch execution with a WARN.
+    With the wrapper, an UNratelimited txlog CDC subscription under
+    ``availableNow`` captures the head commit version at start, drains
+    to exactly that offset, and terminates natively — no drain-polling
+    helper, no downgrade warning.
+
+    The wrapper's own one-line activation WARN advises "extreme care"
+    because it assumes the delegate's ``latestOffset`` is deterministic
+    and replay-stable. The txlog source's offsets are committed log
+    versions — deterministic by construction (CAS-committed, replayed
+    via ``partitions(start, end)``) — so the advisory does not apply;
+    we suppress that single logger rather than the message class it
+    guards. DO NOT combine the wrapper with ``maxCommitsPerTrigger``:
+    the wrapper treats the FIRST ``latestOffset()`` result as the final
+    target, so a rate-limited reader stops after one slice (verified
+    empirically; ``tests/test_streaming.py`` pins the behavior). Rate-
+    limited drains use ``processingTime`` + :func:`drain_until_caught_up`;
+    :func:`run_available_now` raises loudly if a stream stopped short."""
+    spark.conf.set("spark.sql.streaming.triggerAvailableNowWrapper.enabled", "true")
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.runtime."
+            "AvailableNowMicroBatchStreamWrapper",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — cosmetic; the conf is what matters
+        pass
+
+
+def parse_offset(eo) -> dict | None:
+    """Parse a streaming-progress endOffset into a dict, or None if it
+    isn't one. The Python-source bridge serializes offsets as JSON or
+    dict-repr strings depending on path; malformed/foreign entries
+    degrade to None (ADVICE r7: never let a progress sample raise an
+    unrelated AttributeError inside a poll loop)."""
+    import ast as _ast
+    import json as _json
+
+    if isinstance(eo, dict):
+        return eo
+    if not isinstance(eo, str):
+        return None
+    try:
+        off = _json.loads(eo)
+    except _json.JSONDecodeError:
+        try:
+            off = _ast.literal_eval(eo)
+        except (ValueError, SyntaxError):
+            return None
+    return off if isinstance(off, dict) else None
+
+
+def run_available_now(
+    query: StreamingQuery,
+    table_path: str,
+    timeout_sec: float = 300.0,
+) -> int:
+    """Await an ``availableNow``-triggered txlog CDC stream (started
+    under :func:`enable_available_now_wrapper`) and VERIFY it drained
+    the whole backlog: after natural termination, the last completed
+    batch's end offset must cover every commit present at call time.
+    The assert is the guard against the wrapper's one known footgun —
+    a rate-limited reader silently stopping after its first slice.
+    Returns the commit version reached.
+
+    Scale: one driver-side blocking await plus O(1) log metadata; no
+    polling, no empty micro-batches — the wrapper terminates the query
+    the moment the captured offset is reached."""
+    from stonkwhisperer_spark.sinks.writers import _committed_version
+
+    head = _committed_version(table_path)
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"availableNow stream over {table_path} still running after "
+            f"{timeout_sec}s"
+        )
+    exc = query.exception()
+    if exc is not None:
+        raise exc
+    reached = -1
+    p = query.lastProgress
+    if p and p.get("sources"):
+        off = parse_offset(p["sources"][0].get("endOffset"))
+        if off is not None:
+            reached = int(off.get("version", -1))
+    if reached < head:
+        raise AssertionError(
+            f"availableNow stream over {table_path} terminated at commit "
+            f"version {reached} but the head is {head} — stopped short "
+            "(rate-limited reader under the availableNow wrapper? use "
+            "processingTime + drain_until_caught_up for that path)"
+        )
+    return reached
+
+
 def drain_until_caught_up(
     query: StreamingQuery,
     table_path: str,
     timeout_sec: float = 300.0,
     poll_sec: float = 0.05,
 ) -> int:
-    """Drain-until-caught-up for the txlog CDC source — the
-    ``Trigger.AvailableNow`` the Python data-source bridge doesn't
-    give us: Spark downgrades availableNow to ONE micro-batch for
-    Python ``DataSourceStreamReader`` sources ("does not support
-    Trigger.AvailableNow. Falling back to single batch"), and with
-    ``maxCommitsPerTrigger`` that single batch covers one rate-limited
-    SLICE of the backlog, silently stopping short.
+    """Drain-until-caught-up for a RATE-LIMITED txlog CDC subscription
+    (``maxCommitsPerTrigger`` set). Unratelimited drains should use
+    ``Trigger.AvailableNow`` + :func:`enable_available_now_wrapper` +
+    :func:`run_available_now` instead — native single-batch drain, no
+    polling. This helper exists because no availableNow path can honor
+    the rate limit: the plain bridge downgrades to ONE micro-batch (one
+    slice, silent stop-short) and the wrapper captures the first
+    ``latestOffset()`` slice as its final target (same stop-short,
+    verified empirically).
 
-    Start the stream with a ``processingTime`` trigger instead (e.g.
+    Start the stream with a ``processingTime`` trigger (e.g.
     ``processing_time="0 seconds"``) and call this helper: it blocks
     until a COMPLETED micro-batch's end offset covers every commit
-    present at call time — honoring the rate limit, which simply
-    spreads the backlog over several micro-batches — then stops the
-    query. Returns the commit version reached. Raises the query's own
-    exception if it fails, or TimeoutError past ``timeout_sec``.
+    present at call time — the rate limit simply spreads the backlog
+    over several micro-batches — then stops the query. Returns the
+    commit version reached. Raises the query's own exception if it
+    fails, or TimeoutError past ``timeout_sec``.
 
     Scale: pure driver-side progress polling — no extra Spark jobs, no
     data reads beyond what the stream itself plans."""
-    import ast as _ast
-    import json as _json
     import time as _time
 
     from stonkwhisperer_spark.sinks.writers import _committed_version
-
-    def _parse(eo):
-        if not isinstance(eo, str):
-            return eo
-        try:  # the Python-source bridge serializes offsets as dict repr
-            return _json.loads(eo)
-        except _json.JSONDecodeError:
-            return _ast.literal_eval(eo)
 
     head = _committed_version(table_path)
     deadline = _time.monotonic() + timeout_sec
@@ -334,9 +428,8 @@ def drain_until_caught_up(
                 raise exc
             p = query.lastProgress
             if p and p.get("sources"):
-                eo = p["sources"][0].get("endOffset")
-                if eo is not None:
-                    off = _parse(eo)
+                off = parse_offset(p["sources"][0].get("endOffset"))
+                if off is not None:
                     reached = int(off.get("version", -1))
                     if reached >= head:
                         return reached

@@ -479,3 +479,116 @@ def test_drain_until_caught_up_raises_stream_failure(spark, tmp_path):
     with pytest.raises(Exception, match="sink exploded|Terminated with exception"):
         drain_until_caught_up(q, target, timeout_sec=60)
     assert not q.isActive
+
+
+def test_available_now_wrapper_full_drain(spark, tmp_path):
+    """VERDICT-r7 task 7 (amended): PythonMicroBatchStream never
+    implements SupportsTriggerAvailableNow (true for the full AND the
+    Simple reader — the simple reader is wrapped into the same JVM
+    class), so bridge-native availableNow comes from Spark's
+    triggerAvailableNowWrapper instead. An UNratelimited txlog
+    subscription under the wrapper drains the whole backlog in one
+    captured-target batch and terminates natively; run_available_now
+    verifies coverage."""
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+    )
+    from stonkwhisperer_spark.streaming.jobs import (
+        enable_available_now_wrapper,
+        run_available_now,
+    )
+
+    target = str(tmp_path / "t")
+    for i in range(5):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([(i, f"v{i}")], "k long, s string"),
+            ["k"],
+        )
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:
+        pass
+    enable_available_now_wrapper(spark)
+    q = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .load()
+        .writeStream.format("memory")
+        .queryName("wrapper_full_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    reached = run_available_now(q, target, timeout_sec=120)
+    assert reached == 5
+    assert not q.isActive  # wrapper terminated the query natively
+    assert spark.table("wrapper_full_drain").count() == 5
+
+
+def test_available_now_wrapper_rate_limited_stops_short(spark, tmp_path):
+    """Pins the wrapper's one footgun so a Spark behavior change is
+    noticed: with a hand-rolled rate limit (maxCommitsPerTrigger) the
+    wrapper captures the FIRST latestOffset() slice as its final
+    target and stops short — which run_available_now must turn into a
+    loud AssertionError, never a silent partial table. Rate-limited
+    drains therefore stay on processingTime + drain_until_caught_up
+    (test_drain_until_caught_up_rate_limited)."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import merge_append
+    from stonkwhisperer_spark.sources.txlog_stream import (
+        TxlogChangeFeedDataSource,
+    )
+    from stonkwhisperer_spark.streaming.jobs import (
+        enable_available_now_wrapper,
+        run_available_now,
+    )
+
+    target = str(tmp_path / "t")
+    for i in range(6):
+        merge_append(
+            spark,
+            target,
+            spark.createDataFrame([(i, f"v{i}")], "k long, s string"),
+            ["k"],
+        )
+    try:
+        spark.dataSource.register(TxlogChangeFeedDataSource)
+    except Exception:
+        pass
+    enable_available_now_wrapper(spark)
+    q = (
+        spark.readStream.format("stonkw_txlog_cdc")
+        .option("path", target)
+        .option("maxCommitsPerTrigger", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("wrapper_stops_short")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(AssertionError, match="stopped short"):
+        run_available_now(q, target, timeout_sec=120)
+    # the stop-short itself: exactly one 2-commit slice was drained
+    assert spark.table("wrapper_stops_short").count() == 2
+
+
+def test_parse_offset_degrades_gracefully():
+    """ADVICE r7: malformed or foreign progress endOffset entries must
+    degrade to None (continued polling / timeout), never raise inside
+    the poll loop."""
+    from stonkwhisperer_spark.streaming.jobs import parse_offset
+
+    assert parse_offset({"version": 3}) == {"version": 3}
+    assert parse_offset('{"version": 3}') == {"version": 3}
+    assert parse_offset("{'version': 3}") == {"version": 3}  # dict repr
+    assert parse_offset("[1, 2]") is None  # parses, not a dict
+    assert parse_offset("not an offset {") is None  # unparseable
+    assert parse_offset(7) is None
+    assert parse_offset(None) is None
