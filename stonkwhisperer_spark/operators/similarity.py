@@ -287,6 +287,38 @@ def ivf_assign(
     )
 
 
+def ivf_probe(
+    queries: DataFrame,
+    centroids: DataFrame,
+    probes: int,
+    q_id: str = "q_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-query probe list: the ``probes`` nearest centroid cells by
+    cosine (ties → smallest cell). Returns (q_id, _qv, _qn, cell) — the
+    query vector and norm ride along so candidate scoring needs no
+    re-join. Centroids broadcast; the ranking window partitions on the
+    (small) query set only."""
+    c = centroids.select(
+        F.col("cent_id"), F.col(vec).alias("_cv"), norm_unrolled(vec, dim).alias("_cn")
+    )
+    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), norm_unrolled(vec, dim).alias("_qn"))
+    qscore = q.crossJoin(F.broadcast(c)).select(
+        q_id,
+        "_qv",
+        "_qn",
+        F.col("cent_id").alias("cell"),
+        (dot_unrolled("_qv", "_cv", dim) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    wq = W.partitionBy(q_id).orderBy(F.desc("_cos"), F.col("cell"))
+    return (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= probes)
+        .select(q_id, "_qv", "_qn", "cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     vecs: DataFrame,
@@ -310,23 +342,7 @@ def ivf_topk(
     shuffle. Recall < 1 by construction; raise ``probes`` to trade
     compute for recall (nprobe in FAISS terms)."""
     assign = ivf_assign(vecs, centroids, id_col=c_id, vec=vec, dim=dim)
-    c = centroids.select(
-        F.col("cent_id"), F.col(vec).alias("_cv"), norm_unrolled(vec, dim).alias("_cn")
-    )
-    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"), norm_unrolled(vec, dim).alias("_qn"))
-    qscore = q.crossJoin(F.broadcast(c)).select(
-        q_id,
-        "_qv",
-        "_qn",
-        F.col("cent_id").alias("cell"),
-        (dot_unrolled("_qv", "_cv", dim) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
-    )
-    wq = W.partitionBy(q_id).orderBy(F.desc("_cos"), F.col("cell"))
-    probe = (
-        qscore.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= probes)
-        .select(q_id, "_qv", "_qn", "cell")
-    )
+    probe = ivf_probe(queries, centroids, probes, q_id=q_id, vec=vec, dim=dim)
     scored = (
         assign.join(F.broadcast(probe), "cell")
         .filter(F.col(q_id) != F.col(c_id))
@@ -562,17 +578,15 @@ def pq_topk(
     reason PQ is the billion-vector default); the distance TABLE is
     |Q|·M·K rows broadcast into a map-only join against the codes, and
     the per-(q, c) sum is one partial-aggregated shuffle keyed on
-    uniform ids. Compose with IVF bucketing for FAISS IVF-PQ: coarse
-    cells prune candidates, PQ codes score the survivors."""
+    uniform ids. :func:`ivfpq_topk` is the IVF composition (FAISS
+    IVF-PQ): coarse cells prune candidates, PQ codes score survivors."""
     dsub = dim // PQ_M
     sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
     cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
     codes = _pq_assign(sub, cents, dsub).select(
         F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
     )
-    qsub = pq_subvectors(vecs.filter(query_pred), id_col, vec, dim).select(
-        F.col(id_col).alias("q_id"), "m", "sv"
-    )
+    qsub = _pq_query_sub(vecs, sub, query_pred, id_col, vec, dim)
     dt = qsub.join(F.broadcast(cents), "m").select(
         "q_id",
         "m",
@@ -582,6 +596,108 @@ def pq_topk(
     adist = (
         codes.join(F.broadcast(dt), ["m", "code"])
         .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d").cast("bigint").alias("adist"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("adist"), F.col("c_id"))
+    return (
+        adist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _pq_query_sub(
+    vecs: DataFrame,
+    sub: DataFrame,
+    query_pred: Column,
+    id_col: str,
+    vec: str,
+    dim: int,
+) -> DataFrame:
+    """Query-side subvectors as (q_id, m, sv). When ``query_pred`` only
+    references columns present on the already-checkpointed subvector
+    frame (the common id-only case), filter THAT instead of re-running
+    the quantization chain on the vector table (ADVICE r7) — resolved
+    by attempting the cheap plan and falling back on analysis failure."""
+    try:
+        return sub.filter(query_pred).select(
+            F.col(id_col).alias("q_id"), "m", "sv"
+        )
+    except Exception:  # noqa: BLE001 — predicate needs vector-table columns
+        return pq_subvectors(vecs.filter(query_pred), id_col, vec, dim).select(
+            F.col(id_col).alias("q_id"), "m", "sv"
+        )
+
+
+def ivfpq_topk(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF×PQ — the FAISS IVF-PQ billion-vector default, composed from
+    the two legs this module already ships: the IVF coarse quantizer
+    prunes the candidate set to each query's ``probes`` nearest cells,
+    and PQ asymmetric distance scores ONLY those survivors through
+    their 8-code compressed forms. Returns (q_id, c_id, adist)
+    ascending, ties on c_id, self-matches excluded. PQ encodes the raw
+    vectors, not cell residuals (FAISS ``by_residual=false``) — one
+    corpus-wide codebook set keeps the distance tables |Q|·M·K and the
+    whole chain integer-exact (2^20 fixed-point), so a SQL twin
+    replays train → encode → prune → ADC to the bit; the coarse
+    probe/assign side is the same order-fixed double cosine as
+    :func:`ivf_topk`.
+
+    Scale — what the composition buys at 10⁹+ vectors: uncomposed
+    ``pq_topk`` is still a LINEAR scan (every vector's codes meet every
+    query's distance table); here the ADC join and its per-(q,c)
+    partial-aggregated sum touch probes·avg_cell candidates per query
+    instead of N. Costs stay: one broadcast(|C| centroids)+map
+    assignment shuffle, one broadcast(M·K)+map encode pass, then the
+    pruned ADC. Memory stays M bytes/vector (32×) — prune-side AND
+    compression-side levers at once, which is why this configuration
+    is the one a 100 TB embedding corpus actually runs."""
+    dsub = dim // PQ_M
+    assign = ivf_assign(vecs, centroids, id_col=id_col, vec=vec, dim=dim).select(
+        F.col(id_col).alias("c_id"), "cell"
+    )
+    probe = ivf_probe(
+        vecs.filter(query_pred).select(F.col(id_col).alias("q_id"), vec),
+        centroids,
+        probes,
+        vec=vec,
+        dim=dim,
+    ).select("q_id", "cell")
+    sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
+    cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents, dsub).select(
+        F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
+    )
+    qsub = _pq_query_sub(vecs, sub, query_pred, id_col, vec, dim)
+    dt = qsub.join(F.broadcast(cents), "m").select(
+        "q_id",
+        "m",
+        F.col("cid").alias("code"),
+        sqdist_unrolled_int("sv", "cv", dsub).alias("d"),
+    )
+    # Prune FIRST, map-side: the probe list broadcasts into the coarse
+    # assignment, so the (q_id, c_id) candidate set — probes·avg_cell
+    # rows per query — exists BEFORE the codes table is touched; only
+    # then do the survivors' codes meet the broadcast distance table
+    # (AQE broadcasts the candidate side of the codes join when small).
+    candidates = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    adist = (
+        codes.join(candidates, "c_id")
+        .join(F.broadcast(dt), ["q_id", "m", "code"])
         .groupBy("q_id", "c_id")
         .agg(F.sum("d").cast("bigint").alias("adist"))
     )

@@ -632,6 +632,126 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF×PQ — the composed FAISS IVF-PQ configuration (VERDICT r7 task 3):
+# coarse cells prune candidates, PQ codes score the survivors.
+# --------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    d_sc = _PQ_DIST.format(a="s.sv", b="c.cv")
+    d_qc = _PQ_DIST.format(a="q.sv", b="c.cv")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS cn
+      FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vn
+      FROM embeddings
+    ),
+    ascore AS (
+      SELECT v.vec_id, c.cent_id,
+             {_DOT.format(a='v.embedding', b='c.cv')} / (v.vn * c.cn) AS cos
+      FROM v, cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        FROM ascore) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT vec_id AS q_id, cent_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        FROM ascore WHERE vec_id < 8) WHERE rn <= 2
+    ),
+    candidates AS (
+      SELECT p.q_id, a.vec_id AS c_id
+      FROM assign a JOIN probe p USING (cell)
+      WHERE a.vec_id <> p.q_id
+    ),
+    q0 AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m, qv[m*8+1 : m*8+8] AS sv
+      FROM q0, range(0, 8) t(m)
+    ),
+    c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+    a1 AS (
+      SELECT s.vec_id, s.m, min({d_sc} * 16 + c.cid) % 16 AS cluster
+      FROM sub s JOIN c0 c USING (m) GROUP BY s.vec_id, s.m
+    ),
+    dims AS (
+      SELECT a.m, a.cluster, t.i,
+             CAST(sum(s.sv[t.i]) // count(*) AS BIGINT) AS cval
+      FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+           unnest(range(1, 9)) AS t(i)
+      GROUP BY a.m, a.cluster, t.i
+    ),
+    c1 AS (
+      SELECT m, cluster AS cid, list(cval ORDER BY i) AS cv
+      FROM dims GROUP BY m, cluster
+    ),
+    codes AS (
+      SELECT s.vec_id AS c_id, s.m, min({d_sc} * 16 + c.cid) % 16 AS code
+      FROM sub s JOIN c1 c USING (m) GROUP BY s.vec_id, s.m
+    ),
+    dt AS (
+      SELECT q.vec_id AS q_id, q.m, c.cid AS code, {d_qc} AS d
+      FROM sub q JOIN c1 c USING (m) WHERE q.vec_id < 8
+    ),
+    adist AS (
+      SELECT cd.q_id, cd.c_id, CAST(sum(dt.d) AS BIGINT) AS adist
+      FROM candidates cd
+      JOIN codes ON codes.c_id = cd.c_id
+      JOIN dt ON dt.q_id = cd.q_id AND dt.m = codes.m AND dt.code = codes.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY adist, c_id) AS rn
+      FROM adist
+    )
+    SELECT q_id, c_id, adist FROM ranked WHERE rn <= 5
+    """
+
+
+@register("ivfpq_topk_embeddings", oracle=_ivfpq_oracle())
+def q_ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed (FAISS IVF-PQ, the billion-vector default the
+    pq_topk docstring promised): the SAME deterministic coarse
+    quantizer as ivf_topk_embeddings (centroids = every 64th vec_id,
+    cells average ~64 vectors, queries probe their 2 nearest cells)
+    prunes the candidate set, and the SAME 8×16 product-quantization
+    chain as pq_topk_embeddings (2^20 fixed-point train → encode →
+    asymmetric distance) scores ONLY the survivors. Top-5 per query
+    ascending adist, ties on c_id, self-matches excluded. PQ encodes
+    raw vectors, not cell residuals (FAISS by_residual=false), keeping
+    one corpus-wide codebook set and bit-exact cross-engine replay —
+    the DuckDB twin runs the full coarse-prune × PQ-ADC composition.
+
+    Scale: this is the configuration that fixes pq_topk_embeddings'
+    acknowledged linear-scan gap — the ADC aggregation touches
+    probes·avg_cell candidates per query instead of every vector,
+    while memory stays M bytes/vector (32×). Broadcasts: coarse
+    centroids (|V|/64 rows), probe list (|Q|·probes), PQ codebooks
+    (M·K), distance tables (|Q|·M·K); the only non-broadcast joins
+    shuffle the codes/candidate sides on uniform ids. Recall vs the
+    brute-force baseline is pinned in tests/test_operators.py."""
+    from stonkwhisperer_spark.operators.similarity import ivfpq_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    return ivfpq_topk(emb, cents, F.col("vec_id") < 8, k=5, probes=2, dim=_DIM)
+
+
+# --------------------------------------------------------------------------
 # Fuzzy dedup: SimHash-bucketed candidate pairs verified by edit
 # distance — the classic two-stage "cheap blocking + exact verify"
 # shape with levenshtein as the verifier.

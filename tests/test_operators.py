@@ -698,3 +698,59 @@ def test_pq_topk_recall(spark):
     assert len(cb) <= PQ_M * PQ_K
     assert {r["m"] for r in cb} == set(range(PQ_M))
     assert all(len(r["cv"]) == dim // PQ_M for r in cb)
+
+def test_ivfpq_topk_recall_and_pruning(spark):
+    """IVF×PQ (VERDICT r7 task 3) must (a) preserve neighbor structure
+    vs the exact squared-L2 reference on random vectors, and (b) be a
+    true PRUNING of the full-scan PQ ranking: every IVF×PQ hit either
+    appears in the uncomposed pq_topk result at the same adist or was
+    ranked into the top-k because cell pruning removed higher-ranked
+    candidates — so any (q, c) pair present in BOTH results must carry
+    the IDENTICAL integer distance (same codebooks, same codes)."""
+    import random
+
+    from stonkwhisperer_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    rng = random.Random(11)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") % 32 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    composed = {
+        (r["q_id"], r["c_id"]): r["adist"]
+        for r in ivfpq_topk(
+            df, cents, F.col("vec_id") < 6, k=5, probes=3, dim=dim
+        ).collect()
+    }
+    full = {
+        (r["q_id"], r["c_id"]): r["adist"]
+        for r in pq_topk(df, F.col("vec_id") < 6, k=5, dim=dim).collect()
+    }
+    # (b) shared pairs carry identical integer ADC distances
+    shared = set(composed) & set(full)
+    assert shared, "composition shares no pairs with full-scan PQ"
+    assert all(composed[p] == full[p] for p in shared)
+    # (a) recall floor vs the exact squared-L2 top-5
+    vecs = dict(rows)
+    exact = set()
+    for qid in range(6):
+        scores = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[cid])), cid)
+                for cid in vecs
+                if cid != qid
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        exact.update((qid, cid) for _, cid in scores[:5])
+    recall = len(set(composed) & exact) / len(exact)
+    assert recall >= 0.2, f"IVF×PQ recall {recall} below floor"
+    # every query produced a full k (cells at probes=3 hold enough)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in composed)
+    assert all(per_q[q] == 5 for q in range(6)), per_q

@@ -22,6 +22,7 @@ SIDE_EFFECTING = {"flows_e2e", "sentiment_scores", "streaming_ohlcv"}
 BNLJ_ALLOWED = {
     "knn_embeddings": 1,          # |Q|-row query set broadcast
     "ivf_topk_embeddings": 2,     # centroid set into quantizer + probes
+    "ivfpq_topk_embeddings": 2,   # same centroid broadcasts (assign + probe)
     "idle_rich_customers": 1,     # 1-row AVG threshold
     "part_value_share": 1,        # 1-row global-share threshold
     "top_supplier_revenue": 1,    # 1-row MAX threshold
