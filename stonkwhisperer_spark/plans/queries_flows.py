@@ -1989,6 +1989,128 @@ def q_txlog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txlog_e2e_state — the HASH companion to txlog_e2e (VERDICT r7 task 8):
+# the same merge → race → compaction → vacuum lifecycle, but the result
+# is the lifecycle's full OBSERVABLE STATE as a deterministic relation —
+# CDC feed, time-travel snapshot, final snapshot — hash-compared to a
+# DuckDB twin that replays the commit semantics relationally.
+# --------------------------------------------------------------------------
+_TXLOG_E2E_STATE_ORACLE = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 100),
+-- merge_append inserts only NEW keys (anti-join): commit 1 = ids < 40,
+-- commit 2 = the 40..79 remainder, commit 3 = the RACER's 80..99 win;
+-- the losing merge retries to a no-op and commits nothing; the
+-- compaction commit (v4) never appears in the feed.
+cdc AS (
+  SELECT 'cdc' AS stage, doc_id, source,
+         CASE WHEN doc_id < 40 THEN 1
+              WHEN doc_id < 80 THEN 2
+              ELSE 3 END AS commit_version
+  FROM d
+),
+tt AS (
+  SELECT 'timetravel_v1' AS stage, doc_id, source,
+         CAST(1 AS BIGINT) AS commit_version
+  FROM d WHERE doc_id < 40
+),
+snap AS (
+  SELECT 'snapshot' AS stage, doc_id, source,
+         CAST(NULL AS BIGINT) AS commit_version
+  FROM d
+)
+SELECT * FROM cdc
+UNION ALL SELECT * FROM tt
+UNION ALL SELECT * FROM snap
+"""
+
+
+@register("txlog_e2e_state", oracle=_TXLOG_E2E_STATE_ORACLE)
+def q_txlog_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txlog_e2e's lifecycle with its end state under the VALUE HASH
+    (txlog_e2e itself is rows-only by design — side-effecting, its
+    relation is an audit row): replay merge(ids<40) → merge(ids<80) →
+    racing merge(ids<100) where the in-flight loser retries to a no-op
+    → compaction → vacuum on a scratch table, then return three
+    stage-tagged projections of what a reader OBSERVES — the typed CDC
+    feed from version 0 (each insert tagged with its originating
+    commit), the time-travel read at v1 (taken pre-vacuum, inside the
+    retention window), and the final committed snapshot (post-vacuum).
+    The DuckDB twin derives the identical relation from the documents
+    table and the commit semantics alone, so a hash match proves:
+    anti-join merge keeps first-writer-wins key ownership, the CAS race
+    resolves to one 20-row winner and a commit-less no-op loser,
+    compaction rewrites never surface in the feed, vacuum reclaims
+    without damaging the snapshot, and time travel reproduces v1.
+
+    Scale: the lifecycle is O(1) driver-side log I/O + bounded writes;
+    the returned relation is 240 rows collected before scratch
+    cleanup."""
+    import shutil
+    import tempfile
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        compact,
+        merge_append,
+        read_committed,
+        table_changes,
+        vacuum_orphans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_state_")
+    try:
+        target = f"{scratch}/t"
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+        v1 = _committed_version(target)
+        merge_append(spark, target, docs.filter(F.col("doc_id") < 80), ["doc_id"])
+        race: dict[str, int] = {}
+
+        def racer() -> None:
+            if not race:
+                race["n"] = merge_append(
+                    spark, target, docs.filter(F.col("doc_id") < 100), ["doc_id"]
+                )
+
+        merge_append(
+            spark,
+            target,
+            docs.filter(F.col("doc_id") < 100),
+            ["doc_id"],
+            _pre_commit_hook=racer,
+        )
+        compact(spark, target)
+
+        def staged(df: DataFrame, stage: str, version) -> DataFrame:
+            return df.select(
+                F.lit(stage).alias("stage"),
+                "doc_id",
+                "source",
+                version.cast("bigint").alias("commit_version"),
+            )
+
+        cdc = staged(
+            table_changes(spark, target, from_version=0, with_version=True),
+            "cdc",
+            F.col("_commit_version"),
+        )
+        tt = staged(
+            read_committed(spark, target, version=v1), "timetravel_v1", F.lit(v1)
+        )
+        # Time travel must be OBSERVED (collected) pre-vacuum: vacuum
+        # reclaims the compaction-replaced files v1 still references.
+        rows = cdc.unionByName(tt).collect()
+        vacuum_orphans(target)
+        snap = staged(read_committed(spark, target), "snapshot", F.lit(None))
+        rows += snap.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, doc_id bigint, source string, commit_version bigint"
+    )
+
+
+# --------------------------------------------------------------------------
 # txlog_skipping — zone-map data skipping on the transaction log under
 # the value hash: range reads open only the files whose commit-time
 # min/max stats admit the predicate, asserted in-query.
