@@ -40,26 +40,43 @@ def jaccard_pairs(
     postings: (id, shingle) with distinct shingles per doc.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
 
-    Scale: the self-join is an inverted-index join — cost is
-    Σ_shingle df(shingle)², so ubiquitous shingles are the hot spot.
-    ``max_doc_freq`` drops shingles appearing in more than that many
-    docs (stop-shingles carry no dedup signal but quadratic cost); at
-    100 TB prefer the MinHash/LSH path below.
+    Scale: grouped inverted index — the postings shuffle ONCE on
+    shingle into per-shingle sorted doc lists, and that grouped subtree
+    is shared by the pair generator AND the doc-size branch through
+    Catalyst Exchange reuse: one corpus pass, one shuffle, no
+    checkpoint pinning blocks in executor memory (this replaced both
+    the two-sided a⋈b self-join — which shuffled the postings twice —
+    and the caller-side localCheckpoint sharing). Candidate pairs are
+    generated MAP-SIDE from each list (i<j over the sorted ids, so
+    doc_a < doc_b by construction); cost is still Σ_shingle df², so
+    ubiquitous shingles are the hot spot — ``max_doc_freq`` drops
+    shingles above that document frequency (stop-shingles carry no
+    dedup signal but quadratic cost; the same rows one df-filter used
+    to remove via an extra count+semi-join pass, now a free size()
+    predicate on the grouped list). At 100 TB prefer the MinHash/LSH
+    path below.
     """
+    grouped = postings.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ds")
+    )
     if max_doc_freq is not None:
-        keep = (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
-        )
-        postings = postings.join(keep, "shingle", "left_semi")
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = postings.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = postings.select(F.col(id_col).alias("doc_b"), "shingle")
+        grouped = grouped.filter(F.size("_ds") <= max_doc_freq)
+    sizes = (
+        grouped.select(F.explode("_ds").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ds, (x, i) -> "
+                    "transform(slice(_ds, i + 2, size(_ds) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -246,6 +263,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     algorithm: str = "auto",
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into groups: connected components —
     the step that turns pairwise dedup output into canonical-document
@@ -275,6 +293,16 @@ def connected_components(
     Every round does a driver-side scalar convergence check and
     ``localCheckpoint`` to truncate lineage — the standard Spark shape
     for iterative graph algorithms (GraphFrames' CC does the same).
+    The checkpoint is LAZY: the convergence aggregation materializes it
+    in the SAME Spark job, halving the per-round job count (round-trip
+    latency is what an iterative driver loop actually pays at any
+    scale); the seed-label distinct likewise folds into round 1's job
+    instead of materializing separately.
+
+    ``dedup_edges=False`` skips the undirected-closure ``distinct()``
+    (one shuffle): pass it when the caller guarantees unique canonical
+    pairs (src < dst, no repeats) — e.g. the grouped Jaccard/MinHash
+    pair outputs, which aggregate per pair by construction.
 
     Scale: both engines shuffle O(|E|) rows per round on node keys;
     star's round count is O(log² n) worst-case vs label's O(diameter)."""
@@ -284,12 +312,17 @@ def connected_components(
     if algorithm == "star":
         labels, _ = _cc_star(e)
         return labels
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if dedup_edges:
+        und = und.distinct()
     und = und.localCheckpoint(eager=True)
+    # Distinct seed labels (a duplicated node would quadratically blow
+    # up round 1's propagation join) — but NOT materialized on its own:
+    # the distinct folds into round 1's job and the round's checkpoint
+    # truncates the lineage.
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    labels = labels.localCheckpoint(eager=True)
     prev: int | None = None
     converged = False
     for _ in range(max_iter):
@@ -298,7 +331,7 @@ def connected_components(
         )
         labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         total = labels.agg(F.sum("label")).collect()[0][0]
         if total == prev:
             converged = True

@@ -125,9 +125,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stonkwhisperer_spark.operators.dedup import connected_components
 
     pairs = jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
-    return connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    # dedup_edges=False: jaccard_pairs aggregates per canonical
+    # (doc_a < doc_b) pair, so the undirected closure is already
+    # duplicate-free — skip CC's safety distinct (one shuffle).
+    return connected_components(
+        pairs, "doc_a", "doc_b", dedup_edges=False
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 # --------------------------------------------------------------------------
@@ -869,9 +872,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("_len")
     )
     pairs = jaccard_pairs(_postings(spark, sf_dir), threshold=0.8)
-    clusters = connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    clusters = connected_components(
+        pairs, "doc_a", "doc_b", dedup_edges=False  # grouped pairs: unique
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
     rk = F.row_number().over(
         W.partitionBy("cluster_id").orderBy(F.col("_len").desc(), F.col("doc_id"))
     )
@@ -986,20 +989,24 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
 
     # Stage 2 first (it reads the full corpus): canonical-survivor kill
-    # list over the near-dup graph. The shingle posting list feeds
-    # THREE subplans inside jaccard_pairs (sizes, both join sides);
-    # materialize it ONCE via localCheckpoint instead of re-running the
-    # scan+clean+shingle chain per subplan — measured r7: steady-state
-    # wall time is a wash (~6.6 s either way, the subplans execute
-    # concurrently inside CC's edge-checkpoint job), but the lazy form
-    # TRIPLES the plan's codegen footprint (13.5 s vs 8.4 s cold), and
-    # at 100 TB one corpus pass beats three. (localCheckpoint, not
-    # cache: blocks are freed by the ContextCleaner when the frame
-    # drops out of scope.)
-    lengths = docs.select("doc_id", F.length("text").alias("_len"))
-    postings = _postings(spark, sf_dir).localCheckpoint(eager=True)
+    # list over the near-dup graph. r7 shared the shingle chain across
+    # jaccard_pairs' subplans via an explicit localCheckpoint; r8's
+    # grouped jaccard_pairs shares it STRUCTURALLY — both its consumers
+    # read the same groupBy(shingle) subtree, which Catalyst executes
+    # once and reuses as a ReusedExchange. One corpus pass, one
+    # shuffle, no checkpoint job and no pinned blocks.
+    # lengths skips the spread() exchange: length() is cheap enough to
+    # evaluate in the scan task — only the regex-heavy survivors side
+    # needs the repartition.
+    lengths = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_len")
+    )
+    postings = _postings(spark, sf_dir)
     clusters = connected_components(
-        jaccard_pairs(postings, threshold=0.8), "doc_a", "doc_b"
+        jaccard_pairs(postings, threshold=0.8),
+        "doc_a",
+        "doc_b",
+        dedup_edges=False,  # grouped pairs are unique by construction
     ).select(F.col("node").alias("doc_id"), "cluster_id")
     rk = F.row_number().over(
         W.partitionBy("cluster_id").orderBy(F.col("_len").desc(), F.col("doc_id"))
