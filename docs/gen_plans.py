@@ -41,6 +41,13 @@ NOTES = {
     "semantic_clusters": "Integer k-means: centroids are K-row broadcasts into a map-side argmin (partial-aggregated min over the dist*K+cid encoding); the update shuffle carries K x D integer partials; the 64-dim distance kernel is ONE codegen'd literal-indexed expression, no interpreted lambdas.",
     "semantic_dedup": "SemDeDup: candidate pairs generated per CLUSTER (join on the assignment key, never corpus x corpus); per-vector norms computed once before the pair join; dot and the integer cos^2 test are codegen'd unrolled expressions.",
     "near_dup_jaccard_prefix": "PPJoin-style exact join: the candidate self-join runs on PREFIX postings only (each doc's rarest n-ceil(0.8n)+1 shingles under the global df order), structurally excluding hot keys; verification joins full postings against the candidate set — O(candidates), hash-uniform shuffles throughout.",
+    "bpe_merges": "Batched BPE training (r8): per pass ONE map-only pair extraction + one partial-aggregated count, batch selection as an in-plan aggregate fold over a bounded top-64 array (no driver round trip), and the whole batch applied in one unit-array fold with a 1-row-map broadcast — corpus passes scale as merges/B.",
+    "bpe_encode": "Learn 2 batched passes then tokenize: merge application is one map-lookup fold per pass (batch broadcast as a map); the vocabulary-id window is single-partition over the BOUNDED vocab, re-joined to doc tokens as a broadcast; per-doc counting/ranking shuffle on uniform doc_id.",
+    "pq_topk_embeddings": "PQ ANN: codebook train is broadcast(M*K)+map with an integer argmin encoded as min(dist*K+cid); codes join the |Q|*M*K broadcast distance table map-side; the per-(q,c) ADC sum is one partial-aggregated shuffle on uniform ids. Full-scan ADC by design — ivfpq_topk_embeddings is the pruned composition.",
+    "txlog_merge_evolve": "MERGE schema evolution: the widened union schema is resolved driver-side from O(1) log metadata; the merge rewrites only files owning matched keys, and the evolved feed null-fills older files at scan time — no table rewrite, no full scan.",
+    "ivfpq_topk_embeddings": "IVF x PQ composed: coarse centroids broadcast into the assignment argmax (one partial-agg shuffle), the probe list broadcasts INTO the assignment so the (q,c) candidate set exists map-side BEFORE any code is read; only the survivors' codes meet the broadcast ADC table, then one partial-aggregated sum — probes*avg_cell work per query instead of a linear scan.",
+    "txlog_e2e_state": "Lifecycle relation: merges/compaction/vacuum are O(1) driver-side log I/O + bounded writes; the CDC feed opens only each commit's added files (one scan node per commit, never a table scan); the result is a 240-row collected relation.",
+    "curation_e2e": "Composed curation: the shingle chain is ONE corpus pass shared through the grouped-jaccard ReusedExchange; CC rounds fold their checkpoint into the convergence agg (one job per round); the kill anti-join and 2048-token packing shuffle the survivor subset on uniform keys; quality regexes run behind spread() so scan layout never serializes them.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -1038,14 +1038,23 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Round-6 BPE merge learning — the tokenizer-training step of an LLM data
-# pipeline: learn the first 3 byte-pair merges from the corpus character
-# stream, each step counting adjacent unit pairs corpus-wide, picking the
-# most frequent (lexicographic tie-break), and applying it before the
-# next count. Everything stays in-plan: the learned pair flows into the
-# apply step as a 1-row broadcast, never a collect round trip.
+# BPE merge learning, BATCHED (r6 single-merge loop -> r8 batched passes):
+# the tokenizer-training step of an LLM data pipeline. Each corpus PASS
+# counts adjacent unit pairs once, then learns up to _BPE_BATCH merges
+# from that single count — the top-ranked pairs that are mutually
+# CONFLICT-FREE (no shared unit, and no unit equal to another accepted
+# pair's merged token). Conflict-freedom makes the batch's merges
+# occurrence-invariant under each other, so applying the whole batch in
+# one fold pass is EXACTLY sequential per-pair application in any order
+# — the property that lets merge count scale without per-merge corpus
+# passes (a production trainer's 30k merges become ~30k/B passes, and
+# with delta bookkeeping far fewer; the per-pass dataflow is this
+# shape). Everything stays in-plan: the learned batch flows into the
+# apply step as a 1-row broadcast merge MAP, never a collect round trip.
 # --------------------------------------------------------------------------
-_BPE_STEPS = 3
+_BPE_PASSES = 2   # corpus passes (pair counts); VERDICT r7 task 6: <= 3
+_BPE_BATCH = 4    # merges learned per pass -> 8 total merges
+_BPE_TOPC = 64    # ranked candidate pool scanned by the greedy selector
 
 
 def bpe_apply_merge_expr(seq: str, pair: str) -> str:
@@ -1064,12 +1073,10 @@ def bpe_apply_merge_expr(seq: str, pair: str) -> str:
     token can never re-match as the left element within the same pass
     (``x||y`` != ``x``), so the single fold is exact.
 
-    ``seq`` and ``pair`` are SQL sub-expressions (column names or
-    scalars); ``pair`` is the space-joined two-unit merge, e.g. 'h e'.
-    Identical semantics in Spark and DuckDB modulo the fold builtin —
-    see _bpe_apply_merge_duck for the oracle twin.
+    Kept as the single-pair special case (and the boundary test's
+    subject); the batched queries use :func:`bpe_apply_merges_expr`.
     """
-    last = f"element_at(split(acc, ' '), -1)"
+    last = "element_at(split(acc, ' '), -1)"
     return f"""
       aggregate(
         slice(split({seq}, ' '), 2, size(split({seq}, ' ')) - 1),
@@ -1087,37 +1094,113 @@ def bpe_apply_merge_expr(seq: str, pair: str) -> str:
     """
 
 
-def _bpe_apply_merge_duck(seq: str, px: str, py: str, pm: str) -> str:
-    """DuckDB twin of bpe_apply_merge_expr: same fold via list_reduce
-    (acc starts as the first unit, folds over the rest — identical to
-    Spark's slice+initial-value aggregate). ``px``/``py``/``pm`` are the
-    pair's left unit, right unit and merged token as plain column refs —
-    DuckDB 1.0 forbids subqueries inside lambdas, so callers cross-join
-    the 1-row merge CTE instead (the lambda captures its columns)."""
+def bpe_apply_merges_expr(seq: str, mm: str) -> str:
+    """The BATCH generalization of :func:`bpe_apply_merge_expr`: one
+    left-to-right unit-array fold applying EVERY merge in the 1-row
+    broadcast map ``mm`` ('x y' -> 'xy'). Exactness for a conflict-free
+    batch (see _bpe_select_batch): the 2·B units and B merged tokens
+    are pairwise distinct, so at most one map entry can match at any
+    fold position, no merge can consume another's units, and a merged
+    token can never re-match (it is in no entry's key) — the combined
+    fold therefore equals sequential per-pair application in any
+    order. ``try_element_at`` keeps the missing-key probe ANSI-safe."""
+    last = "element_at(split(acc, ' '), -1)"
+    hit = f"try_element_at({mm}, concat({last}, ' ', u))"
+    return f"""
+      aggregate(
+        slice(split({seq}, ' '), 2, size(split({seq}, ' ')) - 1),
+        element_at(split({seq}, ' '), 1),
+        (acc, u) -> CASE
+          WHEN {hit} IS NOT NULL
+          THEN CASE
+            WHEN length(acc) = length({last})
+            THEN {hit}
+            ELSE concat(substring(acc, 1, length(acc) - length({last})),
+                        {hit})
+          END
+          ELSE concat(acc, ' ', u) END)
+    """
+
+
+def _bpe_apply_merges_duck(seq: str, mm: str) -> str:
+    """DuckDB twin of bpe_apply_merges_expr: same fold via list_reduce
+    (acc starts as the first unit — identical to Spark's slice+initial
+    aggregate); the merge map arrives as a cross-joined 1-row CTE
+    column (DuckDB 1.0 forbids subqueries inside lambdas; captured
+    columns are fine). map_extract returns a LIST — empty on miss."""
     last = "list_extract(string_split(acc, ' '), -1)"
+    hit = f"map_extract({mm}, {last} || ' ' || u)"
     return f"""
       list_reduce(
         string_split({seq}, ' '),
         (acc, u) -> CASE
-          WHEN {last} = {px} AND u = {py}
+          WHEN len({hit}) > 0
           THEN CASE
             WHEN length(acc) = length({last})
-            THEN {pm}
-            ELSE substr(acc, 1, length(acc) - length({last})) || {pm}
+            THEN {hit}[1]
+            ELSE substr(acc, 1, length(acc) - length({last})) || {hit}[1]
           END
           ELSE acc || ' ' || u END)
     """
 
 
-def _bpe_merge_units_cte(s: int) -> str:
-    """CTE mm{s}: the step-s learned merge split into (px, py, pm)."""
+def _bpe_sel_ctes(s: int) -> str:
+    """Oracle CTEs for pass ``s``'s batch selection: c{s} ranks the
+    pair counts (count desc, pair asc; top _BPE_TOPC), the RECURSIVE
+    r{s} replays the greedy conflict-free scan one candidate per level
+    (the SQL form of Spark's in-plan aggregate fold), b{s} is the final
+    accumulator state, mm{s} the merge map."""
+    conflict = "list_append(string_split(c.pair, ' '), replace(c.pair, ' ', ''))"
+    accept = f"len(r.pairs) < {_BPE_BATCH} AND NOT list_has_any(r.used, {conflict})"
     return f"""
+        c{s} AS MATERIALIZED (
+          -- MATERIALIZED: the recursion below references c{s} once per
+          -- level; inlined, DuckDB would re-run the corpus-wide pair
+          -- count at every level.
+          SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+          FROM p{s} QUALIFY rn <= {_BPE_TOPC}
+        ),
+        r{s}(rn, pairs, cnts, used) AS (
+          SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS BIGINT[]),
+                 CAST([] AS VARCHAR[])
+          UNION ALL
+          SELECT c.rn,
+                 CASE WHEN {accept}
+                      THEN list_append(r.pairs, c.pair) ELSE r.pairs END,
+                 CASE WHEN {accept}
+                      THEN list_append(r.cnts, c.cnt) ELSE r.cnts END,
+                 CASE WHEN {accept}
+                      THEN list_concat(r.used, {conflict}) ELSE r.used END
+          FROM r{s} r JOIN c{s} c ON c.rn = r.rn + 1
+        ),
+        b{s} AS (SELECT pairs, cnts FROM r{s} ORDER BY rn DESC LIMIT 1),
         mm{s} AS (
-          SELECT list_extract(string_split(pair, ' '), 1) AS px,
-                 list_extract(string_split(pair, ' '), 2) AS py,
-                 replace(pair, ' ', '') AS pm
-          FROM m{s}
+          SELECT map(pairs, list_transform(pairs, p -> replace(p, ' ', ''))) AS mm
+          FROM b{s}
         )"""
+
+
+def _bpe_pair_count_cte(s: int, src: str) -> str:
+    return f"""
+        p{s} AS (
+          SELECT u AS pair, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                          j -> a[j] || ' ' || a[j + 1])) AS u
+            FROM (SELECT string_split(seq, ' ') AS a FROM {src})
+          ) GROUP BY u
+        )"""
+
+
+def _bpe_merge_rows_select(s: int) -> str:
+    """Output rows for pass ``s``: global step = (s-1)·B + in-pass
+    rank. The offset is STATIC (a pass that under-fills its budget
+    leaves a numbering gap — identically on both engines)."""
+    off = (s - 1) * _BPE_BATCH
+    return f"""
+        SELECT CAST({off} + i AS INT) AS step,
+               pairs[CAST(i AS INT)] AS pair,
+               CAST(cnts[CAST(i AS INT)] AS BIGINT) AS cnt
+        FROM b{s}, UNNEST(range(1, len(pairs) + 1)) AS t(i)"""
 
 
 def _bpe_oracle() -> str:
@@ -1131,67 +1214,60 @@ def _bpe_oracle() -> str:
     """
     ctes = [f"w0 AS ({w0})"]
     selects = []
-    for s in range(1, _BPE_STEPS + 1):
-        ctes.append(f"""
-        p{s} AS (
-          SELECT u AS pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(range(1, len(a)),
-                          j -> a[j] || ' ' || a[j + 1])) AS u
-            FROM (SELECT string_split(seq, ' ') AS a FROM w{s - 1})
-          ) GROUP BY u
-        ),
-        m{s} AS (
-          SELECT pair, cnt FROM p{s}
-          WHERE cnt = (SELECT max(cnt) FROM p{s})
-          ORDER BY pair LIMIT 1
-        )""")
-        if s < _BPE_STEPS:
-            apply = _bpe_apply_merge_duck("seq", "px", "py", "pm")
-            ctes.append(_bpe_merge_units_cte(s))
+    for s in range(1, _BPE_PASSES + 1):
+        ctes.append(_bpe_pair_count_cte(s, f"w{s - 1}"))
+        ctes.append(_bpe_sel_ctes(s))
+        if s < _BPE_PASSES:
+            apply = _bpe_apply_merges_duck("seq", "mm")
             ctes.append(f"""
         w{s} AS (
           SELECT {apply} AS seq
           FROM w{s - 1}, mm{s}
         )""")
-        selects.append(
-            f"SELECT {s} AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m{s}"
-        )
-    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
+        selects.append(_bpe_merge_rows_select(s))
+    return "WITH RECURSIVE " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
 
 
 @register("bpe_merges", oracle=_bpe_oracle())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training, first 3 merges: split every cleaned word
-    occurrence into characters, count adjacent unit pairs corpus-wide,
-    merge the most frequent pair (smallest pair on ties), re-segment,
-    repeat. Step k's counts depend on step k-1's APPLICATION, so the
-    hash gates the whole learn→apply loop, not just one counting pass.
-    The DuckDB twin replays the same three rounds.
+    """BPE tokenizer training, BATCHED (VERDICT r7 task 6): 8 merges
+    learned in 2 corpus passes. Each pass splits every cleaned word
+    occurrence into units, counts adjacent unit pairs corpus-wide ONCE,
+    and greedily accepts the top-ranked (count desc, pair asc)
+    conflict-free pairs up to the batch budget — a candidate is skipped
+    when any of its units or its merged token collides with an earlier
+    acceptance, which is exactly the condition under which the batch
+    can be applied in one combined fold with sequential-equivalent
+    semantics (see bpe_apply_merges_expr). Pass 2 counts the corpus as
+    re-segmented by pass 1's batch, so the hash gates the whole
+    batched learn→apply loop; the DuckDB twin replays the same two
+    passes, with the greedy scan as a recursive CTE.
 
-    Scale: each round is (a) a map-only pair extraction (literal-index
-    transform over the unit array — no window, no shuffle) feeding one
+    Scale: each pass is (a) one map-only pair extraction feeding one
     partial-aggregated count keyed on the pair (vocabulary²-bounded,
-    hash-uniform), and (b) a map-only unit-array fold (see
-    bpe_apply_merge_expr — boundary-exact, never a raw substring
-    replace) with the learned pair attached as a 1-ROW BROADCAST — the argmax never leaves the plan
-    (max-count scalar + min-pair pick, the same in-plan-threshold
-    pattern as idle_rich_customers). The corpus is streamed once per
-    merge; production BPE trainers batch thousands of merges per pass
-    with pair-delta bookkeeping, but the per-merge dataflow is exactly
-    this shape."""
+    hash-uniform), (b) an in-plan batch selection — top-64 candidates
+    collected into ONE bounded array, greedy scan as an aggregate fold
+    (no driver round trip), and (c) one map-only unit-array fold with
+    the whole batch attached as a 1-ROW-map BROADCAST. Corpus passes
+    scale as merges/B instead of merges — the gap the r7 verdict named
+    (production trainers add pair-delta bookkeeping on top; the
+    per-pass dataflow is identical)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    words = _bpe_char_seqs(docs).select("seq")
+    wdf = _bpe_char_seqs(docs).select("seq")
 
     out = None
-    wdf = words
-    for s in range(1, _BPE_STEPS + 1):
-        best = _bpe_top_pair(_bpe_pair_counts(wdf)).localCheckpoint(
+    for s in range(_BPE_PASSES):
+        sel = _bpe_select_batch(_bpe_pair_counts(wdf)).localCheckpoint(
             eager=True
         )
-        row = best.select(F.lit(s).cast("int").alias("step"), "pair", "cnt")
-        out = row if out is None else out.unionByName(row)
-        if s < _BPE_STEPS:
-            wdf = _bpe_apply(wdf, best)
+        rows = sel.select(F.posexplode("sel").alias("i", "m")).select(
+            (F.lit(s * _BPE_BATCH + 1) + F.col("i")).cast("int").alias("step"),
+            F.col("m.pair").alias("pair"),
+            F.col("m.cnt").alias("cnt"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+        if s < _BPE_PASSES - 1:
+            wdf = _bpe_apply_batch(wdf, sel)
     return out
 
 
@@ -1233,30 +1309,63 @@ def _bpe_pair_counts(wdf: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_top_pair(counts: DataFrame) -> DataFrame:
-    """Argmax-by-count, min-pair tie-break, all in-plan (1-row result)."""
-    mx = counts.agg(F.max("cnt").alias("_mx"))
-    return (
-        counts.join(F.broadcast(mx), F.col("cnt") == F.col("_mx"))
-        .groupBy()
-        .agg(F.min("pair").alias("pair"), F.max("cnt").alias("cnt"))
+def _bpe_select_batch(counts: DataFrame) -> DataFrame:
+    """1-row ``sel`` = array<struct<pair,cnt>>: the pass's merge batch.
+    Top-_BPE_TOPC candidates by (count desc, pair asc) collect into ONE
+    bounded sorted array; a greedy aggregate fold accepts up to
+    _BPE_BATCH candidates whose units AND merged token are disjoint
+    from everything already accepted (the conflict-free condition that
+    makes the batch order-free — bpe_apply_merges_expr). All in-plan:
+    the selection never leaves the executors, the result is a 1-row
+    frame broadcast into the apply fold."""
+    cands = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(_BPE_TOPC)
+    arr = cands.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "pair", "cnt"))
+        ).alias("c")
+    )
+    conflict = "array_append(split(x.pair, ' '), replace(x.pair, ' ', ''))"
+    return arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              c,
+              struct(
+                cast(array() as array<struct<pair:string,cnt:bigint>>) AS sel,
+                cast(array() as array<string>) AS used),
+              (acc, x) -> CASE
+                WHEN size(acc.sel) < {_BPE_BATCH}
+                     AND NOT arrays_overlap(acc.used, {conflict})
+                THEN struct(
+                  array_append(acc.sel,
+                               struct(x.pair AS pair, x.cnt AS cnt)) AS sel,
+                  concat(acc.used, {conflict}) AS used)
+                ELSE acc END).sel AS sel
+            """
+        ).alias("sel")
     )
 
 
-def _bpe_apply(wdf: DataFrame, best: DataFrame) -> DataFrame:
-    """Apply the learned 1-row merge to every sequence: 1-row broadcast
-    cross join + the boundary-exact unit-array fold, preserving any
-    extra columns (doc_id) on wdf."""
+def _bpe_apply_batch(wdf: DataFrame, sel_df: DataFrame) -> DataFrame:
+    """Apply a learned batch to every sequence: build the 'x y' -> 'xy'
+    merge map from the 1-row selection, broadcast it, run the combined
+    boundary-exact fold; any extra columns (doc_id) ride along."""
     keep = [c for c in wdf.columns if c != "seq"]
-    return wdf.crossJoin(F.broadcast(best.select("pair"))).select(
-        *keep, F.expr(bpe_apply_merge_expr("seq", "pair")).alias("seq")
+    mm = sel_df.select(
+        F.expr(
+            "map_from_entries(transform(sel, "
+            "s -> struct(s.pair AS key, replace(s.pair, ' ', '') AS value)))"
+        ).alias("mm")
+    )
+    return wdf.crossJoin(F.broadcast(mm)).select(
+        *keep, F.expr(bpe_apply_merges_expr("seq", "mm")).alias("seq")
     )
 
 
 def _bpe_encode_oracle() -> str:
-    """DuckDB twin for bpe_encode: replay the 3-round learn loop (same
-    CTEs as _bpe_oracle), then apply ALL learned merges to the doc-keyed
-    word sequences and tokenize."""
+    """DuckDB twin for bpe_encode: replay the 2-pass batched learn loop
+    (same CTEs as _bpe_oracle, doc-keyed), apply EVERY pass's batch to
+    the doc-keyed word sequences, and tokenize."""
     w0 = f"""
       SELECT doc_id, array_to_string(
                list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS seq
@@ -1266,22 +1375,10 @@ def _bpe_encode_oracle() -> str:
       ) WHERE w <> ''
     """
     ctes = [f"d0 AS ({w0})"]
-    for s in range(1, _BPE_STEPS + 1):
-        ctes.append(f"""
-        p{s} AS (
-          SELECT u AS pair, count(*) AS cnt FROM (
-            SELECT unnest(list_transform(range(1, len(a)),
-                          j -> a[j] || ' ' || a[j + 1])) AS u
-            FROM (SELECT string_split(seq, ' ') AS a FROM d{s - 1})
-          ) GROUP BY u
-        ),
-        m{s} AS (
-          SELECT pair FROM p{s}
-          WHERE cnt = (SELECT max(cnt) FROM p{s})
-          ORDER BY pair LIMIT 1
-        )""")
-        ctes.append(_bpe_merge_units_cte(s))
-        apply = _bpe_apply_merge_duck("seq", "px", "py", "pm")
+    for s in range(1, _BPE_PASSES + 1):
+        ctes.append(_bpe_pair_count_cte(s, f"d{s - 1}"))
+        ctes.append(_bpe_sel_ctes(s))
+        apply = _bpe_apply_merges_duck("seq", "mm")
         ctes.append(f"""
         d{s} AS (
           SELECT doc_id, {apply} AS seq FROM d{s - 1}, mm{s}
@@ -1289,7 +1386,7 @@ def _bpe_encode_oracle() -> str:
     body = f"""
         toks AS (
           SELECT doc_id, unnest(string_split(seq, ' ')) AS token
-          FROM d{_BPE_STEPS}
+          FROM d{_BPE_PASSES}
         ),
         vocab AS (
           SELECT token, count(*) AS vcnt FROM toks GROUP BY token
@@ -1312,22 +1409,23 @@ def _bpe_encode_oracle() -> str:
         FROM ranked r JOIN ids i USING (token)
         WHERE r.rk <= 5
     """
-    return "WITH " + ",".join(ctes) + "," + body
+    return "WITH RECURSIVE " + ",".join(ctes) + "," + body
 
 
 @register("bpe_encode", oracle=_bpe_encode_oracle())
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING — the half a training-data pipeline actually runs:
-    learn the first 3 merges from the corpus (same loop as bpe_merges),
-    then tokenize every document with the learned merge table and emit
-    each doc's top-5 tokens with corpus-global token ids (id = rank by
-    corpus frequency, token tie-break) and per-doc counts. The hash
-    therefore gates learn → apply-all-merges → vocabulary-id assignment
-    → per-doc ranking end to end.
+    learn 8 merges in 2 batched corpus passes (same loop as
+    bpe_merges), then tokenize every document with the learned merge
+    maps and emit each doc's top-5 tokens with corpus-global token ids
+    (id = rank by corpus frequency, token tie-break) and per-doc
+    counts. The hash therefore gates batched-learn → apply-all →
+    vocabulary-id assignment → per-doc ranking end to end.
 
-    Scale: merge application is a map-only unit-array fold per learned
-    pair attached as a 1-ROW BROADCAST (bpe_apply_merge_expr —
-    boundary-exact, see bpe_merges). Per-doc counting and top-5 ranking
+    Scale: merge application is ONE map-only unit-array fold per PASS
+    with the batch attached as a 1-ROW-map BROADCAST
+    (bpe_apply_merges_expr — boundary-exact, order-free for the
+    conflict-free batch). Per-doc counting and top-5 ranking
     shuffle/partition on doc_id (uniform). The vocabulary-id window is
     single-partition BY DESIGN over the VOCAB, not the corpus: |vocab|
     <= |alphabet| + #merges (bounded, here dozens), and the id table
@@ -1336,15 +1434,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     wdf = _bpe_char_seqs(docs)
 
-    for _ in range(_BPE_STEPS):
-        best = _bpe_top_pair(
+    for _ in range(_BPE_PASSES):
+        sel = _bpe_select_batch(
             _bpe_pair_counts(wdf.select("seq"))
         ).localCheckpoint(eager=True)
-        wdf = _bpe_apply(wdf, best)
+        wdf = _bpe_apply_batch(wdf, sel)
 
     # The tokenized corpus feeds BOTH the vocabulary count and the
-    # per-doc count — left lazy, the 3-merge fold sub-DAG (and its three
-    # 1-row pair broadcasts) would execute twice. Materialize once
+    # per-doc count — left lazy, the 2-pass fold sub-DAG (and its
+    # 1-row batch broadcasts) would execute twice. Materialize once
     # (same pattern as semantic_dedup's assignment table; at cluster
     # scale this is the persisted tokenized corpus every training
     # pipeline writes anyway).

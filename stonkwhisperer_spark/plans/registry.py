@@ -71,67 +71,66 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 7: BPE encoding (learned-merge tokenization),
-    #    MERGE schema evolution, product-quantization ANN --
-    "bpe_encode",
-    "txlog_merge_evolve",
-    "pq_topk_embeddings",
-    # -- changed in round 7 (boundary-exact BPE fold, K-parameterized
-    #    SemDeDup + norm guard, drain-until-caught-up streaming, clone
-    #    rename-cycle replay, partial-bloom-map fix, opt-in MERGE
-    #    evolution guard, curation trim): re-confirm under the driver --
+    # -- new in round 8: IVF×PQ composed ANN, txlog lifecycle hash
+    #    companion --
+    "ivfpq_topk_embeddings",
+    "txlog_e2e_state",
+    # -- changed in round 8 (batched BPE passes, grouped single-pass
+    #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
+    #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
     "bpe_merges",
-    "semantic_clusters",
-    "semantic_dedup",
+    "bpe_encode",
+    "curation_e2e",
+    "dedup_canonical",
+    "dup_clusters",
+    "near_dup_jaccard",
     "txlog_stream_cdc",
     "txlog_stream_upsert",
-    "txlog_clone_replay",
-    "txlog_bloom_lookup",
-    "txlog_merge_sync_replay",
-    "curation_e2e",
-    # -- backlog: newest green row is round 3 (three rounds stale) --
-    "vwap_1min",
-    "clickers_and_buyers",
-    "value_outliers",
-    "click_surplus_multiset",
-    "simhash_signatures",
-    "orders_monthly",
-    "order_price_quantiles",
-    "trailing_30d_spend",
-    "order_deciles",
-    "event_prop_keys",
-    "order_relative_ranks",
-    "zip_docs_embeddings",
-    "region_revenue",
-    # -- e2e smoke row for the round --
-    "flows_e2e",
-    # -- backlog: newest green row is round 4 (24 of 43; the remaining
-    #    19 lead round 8's window) --
-    "streaming_ohlcv",
-    "streaming_join",
-    "streaming_sessions",
-    "streaming_dedup",
-    "doc_token_positions_udtf",
-    "benchmark_contamination",
-    "pii_scrub",
-    "kmv_distinct_estimate",
-    "event_sessions",
-    "purchase_funnel",
-    "weekly_cohort_retention",
-    "text_quality",
-    "token_stats",
-    "quality_filter",
-    "mixture_sample",
-    "media_manifest",
-    "gapfill_events",
-    "price_qty_correlation",
-    "big_order_customers",
-    "cust_order_dist",
-    "customer_order_ranks",
-    "disjunctive_promo_revenue",
-    "doc_constraints",
-    "doc_split_assign",
+    "pq_topk_embeddings",
+    "ivf_topk_embeddings",
+    # -- backlog: the 19 whose newest green row is round 4 (the full
+    #    r4-stale set — VERDICT r7 task 1; event_type_enrich_salted
+    #    was listed at position 51 in r7 and never gated) --
     "event_type_enrich_salted",
+    "forecast_revenue",
+    "idle_rich_customers",
+    "large_orders",
+    "media_headers",
+    "media_pixel_stats",
+    "nation_trade_volume",
+    "part_value_share",
+    "priority_order_counts",
+    "promo_revenue_share",
+    "revenue_cube",
+    "shipping_priority",
+    "small_order_part_revenue",
+    "sole_return_suppliers",
+    "source_capped_sample",
+    "sql_top_brands_by_region",
+    "steel_part_suppliers",
+    "top_customer_per_nation",
+    "top_supplier_revenue",
+    # -- backlog: 19 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 21 lead round 9's window) --
+    "api_ingest_e2e",
+    "asof_next_sentiment",
+    "asof_sentiment_bars",
+    "bars_clean",
+    "bars_enrich",
+    "clean_documents",
+    "click_buy_reconcile",
+    "clickers_minus_buyers",
+    "dedup_keep_first",
+    "dedup_low_card",
+    "distinct_event_types",
+    "doc_fingerprints",
+    "doc_repetition",
+    "doc_shingles",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "event_type_stats_salted",
+    "event_weighted_stats_udaf",
+    "events_in_promo_windows",
 ]
 
 

@@ -92,12 +92,15 @@ def test_gate_window_rotation(qmap):
 
     names = list(qmap)
     window = set(names[:50])
-    # r7 window: the archived-green backlog section starts at the
-    # oldest r3 row ("vwap_1min"); everything before it is new or
-    # changed this round and MUST be driver-checked.
-    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("vwap_1min")]
+    # r8 window: the archived-green backlog section starts at the
+    # r4-stale set ("event_type_enrich_salted"); everything before it
+    # is new or changed this round and MUST be driver-checked.
+    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("event_type_enrich_salted")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted
+    # ADVICE r7: the r7 list held 51 names, silently dropping the 51st
+    # from the gate — the list must be exactly the 50-slot window.
+    assert len(_GATE_ORDER) == 50
 
 
 def test_bpe_merge_respects_unit_boundaries(spark):
@@ -128,15 +131,16 @@ def test_bpe_merge_respects_unit_boundaries(spark):
     got = {r["seq"]: r["out"] for r in df.collect()}
     assert got == dict(rows)
 
-    # the DuckDB twin agrees on the identical corpus
+    # the DuckDB twin (batch fold with a 1-entry map) agrees on the
+    # identical corpus — the single-pair case is a batch of one
     import duckdb
 
-    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merge_duck
+    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merges_duck
 
     vals = ", ".join(f"('{s}')" for s, _ in rows)
-    expr = _bpe_apply_merge_duck("s", "px", "py", "pm")
+    expr = _bpe_apply_merges_duck("s", "mm")
     duck = duckdb.sql(
-        f"WITH m AS (SELECT 'h' AS px, 'e' AS py, 'he' AS pm) "
+        f"WITH m AS (SELECT MAP(['h e'], ['he']) AS mm) "
         f"SELECT s, {expr} AS o FROM (VALUES {vals}) v(s), m"
     ).fetchall()
     assert {s: o for s, o in duck} == dict(rows)
@@ -147,11 +151,101 @@ def test_bpe_run_parity_same_unit():
     left-to-right into non-overlapping pairs on both engines."""
     import duckdb
 
-    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merge_duck
+    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merges_duck
 
-    expr = _bpe_apply_merge_duck("s", "px", "py", "pm")
+    expr = _bpe_apply_merges_duck("s", "mm")
     duck = duckdb.sql(
-        f"WITH m AS (SELECT 'e' AS px, 'e' AS py, 'ee' AS pm) "
+        f"WITH m AS (SELECT MAP(['e e'], ['ee']) AS mm) "
         f"SELECT {expr} FROM (VALUES ('e e e'), ('e e e e')) v(s), m"
     ).fetchall()
     assert [r[0] for r in duck] == ["ee e", "ee ee"]
+
+
+def test_bpe_batch_fold_equals_sequential(spark):
+    """The r8 batching contract: applying a CONFLICT-FREE batch in one
+    combined fold equals sequential per-pair application in any order —
+    on Spark and on the DuckDB twin, including the boundary cases the
+    single-pair fold guards."""
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.plans.queries_text import (
+        bpe_apply_merge_expr,
+        bpe_apply_merges_expr,
+    )
+
+    batch = ["t h", "i n"]  # units {t,h,i,n} + merged {th,in}: disjoint
+    seqs = [
+        "t h i n",        # both merge
+        "t i h n",        # neither pair adjacent
+        "i n t h i n",    # repeats of both
+        "h t h e i n",    # boundary guard: 'h' before 't h'
+        "t",              # single unit
+        "n i t h t h",    # back-to-back left pair
+    ]
+    df = spark.createDataFrame([(s,) for s in seqs], "orig string")
+    mm = F.expr("map('t h', 'th', 'i n', 'in')")
+    combined = {
+        r["orig"]: r["o"]
+        for r in df.withColumn("mm", mm)
+        .withColumn("seq", F.col("orig"))
+        .select("orig", F.expr(bpe_apply_merges_expr("seq", "mm")).alias("o"))
+        .collect()
+    }
+    # sequential single-pair application, both orders, must agree
+    for order in (batch, list(reversed(batch))):
+        cur = df.withColumn("seq", F.col("orig"))
+        for pair in order:
+            cur = cur.withColumn("pair", F.lit(pair)).select(
+                "orig", F.expr(bpe_apply_merge_expr("seq", "pair")).alias("seq")
+            )
+        seq_result = {r["orig"]: r["seq"] for r in cur.collect()}
+        assert seq_result == combined, f"order {order} diverged"
+    import duckdb
+
+    from stonkwhisperer_spark.plans.queries_text import _bpe_apply_merges_duck
+
+    vals = ", ".join(f"('{s}')" for s in seqs)
+    dexpr = _bpe_apply_merges_duck("s", "mm")
+    duck = dict(
+        duckdb.sql(
+            f"WITH m AS (SELECT MAP(['t h', 'i n'], ['th', 'in']) AS mm) "
+            f"SELECT s, {dexpr} FROM (VALUES {vals}) v(s), m"
+        ).fetchall()
+    )
+    assert duck == combined
+    expected = {
+        "t h i n": "th in",
+        "t i h n": "t i h n",
+        "i n t h i n": "in th in",
+        "h t h e i n": "h th e in",
+        "t": "t",
+        "n i t h t h": "n i th th",
+    }
+    assert combined == expected
+
+
+def test_bpe_batch_selection_conflict_free(spark):
+    """_bpe_select_batch must accept candidates in (count desc, pair
+    asc) rank order, skipping any whose units OR merged token collide
+    with an earlier acceptance — including the merged-token rule that
+    keeps ('a','b') and ('ab','c') out of the same batch."""
+    from stonkwhisperer_spark.plans.queries_text import (
+        _BPE_BATCH,
+        _bpe_select_batch,
+    )
+
+    counts = spark.createDataFrame(
+        [
+            ("a b", 100),   # accepted (rank 1)
+            ("b c", 90),    # skipped: shares 'b'
+            ("ab c", 80),   # skipped: 'ab' == merge of rank 1
+            ("c d", 70),    # accepted
+            ("e f", 60),    # accepted
+            ("g h", 50),    # accepted (batch now full at 4)
+            ("i j", 40),    # skipped: budget exhausted
+        ],
+        "pair string, cnt long",
+    )
+    sel = _bpe_select_batch(counts).collect()[0]["sel"]
+    assert [s["pair"] for s in sel] == ["a b", "c d", "e f", "g h"][:_BPE_BATCH]
+    assert [s["cnt"] for s in sel] == [100, 70, 60, 50][:_BPE_BATCH]
