@@ -290,14 +290,18 @@ def connected_components(
       instead of failing. Dense clusters never pay the two-phase cost;
       chains still converge.
 
-    Every round does a driver-side scalar convergence check and
-    ``localCheckpoint`` to truncate lineage — the standard Spark shape
-    for iterative graph algorithms (GraphFrames' CC does the same).
-    The checkpoint is LAZY: the convergence aggregation materializes it
-    in the SAME Spark job, halving the per-round job count (round-trip
-    latency is what an iterative driver loop actually pays at any
-    scale); the seed-label distinct likewise folds into round 1's job
-    instead of materializing separately.
+    The first TWO rounds are unrolled into one declarative plan whose
+    convergence check rides the same job: min-label is monotone
+    nonincreasing per node, so sum(round2) == sum(round1) iff round 1
+    already reached the fixpoint — true for almost every near-dup
+    graph (dense clusters, diameter <= 2). In that common case the
+    whole computation is TWO Spark jobs — one materializing the edge
+    closure, one running both rounds + both sums + the label
+    materialization. Only a deeper graph falls back to the driver
+    loop (one job per further round — the lazy per-round
+    ``localCheckpoint`` materializes inside the convergence
+    aggregation, the standard Spark shape for iterative graph
+    algorithms minus the usual extra materialization job).
 
     ``dedup_edges=False`` skips the undirected-closure ``distinct()``
     (one shuffle): pass it when the caller guarantees unique canonical
@@ -312,31 +316,57 @@ def connected_components(
     if algorithm == "star":
         labels, _ = _cc_star(e)
         return labels
+
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     if dedup_edges:
         und = und.distinct()
+    # The closure feeds every propagation round AND the seed — one
+    # eager checkpoint materializes the (possibly expensive) edge
+    # lineage exactly once. (Measured: leaving it lazy and relying on
+    # exchange reuse across the round branches re-ran a jaccard edge
+    # plan per branch — 2× the wall at sf0.1.)
     und = und.localCheckpoint(eager=True)
-    # Distinct seed labels (a duplicated node would quadratically blow
-    # up round 1's propagation join) — but NOT materialized on its own:
-    # the distinct folds into round 1's job and the round's checkpoint
-    # truncates the lineage.
-    labels = und.select(F.col("a").alias("node")).distinct().select(
+    # Rounds 1+2 UNROLLED into one declarative plan, fixpoint-checked
+    # in the SAME job: min-label propagation is monotone nonincreasing
+    # per node, so sum(L2) == sum(L1) iff L2 == L1 iff L1 is already
+    # the fixpoint — which near-dup graphs (dense, diameter <= 2)
+    # overwhelmingly reach by round 1. Common case: both rounds, both
+    # sums, and the L2 materialization (lazy checkpoint) ride ONE
+    # Spark job on top of the single closure job.
+    seed = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    prev: int | None = None
-    converged = False
-    for _ in range(max_iter):
-        prop = und.join(labels, und["a"] == labels["node"]).select(
+
+    def one_round(und_df: DataFrame, labels_df: DataFrame) -> DataFrame:
+        p = und_df.join(labels_df, und_df["a"] == labels_df["node"]).select(
             F.col("b").alias("node"), "label"
         )
-        labels = (
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
-        total = labels.agg(F.sum("label")).collect()[0][0]
-        if total == prev:
-            converged = True
-            break
-        prev = total
+        return (
+            labels_df.union(p).groupBy("node").agg(F.min("label").alias("label"))
+        )
+
+    l1 = one_round(und, seed)
+    labels = one_round(und, l1).localCheckpoint(eager=False)
+    sums = (
+        l1.select(F.lit(1).alias("_r"), "label")
+        .union(labels.select(F.lit(2).alias("_r"), "label"))
+        .groupBy("_r")
+        .agg(F.sum("label").alias("_s"))
+        .collect()
+    )
+    by_round = {r["_r"]: r["_s"] for r in sums}
+    converged = by_round.get(1) == by_round.get(2)
+    prev = by_round.get(2)
+    if not converged:
+        # Deep graph: continue from the materialized L2 with the
+        # driver loop; the unrolled rounds count against the budget.
+        for _ in range(max(0, max_iter - 2)):
+            labels = one_round(und, labels).localCheckpoint(eager=False)
+            total = labels.agg(F.sum("label")).collect()[0][0]
+            if total == prev:
+                converged = True
+                break
+            prev = total
     if converged:
         return labels.select("node", F.col("label").alias("cluster_id"))
     if algorithm == "label":
