@@ -1,0 +1,180 @@
+"""Mergeable sketches for corpus-scale cardinality and frequency.
+
+Two classic streaming sketches, built as pure DataFrame plans with the
+portable 60-bit hash so a DuckDB oracle can replay them bit-for-bit:
+
+  * KMV (K-Minimum-Values) distinct-count sketch — per group, keep the
+    K smallest distinct hash values of the item; the K-th minimum
+    estimates the cardinality as (K-1) * HASH_SPACE / kth_min
+    (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+    stream"). The sketch state is K integers per group — mergeable by
+    set-union + re-take-K-min, and the merge is EXACT: the global K
+    minima are contained in the union of per-shard K minima, so
+    merging per-shard sketches reproduces the direct global sketch
+    bit-for-bit (pinned by pytest).
+  * Count-Min sketch (Cormode & Muthukrishnan 2005) — d independent
+    hash rows of width w; each occurrence increments one bucket per
+    row; a point estimate is the MIN over the d buckets, an
+    overestimate by construction (est >= true always, pinned by
+    pytest). The whole sketch is d*w integers — broadcastable, and
+    mergeable across shards/days by element-wise addition.
+
+Why sketches at 100 TB: the exact answers (count distinct, top-k
+frequency) need a vocabulary-sized shuffle per question asked; the
+sketch is computed ONCE per shard in the ingest pass, persisted as a
+few KB, and merged/queried without re-reading the corpus. Here both
+the sketch and the exact answer run side by side so the result is
+self-evaluating (estimate next to truth).
+
+All plans are native column expressions (md5-based portable hash stays
+in whole-stage codegen); shuffles are keyed on hash-uniform columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from stonkwhisperer_spark.functions.hashing import portable_hash64
+
+# portable_hash64 yields 15 hex digits = 60 bits.
+HASH_SPACE = 1 << 60
+
+
+def kmv_sketch(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch state: the K smallest
+    distinct ``portable_hash64(value)`` per group, ranked.
+
+    Returns (group, _h, _rk) with _rk in [1, k] — the persistable
+    sketch (K integers per group). Feed to :func:`kmv_estimate` for
+    the cardinality estimate, or union several sketches and re-rank
+    to merge them.
+
+    Scale: the distinct + rank shuffles on (group, hash) — the same
+    key profile as an exact count-distinct — but this runs ONCE at
+    ingest; every later cardinality question reads K rows per group
+    instead of the corpus. The rank window sorts within each group's
+    hash partition (sort-based, spillable)."""
+    h = portable_hash64(F.col(value_col))
+    hashes = rows.select(F.col(group_col), h.alias("_h")).distinct()
+    rk = F.row_number().over(W.partitionBy(group_col).orderBy("_h"))
+    return (
+        hashes.withColumn("_rk", rk).filter(F.col("_rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int = 32) -> DataFrame:
+    """Cardinality estimate from a KMV sketch (output of
+    :func:`kmv_sketch`): (group, n_mins, kth_min, est_distinct).
+
+    When a group produced fewer than K distinct hashes the count is
+    EXACT (the sketch saw every value); otherwise the estimator is
+    (K-1) * HASH_SPACE // kth_min, computed in DECIMAL(38,0) so the
+    oracle's HUGEINT twin matches bit-for-bit."""
+    est = F.expr(
+        f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * "
+        f"CAST({HASH_SPACE} AS DECIMAL(38,0))) DIV kth_min AS BIGINT)"
+    )
+    return (
+        sketch.groupBy(group_col)
+        .agg(F.count("*").alias("n_mins"), F.max("_h").alias("kth_min"))
+        .select(
+            group_col,
+            "n_mins",
+            "kth_min",
+            F.when(F.col("n_mins") < k, F.col("n_mins").cast("bigint"))
+            .otherwise(est)
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_merge(sketch: DataFrame, group_col: str, into: str, k: int = 32) -> DataFrame:
+    """Merge all per-group KMV sketches into ONE sketch labelled
+    ``into``: union the k-min sets, re-rank, keep the K smallest.
+    Input is |groups| * K rows — driver-free, exact (the global K
+    minima are a subset of the union of per-group K minima)."""
+    rk = F.row_number().over(W.partitionBy(group_col).orderBy("_h"))
+    return (
+        sketch.select(F.lit(into).alias(group_col), "_h")
+        .distinct()
+        .withColumn("_rk", rk)
+        .filter(F.col("_rk") <= k)
+    )
+
+
+def _seeded_bucket(tok: Column, seed: int, width: int) -> Column:
+    """Bucket of ``tok`` in CMS hash row ``seed``: portable 60-bit
+    hash of '<seed>|<tok>' mod width (matches portable_hash64_sql
+    with the same seed on the oracle side)."""
+    return portable_hash64(tok, seed=seed) % width
+
+
+def cms_table(
+    tokens: DataFrame,
+    token_col: str,
+    d: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the Count-Min sketch table from a token-occurrence stream:
+    (seed, bucket, cnt) with d*width rows total.
+
+    Each occurrence lands in one bucket per hash row; the explode is
+    map-side (d rows out per occurrence) and the count partial-
+    aggregates before the single (seed, bucket) shuffle — at most
+    d*width rows cross the wire per mapper regardless of corpus size.
+    Merge sketches across shards/days by summing cnt per (seed,
+    bucket)."""
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+    occ = tokens.select(
+        F.explode(seeds).alias("seed"), F.col(token_col).alias("_tok")
+    ).select(
+        "seed",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("_tok"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return occ.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimates(
+    items: DataFrame,
+    token_col: str,
+    cms: DataFrame,
+    d: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate the frequency of each row's token against a CMS
+    table: adds ``est_cnt`` = min over the d hash rows.
+
+    The d*width sketch is broadcast and joined once per hash row on
+    the map-side-computed bucket column — d broadcast joins, zero
+    shuffles added to ``items``'s plan. This is the sketch payoff: at
+    query time the corpus is never re-read."""
+    out = items
+    for i in range(d):
+        leg = cms.filter(F.col("seed") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
+        )
+        out = out.withColumn(
+            f"_b{i}", _seeded_bucket(F.col(token_col), i, width)
+        ).join(F.broadcast(leg), f"_b{i}")
+    est = F.least(*[F.col(f"_c{i}") for i in range(d)])
+    return out.withColumn("est_cnt", est).drop(
+        *[c for i in range(d) for c in (f"_b{i}", f"_c{i}")]
+    )
