@@ -257,6 +257,114 @@ def lsh_candidates(
     )
 
 
+def incremental_lsh_dedup(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    incoming_col: str = "is_incoming",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the daily
+    ingest shape of a production training-data pipeline (new crawl
+    arrives; everything near-duplicating the already-curated corpus is
+    dropped before it ever reaches training). Self-dedup
+    (``jaccard_pairs`` / ``lsh_candidates``) answers "which of my docs
+    duplicate each other"; this answers "which NEW docs duplicate what
+    I already have" — an asymmetric cross-corpus question, so incoming
+    docs are never compared to each other.
+
+    postings: (id, shingle, is_incoming) with distinct shingles per doc
+    (``shingle_postings``); ``incoming_col`` is a boolean splitting the
+    rows into corpus (false) and incoming batch (true).
+
+    Returns ONE row per incoming doc that produced shingles:
+    (id, is_dup int 0/1, dup_of = min corpus id whose exact Jaccard
+    with it clears ``threshold``, null when clean). LSH proposes,
+    exact Jaccard disposes: a band collision alone never kills a doc.
+
+    Scale: one grouped pass computes signature AND shingle count per
+    doc; the candidate join shuffles only on (band_idx, band_key) with
+    the corpus side reduced to 4 band rows per doc; the exact-Jaccard
+    verify re-reads postings ONLY for docs that appear in a candidate
+    pair (join-pruned). On a real pipeline the corpus half of the
+    per-doc frame is computed once and SERVED from storage (it is a
+    plain table — e.g. a txlog sink), so the per-batch cost is
+    signatures over the new docs + one band-key join against the
+    stored index; the incoming side of the join is the small daily
+    batch, broadcastable when it fits.
+    """
+    inc = F.col(incoming_col)
+    aggs = [
+        F.min(portable_hash64("shingle", seed=i)).alias(f"_h{i}") for i in range(n_hashes)
+    ]
+    per_doc = (
+        postings.groupBy(id_col, incoming_col)
+        .agg(*aggs, F.count("*").alias("n_shingles"))
+        .select(
+            id_col,
+            incoming_col,
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+            "n_shingles",
+        )
+    )
+    banded = per_doc.select(
+        id_col,
+        incoming_col,
+        F.posexplode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        banded.filter(inc)
+        .select(F.col(id_col).alias("inc_id"), "band_idx", "band_key")
+        .join(
+            banded.filter(~inc).select(
+                F.col(id_col).alias("corp_id"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("inc_id", "corp_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            postings.filter(inc).select(F.col(id_col).alias("inc_id"), "shingle"),
+            "inc_id",
+        )
+        .join(
+            postings.filter(~inc).select(F.col(id_col).alias("corp_id"), "shingle"),
+            ["corp_id", "shingle"],
+        )
+        .groupBy("inc_id", "corp_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = per_doc.select(id_col, "n_shingles")
+    dups = (
+        inter.join(sz.select(F.col(id_col).alias("inc_id"), F.col("n_shingles").alias("_ni")), "inc_id")
+        .join(sz.select(F.col(id_col).alias("corp_id"), F.col("n_shingles").alias("_nc")), "corp_id")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("_ni") + F.col("_nc") - F.col("inter")).cast("double")
+            >= threshold
+        )
+        .groupBy("inc_id")
+        .agg(F.min("corp_id").alias("dup_of"))
+        .withColumnRenamed("inc_id", id_col)
+    )
+    return (
+        per_doc.filter(inc)
+        .select(id_col)
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("dup_of").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -317,25 +425,56 @@ def connected_components(
         labels, _ = _cc_star(e)
         return labels
 
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Undirected closure built map-side (one explode, no union — a
+    # union would double the checkpointed partition count and every
+    # downstream stage's task count).
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     if dedup_edges:
         und = und.distinct()
-    # The closure feeds every propagation round AND the seed — one
-    # eager checkpoint materializes the (possibly expensive) edge
-    # lineage exactly once. (Measured: leaving it lazy and relying on
-    # exchange reuse across the round branches re-ran a jaccard edge
-    # plan per branch — 2× the wall at sf0.1.)
+    # The closure feeds both propagation rounds — one eager checkpoint
+    # materializes the (possibly expensive) edge lineage exactly once.
+    # (Measured: leaving it lazy and relying on exchange reuse across
+    # the round branches re-ran a jaccard edge plan per branch — 2×
+    # the wall at sf0.1.)
     und = und.localCheckpoint(eager=True)
     # Rounds 1+2 UNROLLED into one declarative plan, fixpoint-checked
     # in the SAME job: min-label propagation is monotone nonincreasing
     # per node, so sum(L2) == sum(L1) iff L2 == L1 iff L1 is already
     # the fixpoint — which near-dup graphs (dense, diameter <= 2)
-    # overwhelmingly reach by round 1. Common case: both rounds, both
-    # sums, and the L2 materialization (lazy checkpoint) ride ONE
-    # Spark job on top of the single closure job.
-    seed = und.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # overwhelmingly reach by round 1. Round 1 needs no seed relation
+    # or join at all: the closure lists every in-neighbor of every
+    # node, so L1(v) = least(v, min{a : (a,v)}) is ONE groupBy. Round
+    # 2 translates neighbor labels through L1 (the one unavoidable
+    # join), and both round-sums ride the same single-row aggregate —
+    # the whole fixpoint (both rounds, both sums, the per-node label
+    # materialization via lazy checkpoint) is ONE Spark job on top of
+    # the single closure job.
+    l1 = (
+        und.groupBy(F.col("b").alias("node"))
+        .agg(F.min("a").alias("_nbr"))
+        .select("node", F.least("node", "_nbr").alias("label"))
     )
+    nbr2 = (
+        und.join(l1, und["a"] == l1["node"])
+        .groupBy(F.col("b").alias("_n2"))
+        .agg(F.min("label").alias("_nbr2"))
+    )
+    pn = (
+        l1.join(nbr2, l1["node"] == nbr2["_n2"])
+        .select("node", "label", F.least("label", "_nbr2").alias("label2"))
+        .localCheckpoint(eager=False)
+    )
+    row = pn.agg(F.sum("label").alias("_s1"), F.sum("label2").alias("_s2")).collect()[0]
+    converged = row["_s1"] == row["_s2"]
+    prev = row["_s2"]
+    labels = pn.select("node", F.col("label2").alias("label"))
 
     def one_round(und_df: DataFrame, labels_df: DataFrame) -> DataFrame:
         p = und_df.join(labels_df, und_df["a"] == labels_df["node"]).select(
@@ -344,19 +483,6 @@ def connected_components(
         return (
             labels_df.union(p).groupBy("node").agg(F.min("label").alias("label"))
         )
-
-    l1 = one_round(und, seed)
-    labels = one_round(und, l1).localCheckpoint(eager=False)
-    sums = (
-        l1.select(F.lit(1).alias("_r"), "label")
-        .union(labels.select(F.lit(2).alias("_r"), "label"))
-        .groupBy("_r")
-        .agg(F.sum("label").alias("_s"))
-        .collect()
-    )
-    by_round = {r["_r"]: r["_s"] for r in sums}
-    converged = by_round.get(1) == by_round.get(2)
-    prev = by_round.get(2)
     if not converged:
         # Deep graph: continue from the materialized L2 with the
         # driver loop; the unrolled rounds count against the budget.
