@@ -32,7 +32,7 @@ from stonkwhisperer_spark.operators.similarity import (
     plane_component,
 )
 from stonkwhisperer_spark.plans.registry import register
-from stonkwhisperer_spark.sources.tables import load_table, spread
+from stonkwhisperer_spark.sources.tables import load_table, no_pushdown, spread
 
 # Shared CTE: documents → cleaned text → tokens → distinct 3-gram
 # shingle posting list, identical on both engines.
@@ -170,6 +170,72 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation; verify candidates with exact Jaccard afterwards."""
     sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
     return lsh_candidates(sigs, "doc_id", F.col("sig"), n_bands=4, rows_per_band=4)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: incoming batch vs existing corpus (MinHash LSH
+# proposes, exact Jaccard disposes).
+# --------------------------------------------------------------------------
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH postings AS ({_POSTINGS_SQL}),
+    hashes AS (
+      SELECT doc_id, (doc_id % 4 = 0) AS inc, seed.s AS seed,
+             {portable_hash64_sql("(seed.s || '|' || shingle)")} AS h
+      FROM postings, (SELECT unnest(range(16)) AS s) seed
+    ),
+    sig AS (SELECT doc_id, inc, seed, min(h) AS mh FROM hashes GROUP BY 1, 2, 3),
+    sz AS (SELECT doc_id, count(*) AS n FROM postings GROUP BY 1),
+    bands AS (
+      SELECT doc_id, inc, seed // 4 AS band_idx,
+             md5(string_agg(cast(mh AS varchar), ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, inc, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corp_id
+      FROM bands i JOIN bands c USING (band_idx, band_key)
+      WHERE i.inc AND NOT c.inc
+    ),
+    overlap AS (
+      SELECT cand.inc_id, cand.corp_id, count(*) AS both_n
+      FROM cand
+      JOIN postings pi ON pi.doc_id = cand.inc_id
+      JOIN postings pc ON pc.doc_id = cand.corp_id AND pc.shingle = pi.shingle
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT o.inc_id, min(o.corp_id) AS dup_of
+      FROM overlap o
+      JOIN sz si ON si.doc_id = o.inc_id
+      JOIN sz sc ON sc.doc_id = o.corp_id
+      WHERE cast(o.both_n AS double) / cast(si.n + sc.n - o.both_n AS double) >= 0.8
+      GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup,
+           d.dup_of
+    FROM (SELECT DISTINCT doc_id FROM postings WHERE doc_id % 4 = 0) p
+    LEFT JOIN dups d ON d.inc_id = p.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production daily-ingest shape:
+    docs with doc_id % 4 == 0 play the incoming batch, the rest the
+    already-curated corpus; each incoming doc is flagged (is_dup,
+    dup_of = canonical corpus doc) iff a MinHash band collision is
+    CONFIRMED by exact 3-gram Jaccard >= 0.8 against that corpus doc.
+    Incoming docs are never compared to each other (asymmetric
+    cross-corpus join), and the Jaccard verify touches only
+    candidate-pair postings. See operators/dedup.py
+    incremental_lsh_dedup for the 100 TB posture (stored corpus
+    signature index; per-batch cost proportional to the batch)."""
+    from stonkwhisperer_spark.operators.dedup import incremental_lsh_dedup
+
+    postings = _postings(spark, sf_dir).withColumn(
+        "is_incoming", F.col("doc_id") % 4 == 0
+    )
+    return incremental_lsh_dedup(postings, "doc_id", "is_incoming", threshold=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -1027,9 +1093,15 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs["n_tokens"].alias("n_tokens"),
         )
         .join(kill, "doc_id", "left_anti")
+        # no_pushdown: pin the regex-heavy gate above spread()'s
+        # exchange (pushed into the single-row-group scan it runs
+        # one-tasked, without subexpression elimination — measured
+        # 2.7 s vs 1.0 s at sf0.1).
         .filter(
-            (F.col("lang_pred") == "en")
-            & F.col("n_tokens").between(20, 100000)
+            no_pushdown(
+                (F.col("lang_pred") == "en")
+                & F.col("n_tokens").between(20, 100000)
+            )
         )
     )
     sized = survivors.select(

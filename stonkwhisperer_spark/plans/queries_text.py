@@ -23,7 +23,7 @@ from stonkwhisperer_spark.functions.text import (
 )
 from stonkwhisperer_spark.operators.profile import profile
 from stonkwhisperer_spark.plans.registry import register
-from stonkwhisperer_spark.sources.tables import load_table, spread
+from stonkwhisperer_spark.sources.tables import load_table, no_pushdown, spread
 
 # --------------------------------------------------------------------------
 # Language-ID + quality scoring over documents (training-data pipeline
@@ -315,11 +315,16 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs["stopword_ratio"].alias("stopword_ratio"),
         qs["mean_token_len"].alias("mean_token_len"),
     )
+    # no_pushdown: keep the cascade's regex evaluation in the 32-way
+    # stage above spread()'s exchange (pushed into the single-row-group
+    # scan it runs one-tasked and without subexpression elimination).
     return scored.filter(
-        (F.col("lang_pred") == "en")
-        & F.col("n_tokens").between(20, 100000)
-        & (F.col("stopword_ratio") >= 0.01)
-        & F.col("mean_token_len").between(2.0, 12.0)
+        no_pushdown(
+            (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(20, 100000)
+            & (F.col("stopword_ratio") >= 0.01)
+            & F.col("mean_token_len").between(2.0, 12.0)
+        )
     ).select("doc_id", "lang_pred", "n_tokens")
 
 
@@ -1468,4 +1473,168 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .join(F.broadcast(ids), "token")
         .select("doc_id", "token", "token_id", "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-8 mergeable sketches: KMV distinct-count and Count-Min frequency
+# — the "compute once per shard at ingest, merge and query without
+# re-reading the corpus" statistics layer a 100 TB pipeline runs next
+# to dedup (vocabulary growth tracking, hot-token monitoring). Both are
+# replayed bit-for-bit by the DuckDB twin through the portable hash,
+# and both carry the exact answer alongside so the result is
+# self-evaluating (estimate next to truth).
+# --------------------------------------------------------------------------
+_KMV_K = 32
+_SKETCH_TOKS_SQL = f"""
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+"""
+_KMV_EST_SQL = (
+    f"CASE WHEN count(*) < {_KMV_K} THEN count(*) "
+    f"ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT) * "
+    f"CAST({1 << 60} AS HUGEINT)) // max(_h) AS BIGINT) END"
+)
+
+
+@register(
+    "kmv_vocab_cardinality",
+    oracle=f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    h AS (SELECT DISTINCT source, {portable_hash64_sql('tok')} AS _h FROM toks),
+    rk AS (
+      SELECT source, _h,
+             row_number() OVER (PARTITION BY source ORDER BY _h) AS rk
+      FROM h
+    ),
+    sk AS (SELECT source, _h FROM rk WHERE rk <= {_KMV_K}),
+    mrk AS (
+      SELECT '<all>' AS source, _h, row_number() OVER (ORDER BY _h) AS rk
+      FROM (SELECT DISTINCT _h FROM sk)
+    ),
+    allsk AS (
+      SELECT source, _h FROM sk
+      UNION ALL SELECT source, _h FROM mrk WHERE rk <= {_KMV_K}
+    ),
+    est AS (
+      SELECT source, count(*) AS n_mins, max(_h) AS kth_min,
+             {_KMV_EST_SQL} AS est_distinct
+      FROM allsk GROUP BY source
+    ),
+    tru AS (
+      SELECT source, count(DISTINCT tok) AS true_distinct
+      FROM toks GROUP BY source
+      UNION ALL SELECT '<all>', count(DISTINCT tok) FROM toks
+    )
+    SELECT est.source, n_mins, kth_min, est_distinct, true_distinct
+    FROM est JOIN tru USING (source)
+    """,
+)
+def q_kmv_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality by KMV sketch (K=32), with the
+    exact distinct count alongside, plus one '<all>' row built by
+    MERGING the per-source sketches — never by re-reading the corpus.
+    The merge is exact (global K minima ⊆ union of per-source K
+    minima), so the '<all>' estimate is identical to a from-scratch
+    global sketch; `tests/test_operators.py` pins that identity.
+
+    Scale: the sketch pass shuffles (source, hash) once — the same
+    key profile as the exact count-distinct it replaces — but its
+    OUTPUT is K integers per source: persist it and every later
+    cardinality question (per source, per union of sources, per
+    day-range of daily sketches) is a driver-free merge over K·groups
+    rows. The exact column here is the self-check, not the production
+    path."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+    from stonkwhisperer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch(toks, "source", "tok", k=_KMV_K)
+    merged = kmv_merge(sk, "source", "<all>", k=_KMV_K)
+    est = kmv_estimate(sk.unionByName(merged.select("source", "_h", "_rk")), "source", k=_KMV_K)
+    per_src = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("true_distinct")
+    )
+    overall = toks.agg(F.countDistinct("tok").alias("true_distinct")).select(
+        F.lit("<all>").alias("source"), "true_distinct"
+    )
+    return est.join(per_src.unionByName(overall), "source").select(
+        "source", "n_mins", "kth_min", "est_distinct", "true_distinct"
+    )
+
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_bucket_sql(seed_expr: str, tok_expr: str) -> str:
+    return (
+        f"cast(('0x' || substr(md5(cast({seed_expr} AS varchar) || '|' || "
+        f"{tok_expr}), 1, 15)) AS bigint) % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_token_topk",
+    oracle=f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    seeds AS (SELECT unnest(range({_CMS_D})) AS seed),
+    cms AS (
+      SELECT seed, {_cms_bucket_sql('seed', 'tok')} AS bucket,
+             count(*) AS cnt
+      FROM toks CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    tc AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+    est AS (
+      SELECT tc.tok, tc.true_cnt, min(cms.cnt) AS est_cnt
+      FROM tc CROSS JOIN seeds
+      JOIN cms ON cms.seed = seeds.seed
+              AND cms.bucket = {_cms_bucket_sql('seeds.seed', 'tc.tok')}
+      GROUP BY 1, 2
+    )
+    SELECT tok, est_cnt, true_cnt FROM est
+    ORDER BY est_cnt DESC, tok LIMIT 20
+    """,
+)
+def q_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by Count-Min-sketch estimate (d=4 rows ×
+    w=1024 buckets), true count alongside — est_cnt >= true_cnt always
+    (one-sided CMS error; equality whenever no heavier token collides
+    in all 4 rows). The hot-token monitor of a training-data pipeline:
+    the 4·1024-integer sketch is built once per ingest shard
+    (map-side partial counts, one bounded shuffle capped at d·w rows
+    per mapper), merged across shards by addition, and point-queried
+    via d broadcast joins that add ZERO shuffles to the probe side —
+    the corpus is never re-read at query time. The exact-count column
+    is the self-check, not the production path; the final top-20 is a
+    TakeOrdered, not a global sort."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+    from stonkwhisperer_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cms = cms_table(toks, "tok", d=_CMS_D, width=_CMS_W)
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_point_estimates(tc, "tok", cms, d=_CMS_D, width=_CMS_W)
+    return (
+        est.orderBy(F.desc("est_cnt"), "tok")
+        .limit(20)
+        .select("tok", "est_cnt", "true_cnt")
     )

@@ -96,3 +96,29 @@ def spread(df: DataFrame, *cols: str, min_partitions: int | None = None) -> Data
     if groups is not None and groups >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def no_pushdown(pred) -> "F.Column":
+    """Pin a filter predicate to the operator where it is written —
+    i.e., ABOVE the preceding :func:`spread` exchange — by wrapping it
+    in an always-true non-deterministic guard the optimizer cannot
+    split off or simplify.
+
+    Why: Catalyst pushes deterministic filters below
+    RepartitionByExpression and into the parquet scan. For a cheap
+    predicate that's exactly right; for a predicate over an expensive
+    expression (the multi-regex language-ID argmax) it is a 10×
+    regression on single-row-group inputs — the whole regex pass
+    executes inside the ONE scan task instead of the 32-way
+    repartitioned stage, and FilterExec evaluates it without the
+    subexpression elimination ProjectExec would apply. (Measured at
+    sf0.1: quality gate 2.7 s pushed vs 1.0 s pinned.)
+
+    The guard must be (a) a single unsplittable expression — a bare
+    `rand() > -1 AND pred` conjunction gets split and the
+    deterministic half pushed anyway — and (b) outside the optimizer's
+    range analysis: Spark 4 folds `rand() >= 0` to true (rand's [0,1)
+    range is known), so the guard uses unbounded `randn()`. Values are
+    unaffected: the guard is always true and `null AND/CASE` semantics
+    match a bare filter (null drops the row either way)."""
+    return F.when(F.randn() > F.lit(-1e9), pred).otherwise(F.lit(False))

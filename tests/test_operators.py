@@ -754,3 +754,86 @@ def test_ivfpq_topk_recall_and_pruning(spark):
 
     per_q = Counter(q for q, _ in composed)
     assert all(per_q[q] == 5 for q in range(6)), per_q
+
+
+def test_incremental_lsh_dedup_cross_corpus_only(spark):
+    # Corpus doc 1 and incoming doc 100 share identical text (Jaccard
+    # 1.0 -> killed); incoming docs 101/102 are near-identical to each
+    # other but unlike any corpus doc (must BOTH survive: incoming is
+    # never self-compared); incoming 103 is unlike everything.
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    pair = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    docs = spark.createDataFrame(
+        [
+            (1, base, False),
+            (2, "one two three four five six seven eight nine ten", False),
+            (100, base, True),
+            (101, pair, True),
+            (102, pair + " xray", True),
+            (103, "red orange yellow green blue violet purple pink", True),
+        ],
+        "doc_id long, text string, is_incoming boolean",
+    )
+    from stonkwhisperer_spark.operators.dedup import incremental_lsh_dedup
+
+    postings = shingle_postings(docs, "doc_id", clean_text_for_nlp("text")).join(
+        docs.select("doc_id", "is_incoming"), "doc_id"
+    )
+    out = {
+        r.doc_id: (r.is_dup, r.dup_of)
+        for r in incremental_lsh_dedup(postings, threshold=0.8).collect()
+    }
+    assert set(out) == {100, 101, 102, 103}  # one row per incoming doc
+    assert out[100] == (1, 1)  # exact twin of corpus doc 1
+    assert out[101] == (0, None)  # near-dup of 102 only — incoming side
+    assert out[102] == (0, None)
+    assert out[103] == (0, None)
+
+
+def test_kmv_small_group_exact_and_merge_identity(spark):
+    # Group "small" has 10 distinct values (< K=32): the sketch count
+    # is EXACT. Group "big" has 500: estimator path. The merged
+    # '<all>' sketch (union of per-group k-mins, re-ranked) must be
+    # IDENTICAL to a from-scratch global sketch — the global K minima
+    # are a subset of the union of per-group K minima.
+    from stonkwhisperer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = spark.createDataFrame(
+        [("small", f"s{i % 10}") for i in range(40)]
+        + [("big", f"b{i}") for i in range(500)],
+        "g string, v string",
+    )
+    sk = kmv_sketch(rows, "g", "v", k=32)
+    est = {r.g: r for r in kmv_estimate(sk, "g", k=32).collect()}
+    assert est["small"].n_mins == 10
+    assert est["small"].est_distinct == 10  # exact below K
+    assert 250 <= est["big"].est_distinct <= 1000  # KMV est, K=32
+
+    merged = kmv_merge(sk, "g", "<all>", k=32)
+    direct = kmv_sketch(rows.select(F.lit("<all>").alias("g"), "v"), "g", "v", k=32)
+    m = sorted(r._h for r in merged.collect())
+    d = sorted(r._h for r in direct.collect())
+    assert m == d  # merge is exact, not approximate
+
+
+def test_cms_one_sided_error_and_hottest_token(spark):
+    from stonkwhisperer_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    # Zipf-ish stream over a 60-token vocab; "hot" dominates.
+    occs = [("hot",)] * 300 + [
+        (f"w{i}",) for i in range(60) for _ in range(i % 7 + 1)
+    ]
+    toks = spark.createDataFrame(occs, "tok string")
+    cms = cms_table(toks, "tok", d=4, width=1024)
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_point_estimates(tc, "tok", cms, d=4, width=1024).collect()
+    assert all(r.est_cnt >= r.true_cnt for r in est)  # one-sided error
+    top = max(est, key=lambda r: (r.est_cnt, r.tok))
+    assert top.tok == "hot" and top.true_cnt == 300
