@@ -72,9 +72,12 @@ def oracle_map() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
     # -- new in round 8: IVF×PQ composed ANN, txlog lifecycle hash
-    #    companion --
+    #    companion, incremental corpus dedup, mergeable sketches --
     "ivfpq_topk_embeddings",
     "txlog_e2e_state",
+    "incremental_dedup",
+    "kmv_vocab_cardinality",
+    "cms_token_topk",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -110,8 +113,8 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 19 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 21 lead round 9's window) --
+    # -- backlog: 16 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 24 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
@@ -128,9 +131,6 @@ _GATE_ORDER: list[str] = [
     "doc_shingles",
     "embedding_lsh_buckets",
     "embedding_near_dup",
-    "event_type_stats_salted",
-    "event_weighted_stats_udaf",
-    "events_in_promo_windows",
 ]
 
 
