@@ -165,7 +165,12 @@ def cms_point_estimates(
     The d*width sketch is broadcast and joined once per hash row on
     the map-side-computed bucket column — d broadcast joins, zero
     shuffles added to ``items``'s plan. This is the sketch payoff: at
-    query time the corpus is never re-read."""
+    query time the corpus is never re-read. The sketch is eagerly
+    materialized here (it is d*width rows — the whole point is that it
+    is small) so the d broadcast legs read the checkpoint, not d
+    re-executions of the build lineage; in production it would be a
+    persisted table and this is its stand-in."""
+    cms = cms.localCheckpoint(eager=True)
     out = items
     for i in range(d):
         leg = cms.filter(F.col("seed") == i).select(

@@ -1560,16 +1560,22 @@ def q_kmv_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    sk = kmv_sketch(toks, "source", "tok", k=_KMV_K)
+    # The corpus is read exactly TWICE: once for the sketch pass (the
+    # production path — its K-rows-per-source output is eagerly
+    # materialized, so merge + estimate never re-run the pass) and once
+    # for the exact self-check, whose per-source and grand-total counts
+    # share a single ROLLUP scan (the null grouping row IS '<all>').
+    sk = kmv_sketch(toks, "source", "tok", k=_KMV_K).localCheckpoint(eager=True)
     merged = kmv_merge(sk, "source", "<all>", k=_KMV_K)
     est = kmv_estimate(sk.unionByName(merged.select("source", "_h", "_rk")), "source", k=_KMV_K)
-    per_src = toks.groupBy("source").agg(
-        F.countDistinct("tok").alias("true_distinct")
+    truth = (
+        toks.rollup("source")
+        .agg(F.countDistinct("tok").alias("true_distinct"))
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"), "true_distinct"
+        )
     )
-    overall = toks.agg(F.countDistinct("tok").alias("true_distinct")).select(
-        F.lit("<all>").alias("source"), "true_distinct"
-    )
-    return est.join(per_src.unionByName(overall), "source").select(
+    return est.join(truth, "source").select(
         "source", "n_mins", "kth_min", "est_distinct", "true_distinct"
     )
 
