@@ -47,7 +47,11 @@ NOTES = {
     "txlog_merge_evolve": "MERGE schema evolution: the widened union schema is resolved driver-side from O(1) log metadata; the merge rewrites only files owning matched keys, and the evolved feed null-fills older files at scan time — no table rewrite, no full scan.",
     "ivfpq_topk_embeddings": "IVF x PQ composed: coarse centroids broadcast into the assignment argmax (one partial-agg shuffle), the probe list broadcasts INTO the assignment so the (q,c) candidate set exists map-side BEFORE any code is read; only the survivors' codes meet the broadcast ADC table, then one partial-aggregated sum — probes*avg_cell work per query instead of a linear scan.",
     "txlog_e2e_state": "Lifecycle relation: merges/compaction/vacuum are O(1) driver-side log I/O + bounded writes; the CDC feed opens only each commit's added files (one scan node per commit, never a table scan); the result is a 240-row collected relation.",
-    "curation_e2e": "Composed curation: the shingle chain is ONE corpus pass shared through the grouped-jaccard ReusedExchange; CC rounds fold their checkpoint into the convergence agg (one job per round); the kill anti-join and 2048-token packing shuffle the survivor subset on uniform keys; quality regexes run behind spread() so scan layout never serializes them.",
+    "curation_e2e": "Composed curation: the shingle chain is ONE corpus pass shared through the grouped-jaccard ReusedExchange; CC rounds fold their checkpoint into the convergence agg (one job per round); the kill anti-join and 2048-token packing shuffle the survivor subset on uniform keys; quality regexes run behind spread() so scan layout never serializes them, and the survivor gate is pinned ABOVE its exchange by the no_pushdown guard (pushed, the multi-regex argmax ran single-tasked in the scan).",
+    "incremental_dedup": "Batch-vs-corpus dedup: ONE grouped pass yields signatures and shingle counts; the candidate join shuffles on (band_idx, band_key) with each side reduced to 4 band rows per doc; exact-Jaccard verification re-reads postings only join-pruned to candidate docs — incoming docs are never self-compared, so a daily batch costs O(batch), not O(corpus).",
+    "ivfpq_refine_embeddings": "IVFPQ + Refine: the composed coarse-prune x ADC chain yields a 4k-per-query shortlist, which BROADCASTS into one quantized-vector map pass over the corpus (no shuffle); the exact 64-dim integer rescore and per-query re-rank touch rf*k rows per query — at 1e9 vectors the refine reads 20 raw vectors per query, not 1e9.",
+    "kmv_vocab_cardinality": "Per-source KMV sketches: one (source, hash) shuffle with partial-aggregated distinct, per-source top-K via a partitioned window over K-bounded groups; the <all> row is a MERGE of the per-source sketches (K x sources rows re-ranked) — the corpus is never re-read for the global estimate.",
+    "cms_token_topk": "Count-Min table: map-side partial counts cap the shuffle at d*w rows per mapper regardless of corpus size; point estimates join the d-row-selected sketch back as d broadcast hash joins (zero added shuffles on the probe side); the final top-20 plans as TakeOrderedAndProject, not a global sort.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

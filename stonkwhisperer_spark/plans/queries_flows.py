@@ -734,6 +734,128 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming_sketch — incremental KMV maintenance over a document stream:
+# the sketch layer (operators/sketches.py) composed with Structured
+# Streaming. Because the KMV merge is EXACT (global K minima ⊆ union of
+# per-batch K minima), the stream-maintained sketch equals the batch
+# sketch bit-for-bit — so the oracle replays the whole thing as one
+# relational pass.
+# --------------------------------------------------------------------------
+def _streaming_sketch_oracle() -> str:
+    from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
+    from stonkwhisperer_spark.plans.queries_text import (
+        _KMV_EST_SQL,
+        _KMV_K,
+        _SKETCH_TOKS_SQL,
+    )
+
+    return f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    h AS (SELECT DISTINCT source, {portable_hash64_sql('tok')} AS _h FROM toks),
+    rk AS (
+      SELECT source, _h,
+             row_number() OVER (PARTITION BY source ORDER BY _h) AS rk
+      FROM h
+    ),
+    sk AS (SELECT source, _h FROM rk WHERE rk <= {_KMV_K})
+    SELECT source, count(*) AS n_mins, max(_h) AS kth_min,
+           {_KMV_EST_SQL} AS est_distinct
+    FROM sk GROUP BY source
+    """
+
+
+@register("streaming_sketch", oracle=_streaming_sketch_oracle())
+def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-cardinality KMV sketches maintained
+    INCREMENTALLY over a document stream: documents arrive in 4
+    micro-batches (file source, maxFilesPerTrigger=1), each batch's
+    K-minimum set merges into the persisted sketch state inside
+    ``foreachBatch`` (read previous state → union → re-take K minima →
+    write next version), and the final state is estimated with the
+    same :func:`kmv_estimate` as the batch path. The KMV merge is
+    exact, so the drained stream's sketch is IDENTICAL to a
+    from-scratch batch sketch — which is exactly what the DuckDB twin
+    computes, hash-checking the entire incremental maintenance loop.
+
+    This is the ingest-time shape of the sketch layer's promise: each
+    arriving shard pays one small tokenize+groupBy, the persisted
+    state is K integers per source, and NO consumer ever re-reads the
+    corpus. Scale: per-batch work is O(batch) with a (source, hash)
+    shuffle inside the batch; the state union touches K·sources rows;
+    state versions are tiny files (a production deployment would keep
+    them in the txlog table format for time travel over sketch
+    history)."""
+    import os
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from stonkwhisperer_spark.plans.queries_text import _KMV_K
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_sketch_")
+    try:
+        landing = f"{scratch}/docs"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
+        toks = stream.select(
+            "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+
+        state_dir = f"{scratch}/state"
+        state = {"v": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            bsk = kmv_sketch(batch_df, "source", "tok", k=_KMV_K).select(
+                "source", "_h"
+            )
+            if state["v"] > 0:
+                prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
+                un = prev.unionByName(bsk).distinct()
+            else:
+                un = bsk
+            from pyspark.sql.window import Window as W
+
+            rk = F.row_number().over(W.partitionBy("source").orderBy("_h"))
+            merged = (
+                un.withColumn("_rk", rk)
+                .filter(F.col("_rk") <= _KMV_K)
+                .select("source", "_h")
+            )
+            merged.write.parquet(f"{state_dir}/v{state['v'] + 1}")
+            state["v"] += 1
+
+        with _stream_shuffle_width(spark):
+            q = (
+                toks.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_sketch did not drain within 300s")
+            finally:
+                q.stop()
+        assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        est = kmv_estimate(final, "source", k=_KMV_K)
+        # The scratch state is deleted on return — materialize the
+        # K·sources-row result (bounded) before the cleanup.
+        rows = est.collect()
+        return spark.createDataFrame(rows, est.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # txlog_cdc_replay — the txlog family's HASH-CHECKED row: the CDC feed's
 # replayed insert set is a deterministic relation DuckDB can recompute
 # from the same seed data, so the driver gets a value-hash row for the

@@ -74,10 +74,12 @@ _GATE_ORDER: list[str] = [
     # -- new in round 8: IVF×PQ composed ANN, txlog lifecycle hash
     #    companion, incremental corpus dedup, mergeable sketches --
     "ivfpq_topk_embeddings",
+    "ivfpq_refine_embeddings",
     "txlog_e2e_state",
     "incremental_dedup",
     "kmv_vocab_cardinality",
     "cms_token_topk",
+    "streaming_sketch",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -113,8 +115,8 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 16 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 24 lead round 9's window) --
+    # -- backlog: 14 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 26 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
@@ -129,8 +131,6 @@ _GATE_ORDER: list[str] = [
     "doc_fingerprints",
     "doc_repetition",
     "doc_shingles",
-    "embedding_lsh_buckets",
-    "embedding_near_dup",
 ]
 
 

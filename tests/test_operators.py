@@ -837,3 +837,85 @@ def test_cms_one_sided_error_and_hottest_token(spark):
     assert all(r.est_cnt >= r.true_cnt for r in est)  # one-sided error
     top = max(est, key=lambda r: (r.est_cnt, r.tok))
     assert top.tok == "hot" and top.true_cnt == 300
+
+
+def test_ivfpq_refine_exact_rerank_and_recall_gain(spark):
+    """The refine leg must (a) return, per query, EXACTLY the best-k of
+    its own 4k shortlist under true (fixed-point) squared distance —
+    the FAISS Refine contract — and (b) never lose recall vs the
+    unrefined composition: any true neighbor the shortlist caught is
+    re-ranked into place, so recall(refine) >= recall(ivfpq@k) on the
+    same shortlist run."""
+    import math
+    import random
+    from collections import Counter
+
+    from stonkwhisperer_spark.operators.similarity import (
+        PQ_SCALE,
+        ivfpq_refine_topk,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") % 32 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    pred = F.col("vec_id") < 6
+    refined = {
+        (r["q_id"], r["c_id"]): r["rdist"]
+        for r in ivfpq_refine_topk(
+            df, cents, pred, k=5, refine_factor=4, probes=3, dim=dim
+        ).collect()
+    }
+    shortlist = [
+        (r["q_id"], r["c_id"])
+        for r in ivfpq_topk(df, cents, pred, k=20, probes=3, dim=dim).collect()
+    ]
+
+    # Reference rescoring in the identical fixed-point domain (float32
+    # storage, double widening, floor to 2^20 ints — what both engines
+    # compute).
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    qv = {
+        i: [math.floor(f32(x) * PQ_SCALE) for x in v] for i, v in rows
+    }
+
+    def rdist(q, c):
+        return sum((a - b) ** 2 for a, b in zip(qv[q], qv[c]))
+
+    # (a) per query: refined == best-5 of the shortlist by exact rdist
+    by_q = {}
+    for q, c in shortlist:
+        by_q.setdefault(q, []).append(c)
+    for q, cands in by_q.items():
+        best = sorted(((rdist(q, c), c) for c in cands))[:5]
+        want = {(q, c): d for d, c in best}
+        got = {p: d for p, d in refined.items() if p[0] == q}
+        assert got == want, f"q={q}: refine is not the exact shortlist top-5"
+
+    # (b) recall vs exact top-5 never below the unrefined composition's
+    exact = set()
+    for qid in range(6):
+        scores = sorted(
+            (rdist(qid, cid), cid) for cid, _ in rows if cid != qid
+        )
+        exact.update((qid, cid) for _, cid in scores[:5])
+    unrefined = {
+        (r["q_id"], r["c_id"])
+        for r in ivfpq_topk(df, cents, pred, k=5, probes=3, dim=dim).collect()
+    }
+    r_ref = len(set(refined) & exact)
+    r_unref = len(unrefined & exact)
+    assert r_ref >= r_unref, (r_ref, r_unref)
+
+    per_q = Counter(q for q, _ in refined)
+    assert all(per_q[q] == 5 for q in range(6)), per_q
