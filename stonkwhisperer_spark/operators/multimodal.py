@@ -350,3 +350,93 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, PNG_STATS_SCHEMA)
+
+
+def _resize_rgb_nearest(
+    width: int, height: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a packed RGB buffer: output pixel
+    (ox, oy) copies source pixel (ox·W // out_w, oy·H // out_h) — the
+    floor grid map, exactly replayable by an integer SQL twin (unlike
+    PIL's half-pixel-center convention, which is also NN but offsets
+    the grid)."""
+    out = bytearray(out_w * out_h * 3)
+    i = 0
+    for oy in range(out_h):
+        base = ((oy * height) // out_h) * width * 3
+        for ox in range(out_w):
+            j = base + ((ox * width) // out_w) * 3
+            out[i : i + 3] = rgb[j : j + 3]
+            i += 3
+    return bytes(out)
+
+
+def resize_png_nearest(
+    media: DataFrame, out_w: int = 8, out_h: int = 4
+) -> DataFrame:
+    """MEDIA_SCHEMA (image/png payloads) → RESIZED_SCHEMA with REAL
+    pixels: the full decoder (signature, chunk CRCs, scanline
+    unfiltering) feeds a nearest-neighbor grid resample — the
+    normalize stage before vision-model feature extraction, with no
+    stub anywhere in the path (:func:`resize_images` remains the
+    bytes-contract stub for formats the stdlib can't decode; PNG runs
+    real). One narrow Arrow-batched map stage; output is a constant
+    3·out_w·out_h bytes per row, so downstream partition sizing is
+    exact regardless of source dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                ws.append(out_w)
+                hs.append(out_h)
+                if payload is None:
+                    px.append(None)
+                    continue
+                w, h, rgb = decode_png(bytes(payload))
+                px.append(_resize_rgb_nearest(w, h, rgb, out_w, out_h))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pixels": px}
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def rgb_mean_stats(resized: DataFrame) -> DataFrame:
+    """RESIZED_SCHEMA → per-image exact per-channel means over the
+    packed RGB pixel buffer (integer sums, one double division at the
+    end — engine-identical). The featurize stage downstream of
+    :func:`resize_png_nearest`."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), True),
+            T.StructField("mean_g", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                if px is None:
+                    rows["mean_r"].append(None)
+                    rows["mean_g"].append(None)
+                    rows["mean_b"].append(None)
+                    continue
+                n = int(w) * int(h)
+                b = bytes(px)
+                for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[key].append(sum(b[ch::3]) / n)
+            yield pd.DataFrame(rows)
+
+    return resized.mapInPandas(run, schema)

@@ -413,6 +413,79 @@ def q_event_type_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sketch-driven skew mitigation: the Count-Min sketch DECIDES which
+# keys get the salted-join treatment — composition of the sketch layer
+# (operators/sketches.py) with the skew rewrite (operators/skew.py).
+# Oracle = the plain join: the physical strategy must not change the
+# relation.
+# --------------------------------------------------------------------------
+@register(
+    "event_type_enrich_sketch_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             upper(event_type) || '_CATEGORY' AS category
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.category
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def q_event_type_enrich_sketch_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production refinement of event_type_enrich_salted: instead
+    of taxing EVERY key with the 16× dim explosion, a Count-Min sketch
+    over the fact's join key detects the hot keys (estimate ≥ 2× the
+    mean per-key count, a 1-row broadcast threshold — CMS error is
+    one-sided, so a false positive only salts a cold key, never misses
+    a hot one at this margin), and ``sketch_salted_join`` salts ONLY
+    those: hot fact rows spread over 16 salts, the cold long tail
+    joins unsalted with zero replication. The oracle is the PLAIN
+    join — the sketch and the salting are pure physical strategy, so
+    result equivalence is what's graded.
+
+    Scale: at 100 TB the d·w sketch is built once per ingest shard and
+    merged (operators/sketches.py), so hot-key detection costs a
+    broadcast probe of persisted state, not a second exact aggregation
+    of the fact table; replicating 20 hot dim rows 16× replaces
+    replicating the full 10⁶-row dim 16×."""
+    from stonkwhisperer_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+    from stonkwhisperer_spark.operators.skew import sketch_salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    fact = events.select("event_id", "event_type")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("category", F.concat(F.upper("event_type"), F.lit("_CATEGORY")))
+    )
+    cms = cms_table(fact.select(F.col("event_type").alias("tok")), "tok")
+    est = cms_point_estimates(
+        dim.select(F.col("event_type").alias("tok")), "tok", cms
+    )
+    stats = fact.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.countDistinct("event_type").alias("_nkeys"),
+    )
+    # The hot set feeds BOTH join sides; eagerly materializing the
+    # (bounded, ≤ |key domain|) relation runs the sketch probe and the
+    # 1-row threshold broadcast ONCE instead of once per consumer —
+    # the stand-in for the persisted hot-key list a production
+    # pipeline refreshes per ingest batch.
+    hot = (
+        est.crossJoin(F.broadcast(stats))
+        .filter(F.col("est_cnt") * F.col("_nkeys") >= 2 * F.col("_total"))
+        .select(F.col("tok").alias("event_type"))
+        .localCheckpoint(eager=True)
+    )
+    return sketch_salted_join(fact, dim, "event_type", hot).select(
+        "event_id", "event_type", "category"
+    )
+
+
+# --------------------------------------------------------------------------
 # KMV (k-minimum-values) approximate distinct count — the sketch family
 # under the EXACT oracle gate: because both engines compute the same
 # portable 60-bit hash, the k smallest hash values — and therefore the

@@ -634,6 +634,103 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# media_resize_stats — the full multimodal normalize chain with REAL
+# stages end to end: encode PNG → decode (CRCs, unfiltering) →
+# nearest-neighbor resize → per-channel means. The oracle re-derives
+# the resized statistics in closed form from the pixel formula and the
+# floor grid map, so codec AND resampler are both under the hash.
+# --------------------------------------------------------------------------
+_RSZ_W, _RSZ_H = 8, 4  # 16×8 source → 2× decimation each axis
+
+
+@register(
+    "media_resize_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.range AS x, y.range AS y
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_PNG_DOCS}) d,
+           range({_RSZ_W}) x, range({_RSZ_H}) y
+    ),
+    src AS (
+      SELECT doc_id,
+             (x * {_PNG_W}) // {_RSZ_W} AS sx,
+             (y * {_PNG_H}) // {_RSZ_H} AS sy
+      FROM px
+    )
+    SELECT doc_id,
+           {_RSZ_W} AS width, {_RSZ_H} AS height,
+           cast(sum((7 * doc_id + 3 * sx + 5 * sy) % 256) AS double)
+             / {_RSZ_W * _RSZ_H}.0 AS mean_r,
+           cast(sum((doc_id + sx * sy) % 256) AS double)
+             / {_RSZ_W * _RSZ_H}.0 AS mean_g,
+           cast(sum((2 * doc_id + sx + 2 * sy) % 256) AS double)
+             / {_RSZ_W * _RSZ_H}.0 AS mean_b
+    FROM src GROUP BY doc_id
+    """,
+)
+def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal normalize pipeline with no stub in the path: the
+    same formula PNGs as media_pixel_stats are ENCODED (zlib IDAT,
+    chunk CRCs), DECODED by the standards-path decoder, RESIZED 16×8 →
+    8×4 by the nearest-neighbor floor grid map (output pixel (x, y)
+    samples source (x·W//w', y·H//h')), and reduced to exact
+    per-channel means — three Arrow-batched map stages, no shuffle.
+    The oracle recomputes the resized means from the pixel formula
+    composed with the grid map, so a bug in the encoder, the decoder,
+    OR the resampler breaks the hash.
+
+    Scale: resize output is a constant 3·w'·h' bytes/row — the stage
+    that makes downstream partition sizing independent of source image
+    dimensions; a PIL/av decoder slots into the same mapInPandas
+    contract for formats the stdlib can't decode."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_png_nearest,
+        rgb_mean_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PNG_DOCS
+    ).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rgb = bytes(
+                    v
+                    for y in range(_PNG_H)
+                    for x in range(_PNG_W)
+                    for v in (
+                        (7 * did + 3 * x + 5 * y) % 256,
+                        (did + x * y) % 256,
+                        (2 * did + x + 2 * y) % 256,
+                    )
+                )
+                ids.append(did)
+                types.append("image/png")
+                payloads.append(encode_png(_PNG_W, _PNG_H, rgb))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, MEDIA_SCHEMA)
+    resized = resize_png_nearest(media, out_w=_RSZ_W, out_h=_RSZ_H)
+    return rgb_mean_stats(resized).select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
+# --------------------------------------------------------------------------
 # Within-document repetition (C4/Gopher-style quality rule): repeated
 # trigram + repeated word fractions. Boilerplate, keyboard-mash, and
 # template spam score high; the downstream filter thresholds on these.

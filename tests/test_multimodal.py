@@ -175,3 +175,60 @@ def test_png_codec_roundtrip_and_filters():
     dw, dh, drgb = decode_png(png_rgba)
     assert (dw, dh) == (w, h)
     assert drgb[:9] == bytes([0, 0, 0, 3, 5, 7, 6, 10, 14])
+
+
+def test_nearest_neighbor_resize_grid_map():
+    """Floor grid map: 2x decimation keeps every even pixel; identity
+    resize returns the buffer unchanged; upscale repeats pixels."""
+    from stonkwhisperer_spark.operators.multimodal import _resize_rgb_nearest
+
+    w, h = 4, 2
+    # pixel (x, y) = (x, y, 10*x+y)
+    rgb = bytes(
+        v for y in range(h) for x in range(w) for v in (x, y, 10 * x + y)
+    )
+    assert _resize_rgb_nearest(w, h, rgb, w, h) == rgb  # identity
+    down = _resize_rgb_nearest(w, h, rgb, 2, 1)  # keeps (0,0) and (2,0)
+    assert down == bytes([0, 0, 0, 2, 0, 20])
+    up = _resize_rgb_nearest(w, h, rgb, 8, 2)  # each pixel twice per row
+    assert up[:12] == bytes([0, 0, 0, 0, 0, 0, 1, 0, 10, 1, 0, 10])
+
+
+def test_resize_png_nearest_real_decode(spark):
+    """The real chain: encode an actual PNG, resize through the full
+    decoder, check the sampled pixels against the source formula."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_png_nearest,
+    )
+
+    w, h = 6, 4
+    rgb = bytes(
+        v for y in range(h) for x in range(w) for v in (x * 7 % 256, y * 11 % 256, (x + y) % 256)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": [1],
+                    "media_type": ["image/png"],
+                    "payload": [encode_png(w, h, rgb)],
+                }
+            )
+
+    media = spark.range(1).mapInPandas(gen, MEDIA_SCHEMA)
+    out = resize_png_nearest(media, out_w=3, out_h=2).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (3, 2)
+    px = bytes(out[0].pixels)
+    # output (ox, oy) samples source (2*ox, 2*oy)
+    want = bytes(
+        v
+        for oy in range(2)
+        for ox in range(3)
+        for v in ((2 * ox) * 7 % 256, (2 * oy) * 11 % 256, (2 * ox + 2 * oy) % 256)
+    )
+    assert px == want

@@ -919,3 +919,35 @@ def test_ivfpq_refine_exact_rerank_and_recall_gain(spark):
 
     per_q = Counter(q for q, _ in refined)
     assert all(per_q[q] == 5 for q in range(6)), per_q
+
+
+def test_sketch_salted_join_result_identical(spark):
+    """sketch_salted_join must be result-identical to the plain join:
+    hot keys (salted, dim replicated 16x) and cold keys (salt 0, dim
+    replicated once) both reproduce every fact row exactly once."""
+    from stonkwhisperer_spark.operators.skew import sketch_salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot") for i in range(300)]
+        + [(1000 + i, f"cold{i % 7}") for i in range(70)],
+        "event_id long, k string",
+    )
+    dim = fact.select("k").distinct().withColumn(
+        "v", F.concat(F.lit("cat_"), F.col("k"))
+    )
+    hot = spark.createDataFrame([("hot",)], "k string")
+    got = sorted(
+        (r.event_id, r.k, r.v)
+        for r in sketch_salted_join(fact, dim, "k", hot).collect()
+    )
+    want = sorted(
+        (r.event_id, r.k, r.v) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want
+    # empty hot set degrades to the plain join (everything salt 0)
+    none_hot = spark.createDataFrame([], "k string")
+    got2 = sorted(
+        (r.event_id, r.k, r.v)
+        for r in sketch_salted_join(fact, dim, "k", none_hot).collect()
+    )
+    assert got2 == want

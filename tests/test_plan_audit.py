@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     "purchase_funnel": 2,         # three 1-row stage counts cross-joined
     "click_buy_reconcile": 0,
     "temperature_mixture": 1,     # 1-row MIN(lang count) into the rate table
+    "event_type_enrich_sketch_salted": 0,  # the 1-row threshold
+                                           # crossJoin lives behind the
+                                           # hot-set checkpoint
     "sq8_topk_embeddings": 1,     # |Q|-row query set broadcast (ADC scan)
     "semantic_clusters": 2,       # K-row centroid broadcast, one per
                                   # Lloyd's assignment pass (K=8)
