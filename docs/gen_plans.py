@@ -52,6 +52,8 @@ NOTES = {
     "ivfpq_refine_embeddings": "IVFPQ + Refine: the composed coarse-prune x ADC chain yields a 4k-per-query shortlist, which BROADCASTS into one quantized-vector map pass over the corpus (no shuffle); the exact 64-dim integer rescore and per-query re-rank touch rf*k rows per query — at 1e9 vectors the refine reads 20 raw vectors per query, not 1e9.",
     "kmv_vocab_cardinality": "Per-source KMV sketches: one (source, hash) shuffle with partial-aggregated distinct, per-source top-K via a partitioned window over K-bounded groups; the <all> row is a MERGE of the per-source sketches (K x sources rows re-ranked) — the corpus is never re-read for the global estimate.",
     "cms_token_topk": "Count-Min table: map-side partial counts cap the shuffle at d*w rows per mapper regardless of corpus size; point estimates join the d-row-selected sketch back as d broadcast hash joins (zero added shuffles on the probe side); the final top-20 plans as TakeOrderedAndProject, not a global sort.",
+    "event_type_enrich_sketch_salted": "Sketch-guided skew join: the CMS probe + 1-row threshold pick hot keys behind a checkpoint (one evaluation for both join sides); only hot fact rows spread over 16 salts and only hot dim keys replicate 16x — the cold long tail joins with ZERO replication, vs the blanket 16x dim explosion of event_type_enrich_salted.",
+    "media_resize_stats": "Full multimodal normalize chain: encode -> decode (CRCs, unfiltering) -> nearest-neighbor resize -> per-channel means as three Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; resize output is a constant 96 bytes/row so downstream partition sizing is exact regardless of source dimensions.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
+from stonkwhisperer_spark.functions.text import bpe_token_count_sql
 from stonkwhisperer_spark.plans.queries_llm import _POSTINGS_SQL, _postings
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.sources.tables import load_table
@@ -261,4 +263,81 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(_DSIR_SCALE).cast("bigint") * F.count(F.lit(1))
             ).alias("keep"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling (Duffield–Lund–Thorup): token-proportional
+# corpus subsampling with a fully INTEGER priority, so both engines
+# rank bit-identically. A-ES (u^(1/w)) needs pow/ln — not correctly
+# rounded, so the k-th boundary can differ across engines; priority
+# sampling's w/u ranking survives an integer reformulation:
+# (w << 31) DIV h with h = hash%2^31+1 is the same order as w/u for
+# u = h/2^31, computed exactly in int64 on both sides.
+# --------------------------------------------------------------------------
+_PSAMP_K = 500
+_PSAMP_M = 2147483648  # 2^31
+
+
+@register(
+    "priority_sample",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             greatest({bpe_token_count_sql("text")}, 1) AS n_tokens,
+             ({portable_hash64_sql("'psamp|' || cast(doc_id AS varchar)")}
+              % {_PSAMP_M}) + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((n_tokens * {_PSAMP_M}) // h AS BIGINT) AS priority
+    FROM sized
+    ORDER BY priority DESC, doc_id
+    LIMIT {_PSAMP_K}
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional weighted sample of the corpus, k=500, by
+    Duffield–Lund–Thorup priority sampling: each doc draws a
+    deterministic uniform u = (hash(doc_id) mod 2³¹ + 1)/2³¹ and the k
+    largest priorities w/u win — longer documents proportionally more
+    likely, the standard weighted-subsample for token-budgeted training
+    mixes. The priority is computed as (w·2³¹) DIV h, pure int64, so
+    the ranking (and therefore WHICH docs survive the k boundary) is
+    bit-identical in Spark and DuckDB — pow/ln-based A-ES cannot make
+    that guarantee. Ties break on doc_id.
+
+    Scale: weight + priority are map-only codegen over the scan;
+    `orderBy(...).limit(k)` plans as TakeOrderedAndProject — per-
+    partition partial top-k, a k-row merge on the driver, NO global
+    sort — so 100 TB costs one scan and a k-row reduce. Deterministic:
+    the same docs survive across engines, repartitioning, and
+    re-ingestion (the property downstream dedup/splits need)."""
+    from stonkwhisperer_spark.functions.hashing import portable_hash64
+    from stonkwhisperer_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.greatest(bpe_token_count("text"), F.lit(1))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (
+            portable_hash64(
+                F.concat(F.lit("psamp|"), F.col("doc_id").cast("string"))
+            )
+            % _PSAMP_M
+            + 1
+        ).alias("h"),
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"CAST((n_tokens * {_PSAMP_M}) DIV h AS BIGINT)").alias(
+                "priority"
+            ),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_PSAMP_K)
     )
