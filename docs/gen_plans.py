@@ -54,6 +54,7 @@ NOTES = {
     "cms_token_topk": "Count-Min table: map-side partial counts cap the shuffle at d*w rows per mapper regardless of corpus size; point estimates join the d-row-selected sketch back as d broadcast hash joins (zero added shuffles on the probe side); the final top-20 plans as TakeOrderedAndProject, not a global sort.",
     "event_type_enrich_sketch_salted": "Sketch-guided skew join: the CMS probe + 1-row threshold pick hot keys behind a checkpoint (one evaluation for both join sides); only hot fact rows spread over 16 salts and only hot dim keys replicate 16x — the cold long tail joins with ZERO replication, vs the blanket 16x dim explosion of event_type_enrich_salted.",
     "media_resize_stats": "Full multimodal normalize chain: encode -> decode (CRCs, unfiltering) -> nearest-neighbor resize -> per-channel means as three Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; resize output is a constant 96 bytes/row so downstream partition sizing is exact regardless of source dimensions.",
+    "priority_sample": "Weighted priority sampling: the int64 priority ((w << 31) DIV h) is one codegen projection over the scan and the k=500 cut plans as TakeOrderedAndProject — per-partition partial top-k, a k-row driver merge, ZERO exchanges and no global sort; 100 TB costs one scan.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")
