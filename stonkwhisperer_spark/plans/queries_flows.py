@@ -205,6 +205,47 @@ def q_zip_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# zip_docs_embeddings_dist — the same J1 relation, SCALE form: no
+# single-partition sort anywhere in the plan.
+# --------------------------------------------------------------------------
+@register(
+    "zip_docs_embeddings_dist",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, source,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings
+    )
+    SELECT l.doc_id, l.source, r.vec_id
+    FROM l JOIN r USING (rn)
+    """,
+)
+def q_zip_docs_embeddings_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for the J1 positional join: identical relation to
+    zip_docs_embeddings (same oracle), but each side's global rank
+    comes from range-partitioned local row_numbers + broadcast
+    cumulative partition offsets (operators/asof.py dist_zip_join — the
+    DataFrame form of zipWithIndex), so there is NO single-partition
+    sort in the plan: per side a range shuffle + a uniform _pid hash
+    shuffle for the local rank, a ≤32-row offsets broadcast, then one
+    uniform rank equi-join. This is the form a
+    1000-executor cluster runs when positional semantics genuinely
+    can't be respecced to a key join."""
+    from stonkwhisperer_spark.operators.asof import dist_zip_join
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return dist_zip_join(docs, emb, F.col("doc_id"), F.col("vec_id")).select(
+        "doc_id", "source", "vec_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # sentiment_scores — MLlib train + score (BASELINE north-star surface).
 # --------------------------------------------------------------------------
 @register("sentiment_scores", oracle=None)

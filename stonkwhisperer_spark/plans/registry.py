@@ -83,6 +83,7 @@ _GATE_ORDER: list[str] = [
     "event_type_enrich_sketch_salted",
     "media_resize_stats",
     "priority_sample",
+    "zip_docs_embeddings_dist",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -118,8 +119,8 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 11 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 29 lead round 9's window) --
+    # -- backlog: 10 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 30 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
@@ -130,7 +131,6 @@ _GATE_ORDER: list[str] = [
     "clickers_minus_buyers",
     "dedup_keep_first",
     "dedup_low_card",
-    "distinct_event_types",
 ]
 
 

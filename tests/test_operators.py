@@ -951,3 +951,28 @@ def test_sketch_salted_join_result_identical(spark):
         for r in sketch_salted_join(fact, dim, "k", none_hot).collect()
     )
     assert got2 == want
+
+
+def test_dist_zip_join_matches_global(spark):
+    """dist_zip_join must produce the identical positional pairing to
+    the single-partition zip_join, including when partition sizes are
+    ragged (non-divisible counts) and sides differ in length."""
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.operators.asof import dist_zip_join, zip_join
+
+    left = spark.range(0, 101).select(
+        (F.col("id") * 7 % 1000).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 97).select(
+        (F.col("id") * 13 % 1000).alias("j"), F.col("id").alias("rv")
+    )
+    want = sorted(
+        (r.k, r.lv, r.j, r.rv)
+        for r in zip_join(left, right, F.col("k"), F.col("j")).collect()
+    )
+    got = sorted(
+        (r.k, r.lv, r.j, r.rv)
+        for r in dist_zip_join(left, right, F.col("k"), F.col("j"), nparts=7).collect()
+    )
+    assert got == want and len(got) == 97
