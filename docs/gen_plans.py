@@ -55,6 +55,8 @@ NOTES = {
     "event_type_enrich_sketch_salted": "Sketch-guided skew join: the CMS probe + 1-row threshold pick hot keys behind a checkpoint (one evaluation for both join sides); only hot fact rows spread over 16 salts and only hot dim keys replicate 16x — the cold long tail joins with ZERO replication, vs the blanket 16x dim explosion of event_type_enrich_salted.",
     "media_resize_stats": "Full multimodal normalize chain: encode -> decode (CRCs, unfiltering) -> nearest-neighbor resize -> per-channel means as three Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; resize output is a constant 96 bytes/row so downstream partition sizing is exact regardless of source dimensions.",
     "priority_sample": "Weighted priority sampling: the int64 priority ((w << 31) DIV h) is one codegen projection over the scan and the k=500 cut plans as TakeOrderedAndProject — per-partition partial top-k, a k-row driver merge, ZERO exchanges and no global sort; 100 TB costs one scan.",
+    "zip_docs_embeddings_dist": "J1 positional zip, scale form: per side one range shuffle into a checkpointed layout, a uniform _pid hash shuffle for the local rank window, and a <=32-row offsets broadcast; the final pairing is one hash equi-join on the dense rank — NO single-partition sort anywhere (contrast zip_docs_embeddings, the parity baseline).",
+    "video_frame_stats": "Real frame sampling: encode -> chunk-walk container split -> every-2nd-frame decode -> per-frame means as mapInPandas stages; sample-then-decode means only kept frames pay decode, and the (media, frame) repartition before featurize is the long-video skew fix — decode parallelism is per-frame, not per-video.",
 }
 
 spark = get_spark(app_name="plans", cpus="8")

@@ -731,6 +731,124 @@ def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# video_frame_stats — the frame-sample stage REAL end to end: a
+# concatenated-PNG "video" container split by honest chunk walking,
+# every 2nd frame decoded through the full codec, per-frame channel
+# means under the closed-form oracle. mp4/mkv would swap libav into
+# the same two mapInPandas contracts; the Spark-side plumbing is what
+# this pins.
+# --------------------------------------------------------------------------
+_VID_DOCS = 150
+_VID_FRAMES = 4
+_VID_EVERY = 2
+
+
+@register(
+    "video_frame_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, f.range AS f, x.range AS x, y.range AS y
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_VID_DOCS}) d,
+           range(0, {_VID_FRAMES}, {_VID_EVERY}) f,
+           range({_PNG_W}) x, range({_PNG_H}) y
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           cast(sum((7 * doc_id + 3 * x + 5 * y + 11 * f) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_r,
+           cast(sum((doc_id + x * y + 13 * f) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_g,
+           cast(sum((2 * doc_id + x + 2 * y + 7 * f) % 256) AS double)
+             / {_PNG_W * _PNG_H}.0 AS mean_b
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with no stub in the path: each doc becomes a
+    4-frame concatenated-PNG container (every frame a REAL encode —
+    zlib IDAT, chunk CRCs), `sample_png_frames` splits it by walking
+    chunk structure through each IEND (variable compressed frame sizes
+    — no fixed-size slicing) and keeps frames 0 and 2, and each kept
+    frame runs the full decoder into exact per-channel means. The
+    oracle recomputes the sampled frames' means from the pixel formula,
+    so the encoder, the container splitter, the sampling phase, AND the
+    decoder all sit under the hash.
+
+    Scale: sample-then-decode orders the stages so only frames/every_n
+    frames pay decode cost; output rows are (media, frame)-keyed for
+    per-frame downstream parallelism — the skew fix for long videos.
+    A libav demuxer drops into the same mapInPandas contract for real
+    containers."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        sample_png_frames,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_DOCS)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                container = b"".join(
+                    encode_png(
+                        _PNG_W,
+                        _PNG_H,
+                        bytes(
+                            v
+                            for y in range(_PNG_H)
+                            for x in range(_PNG_W)
+                            for v in (
+                                (7 * did + 3 * x + 5 * y + 11 * f) % 256,
+                                (did + x * y + 13 * f) % 256,
+                                (2 * did + x + 2 * y + 7 * f) % 256,
+                            )
+                        ),
+                    )
+                    for f in range(_VID_FRAMES)
+                )
+                ids.append(did)
+                types.append("video/x-png-seq")
+                payloads.append(container)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, MEDIA_SCHEMA)
+    frames = sample_png_frames(media, every_n=_VID_EVERY)
+
+    stats_schema = (
+        "doc_id long, frame_idx int, mean_r double, mean_g double, mean_b double"
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b")}
+            for mid, fidx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                w, h, rgb = decode_png(bytes(frame))
+                n = w * h
+                rows["doc_id"].append(mid)
+                rows["frame_idx"].append(fidx)
+                for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[key].append(sum(rgb[ch::3]) / n)
+            yield pd.DataFrame(rows)
+
+    return frames.repartition("media_id", "frame_idx").mapInPandas(
+        featurize, stats_schema
+    )
+
+
+# --------------------------------------------------------------------------
 # Within-document repetition (C4/Gopher-style quality rule): repeated
 # trigram + repeated word fractions. Boilerplate, keyboard-mash, and
 # template spam score high; the downstream filter thresholds on these.

@@ -232,3 +232,61 @@ def test_resize_png_nearest_real_decode(spark):
         for v in ((2 * ox) * 7 % 256, (2 * oy) * 11 % 256, (2 * ox + 2 * oy) % 256)
     )
     assert px == want
+
+
+def test_split_png_frames_walks_chunks():
+    """The container splitter must split on REAL chunk boundaries
+    (variable compressed sizes), not fixed-size slices, and reject
+    corrupt containers."""
+    import pytest
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        split_png_frames,
+    )
+
+    # frames with very different compressibility -> different byte sizes
+    f0 = encode_png(4, 2, bytes(24))                     # all-zero, tiny
+    f1 = encode_png(4, 2, bytes(range(24)))              # gradient
+    f2 = encode_png(4, 2, bytes((i * 37 + 11) % 256 for i in range(24)))
+    assert len({len(f0), len(f1), len(f2)}) > 1          # sizes genuinely differ
+    frames = split_png_frames(f0 + f1 + f2)
+    assert [len(x) for x in frames] == [len(f0), len(f1), len(f2)]
+    # every split frame round-trips through the real decoder
+    assert decode_png(frames[1]) == (4, 2, bytes(range(24)))
+    with pytest.raises(ValueError):
+        split_png_frames(f0 + b"JUNK" + f1)
+    with pytest.raises(ValueError):
+        split_png_frames(f0[:-4])                        # truncated IEND
+
+
+def test_sample_png_frames_every_n(spark):
+    """sample_png_frames keeps frames 0, n, 2n... as complete decodable
+    PNG streams."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        sample_png_frames,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payload = b"".join(
+                encode_png(2, 1, bytes([f, 0, 0, 0, f, 0])) for f in range(5)
+            )
+            yield pd.DataFrame(
+                {"media_id": [7], "media_type": ["video/x-png-seq"], "payload": [payload]}
+            )
+
+    media = spark.range(1).mapInPandas(gen, MEDIA_SCHEMA)
+    out = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in sample_png_frames(media, every_n=2).collect()
+    )
+    assert [i for i, _ in out] == [0, 2, 4]
+    for i, frame in out:
+        assert decode_png(frame) == (2, 1, bytes([i, 0, 0, 0, i, 0]))
