@@ -897,6 +897,140 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming_cms — the frequency-sketch mirror of streaming_sketch: a
+# Count-Min table maintained incrementally over the same 4-micro-batch
+# document stream. CMS merge is element-wise counter ADDITION — exact —
+# so the drained stream's sketch equals the batch sketch bit-for-bit
+# and the oracle replays the whole maintenance loop as one relational
+# pass (same closed form as cms_token_topk).
+# --------------------------------------------------------------------------
+def _streaming_cms_oracle() -> str:
+    from stonkwhisperer_spark.plans.queries_text import (
+        _CMS_D,
+        _SKETCH_TOKS_SQL,
+        _cms_bucket_sql,
+    )
+
+    return f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    seeds AS (SELECT unnest(range({_CMS_D})) AS seed),
+    cms AS (
+      SELECT seed, {_cms_bucket_sql('seed', 'tok')} AS bucket,
+             count(*) AS cnt
+      FROM toks CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    tc AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+    est AS (
+      SELECT tc.tok, tc.true_cnt, min(cms.cnt) AS est_cnt
+      FROM tc CROSS JOIN seeds
+      JOIN cms ON cms.seed = seeds.seed
+              AND cms.bucket = {_cms_bucket_sql('seeds.seed', 'tc.tok')}
+      GROUP BY 1, 2
+    )
+    SELECT tok, est_cnt, true_cnt FROM est
+    ORDER BY est_cnt DESC, tok LIMIT 20
+    """
+
+
+@register("streaming_cms", oracle=_streaming_cms_oracle())
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×w Count-Min frequency table maintained INCREMENTALLY over
+    a document stream: each of 4 micro-batches builds its own CMS
+    (map-side partial counts, one d·w-bounded shuffle) and foreachBatch
+    folds it into the persisted state by per-(seed, bucket) counter
+    ADDITION — the CMS merge is exact, so the drained stream's sketch
+    is identical to a from-scratch batch sketch, and the DuckDB twin
+    hash-checks the entire maintenance loop through the same top-20
+    point-estimate surface as cms_token_topk.
+
+    With streaming_sketch (KMV) this completes the ingest-time story:
+    cardinality AND frequency state maintained per arriving shard at
+    O(shard) cost, each bounded at sketch size (d·w counters here),
+    with no consumer ever re-reading the corpus. Scale: the state
+    union touches 2·d·w rows per batch regardless of batch size; a
+    production deployment keeps versions in the txlog format."""
+    import os
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+    from stonkwhisperer_spark.plans.queries_text import _CMS_D, _CMS_W
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_cms_")
+    try:
+        landing = f"{scratch}/docs"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
+        toks = stream.select(
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+
+        state_dir = f"{scratch}/state"
+        state = {"v": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            bcms = cms_table(batch_df, "tok", d=_CMS_D, width=_CMS_W)
+            if state["v"] > 0:
+                prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
+                merged = (
+                    prev.unionByName(bcms)
+                    .groupBy("seed", "bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                merged = bcms
+            merged.write.parquet(f"{state_dir}/v{state['v'] + 1}")
+            state["v"] += 1
+
+        with _stream_shuffle_width(spark):
+            q = (
+                toks.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_cms did not drain within 300s")
+            finally:
+                q.stop()
+        assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        # Probe the stream-maintained state exactly as the batch path
+        # probes its sketch: true counts from the full corpus, est_cnt
+        # from the persisted counters.
+        corpus_toks = docs.select(
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+        tc = corpus_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+        est = cms_point_estimates(tc, "tok", final, d=_CMS_D, width=_CMS_W)
+        rows = (
+            est.orderBy(F.desc("est_cnt"), "tok")
+            .limit(20)
+            .select("tok", "est_cnt", "true_cnt")
+            .collect()
+        )
+        # Scratch state dies on return — the 20-row result is collected
+        # first, same pattern as streaming_sketch.
+        return spark.createDataFrame(
+            rows, "tok string, est_cnt bigint, true_cnt bigint"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # txlog_cdc_replay — the txlog family's HASH-CHECKED row: the CDC feed's
 # replayed insert set is a deterministic relation DuckDB can recompute
 # from the same seed data, so the driver gets a value-hash row for the
