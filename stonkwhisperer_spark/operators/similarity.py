@@ -792,3 +792,72 @@ def ivfpq_refine_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfsq8_topk(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    query_pred: Column,
+    los: list[float],
+    his: list[float],
+    k: int = 5,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF×SQ8 — FAISS ``IVF_SQ8``, composed from the coarse quantizer
+    and the scalar-quantization leg exactly as :func:`ivfpq_topk`
+    composes IVF×PQ: the probe list broadcasts into the coarse
+    assignment so the candidate set (probes·avg_cell rows per query)
+    exists BEFORE any scoring expression runs, then ONLY the survivors
+    pay the asymmetric-distance score (full-precision query ·
+    bucket-midpoint dequantized candidate, the same fixed-order fold as
+    :func:`sq8_topk` — bit-reproducible from the codebook). Returns
+    (q_id, c_id, score) descending, ties on c_id, self-matches
+    excluded.
+
+    Scale: uncomposed SQ8 is a linear ADC scan (4× cheaper bytes, same
+    row count); the composition adds the IVF prune on top, so the scan
+    touches probes·avg_cell candidates per query at 1 byte/dim each —
+    the memory lever and the pruning lever at once. Cell skew is the
+    knob to watch: assignment shuffles one row per vector, and a hot
+    cell bounds per-query work, not per-partition work."""
+    import operator
+    from functools import reduce
+
+    assign = ivf_assign(vecs, centroids, id_col=id_col, vec=vec, dim=dim).select(
+        F.col(id_col).alias("c_id"), "cell", F.col(vec).alias("_cv")
+    )
+    probe = ivf_probe(
+        vecs.filter(query_pred).select(F.col(id_col).alias("q_id"), vec),
+        centroids,
+        probes,
+        vec=vec,
+        dim=dim,
+    ).select("q_id", "_qv", "cell")
+
+    def _dequant(i: int):
+        lo, hi = los[i], his[i]
+        if not hi > lo:
+            return F.lit(lo)
+        scale = (hi - lo) / 256
+        return F.lit(lo) + (
+            _sq8_code("_cv", i, lo, hi).cast("double") + F.lit(0.5)
+        ) * F.lit(scale)
+
+    score = reduce(
+        operator.add,
+        [F.col("_qv")[i].cast("double") * _dequant(i) for i in range(dim)],
+    )
+    scored = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", score.alias("score"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.col("c_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -848,6 +848,122 @@ def q_ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, cents, F.col("vec_id") < 8, k=5, probes=2, dim=_DIM)
 
 
+# --------------------------------------------------------------------------
+# IVF×SQ8 — the second FAISS composition: coarse cells prune, int8
+# asymmetric distance scores the survivors. Closes the composition the
+# sq8_topk_embeddings docstring promises, exactly as ivfpq_topk closed
+# pq_topk's.
+# --------------------------------------------------------------------------
+_IVFSQ8_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS cn
+      FROM embeddings WHERE vec_id % 64 = 0
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vn
+      FROM embeddings
+    ),
+    ascore AS (
+      SELECT v.vec_id, c.cent_id,
+             {_DOT.format(a='v.embedding', b='c.cv')} / (v.vn * c.cn) AS cos
+      FROM v, cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        FROM ascore) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, vn AS qn FROM v WHERE vec_id < 8),
+    qs AS (
+      SELECT q.q_id, c.cent_id,
+             {_DOT.format(a='q.qv', b='c.cv')} / (q.qn * c.cn) AS cos
+      FROM q, cents c
+    ),
+    probe AS (
+      SELECT q_id, cent_id AS cell FROM (
+        SELECT q_id, cent_id, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos DESC, cent_id) AS rn
+        FROM qs) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS c_id
+      FROM probe p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.q_id
+    ),
+    dims AS (
+      SELECT i,
+             min(cast(embedding[i] AS double)) AS lo,
+             max(cast(embedding[i] AS double)) AS hi
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY i
+    ),
+    codebook AS (
+      SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims
+    ),
+    dq AS (
+      SELECT vec_id AS c_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN his[i] > los[i] THEN
+                 los[i] + (LEAST(255, GREATEST(0,
+                   FLOOR((cast(embedding[i] AS double) - los[i])
+                         / (his[i] - los[i]) * 256)))
+                   + 0.5) * ((his[i] - los[i]) / 256)
+               ELSE los[i] END) AS dqv
+      FROM embeddings, codebook
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.c_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> cast(qq.qv[i] AS double) * dq.dqv[i]), (x, y) -> x + y)
+               AS score
+      FROM cand
+      JOIN q qq ON cand.q_id = qq.q_id
+      JOIN dq ON cand.c_id = dq.c_id
+    )
+    SELECT q_id, c_id, score FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@register("ivfsq8_topk_embeddings", oracle=_IVFSQ8_ORACLE)
+def q_ivfsq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×SQ8 composed (FAISS IVF_SQ8 — the composition the
+    sq8_topk_embeddings docstring promises, closed the same way
+    ivfpq_topk_embeddings closed pq_topk's): the SAME deterministic
+    coarse quantizer as ivf_topk_embeddings (centroids = every 64th
+    vec_id, queries probe their 2 nearest cells) prunes the candidate
+    set, and the SAME per-dimension [min,max] scalar quantization as
+    sq8_topk_embeddings scores ONLY the survivors by asymmetric
+    distance (full-precision query · bucket-midpoint reconstruction,
+    fixed fold order — bit-reproducible). Top-5 per query descending
+    score, ties on c_id.
+
+    Scale: uncomposed SQ8 scans every candidate's codes (4× cheaper
+    bytes, same row count); the composition touches probes·avg_cell
+    candidates per query at 1 byte/dim — pruning lever and memory
+    lever at once, the mid-accuracy/mid-memory point between IVF-flat
+    (4 bytes/dim) and IVF-PQ (M bytes/vector) on FAISS's ladder.
+    Recall vs brute force pinned in tests/test_operators.py."""
+    from stonkwhisperer_spark.operators.similarity import (
+        ivfsq8_topk,
+        sq8_codebook,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    los, his = sq8_codebook(emb, dim=_DIM)
+    cents = emb.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    return ivfsq8_topk(
+        emb, cents, F.col("vec_id") < 8, los, his, k=5, probes=2, dim=_DIM
+    )
+
+
 @register("ivfpq_refine_embeddings", oracle=_ivfpq_refine_oracle())
 def q_ivfpq_refine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ + exact re-ranking — FAISS's ``IVFPQ,Refine`` accuracy

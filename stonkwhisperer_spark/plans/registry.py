@@ -86,6 +86,7 @@ _GATE_ORDER: list[str] = [
     "zip_docs_embeddings_dist",
     "video_frame_stats",
     "streaming_cms",
+    "ivfsq8_topk_embeddings",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -121,8 +122,8 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 8 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 32 lead round 9's window) --
+    # -- backlog: 7 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 33 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
@@ -130,7 +131,6 @@ _GATE_ORDER: list[str] = [
     "bars_enrich",
     "clean_documents",
     "click_buy_reconcile",
-    "clickers_minus_buyers",
 ]
 
 

@@ -976,3 +976,64 @@ def test_dist_zip_join_matches_global(spark):
         for r in dist_zip_join(left, right, F.col("k"), F.col("j"), nparts=7).collect()
     )
     assert got == want and len(got) == 97
+
+
+def test_ivfsq8_topk_recall_and_pruning(spark):
+    """IVF×SQ8 must (a) preserve neighbor structure vs the exact
+    inner-product reference on random vectors and (b) be a true
+    PRUNING of the full-scan SQ8 ranking: any (q, c) pair present in
+    BOTH the composed and the uncomposed results must carry the
+    IDENTICAL asymmetric-distance score (same codebook, same dequant,
+    same fold order)."""
+    import random
+
+    from stonkwhisperer_spark.operators.similarity import (
+        ivfsq8_topk,
+        sq8_codebook,
+        sq8_topk,
+    )
+
+    rng = random.Random(13)
+    dim = 64
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(256)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    los, his = sq8_codebook(df, dim=dim)
+    cents = df.filter(F.col("vec_id") % 32 == 0).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    composed = {
+        (r["q_id"], r["c_id"]): r["score"]
+        for r in ivfsq8_topk(
+            df, cents, F.col("vec_id") < 6, los, his, k=5, probes=3, dim=dim
+        ).collect()
+    }
+    queries = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cands = df.select(F.col("vec_id").alias("c_id"), "embedding")
+    full = {
+        (r["q_id"], r["c_id"]): r["score"]
+        for r in sq8_topk(queries, cands, los, his, k=5, dim=dim).collect()
+    }
+    shared = set(composed) & set(full)
+    assert shared, "composition shares no pairs with full-scan SQ8"
+    assert all(composed[p] == full[p] for p in shared)
+    # recall floor vs exact max-inner-product top-5
+    vecs = dict(rows)
+    exact = set()
+    for qid in range(6):
+        scores = sorted(
+            (
+                (-sum(a * b for a, b in zip(vecs[qid], vecs[cid])), cid)
+                for cid in vecs
+                if cid != qid
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        exact.update((qid, cid) for _, cid in scores[:5])
+    recall = len(set(composed) & exact) / len(exact)
+    assert recall >= 0.2, f"IVF×SQ8 recall {recall} below floor"
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in composed)
+    assert all(per_q[q] == 5 for q in range(6)), per_q

@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "knn_embeddings": 1,          # |Q|-row query set broadcast
     "ivf_topk_embeddings": 2,     # centroid set into quantizer + probes
     "ivfpq_topk_embeddings": 2,   # same centroid broadcasts (assign + probe)
+    "ivfsq8_topk_embeddings": 2,  # same centroid broadcasts (assign + probe)
     "ivfpq_refine_embeddings": 2,  # inherits the shortlist chain's two
                                    # coarse-centroid broadcasts; the
                                    # refine joins are broadcast HASH
