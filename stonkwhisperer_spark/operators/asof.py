@@ -111,7 +111,8 @@ def asof_join(
 def zip_join(left: DataFrame, right: DataFrame, order_left, order_right) -> DataFrame:
     """J1 exact emulation: pair the i-th left row with the i-th right
     row under the given orderings. Global row_number ⇒ single-partition
-    sort — parity/testing only; respec to a key-equi join at scale."""
+    sort — parity/testing only; respec to a key-equi join at scale, or
+    use :func:`dist_zip_join` when positional semantics must stay."""
     wl = W.orderBy(*([order_left] if not isinstance(order_left, list) else order_left))
     wr = W.orderBy(*([order_right] if not isinstance(order_right, list) else order_right))
     ln = left.withColumn("_zip_rn", F.row_number().over(wl))

@@ -432,8 +432,8 @@ def sq8_topk(
 
     Scale: same broadcast-queries/stream-candidates shape as
     :func:`knn_bruteforce` but the candidate side reads 1 byte per
-    dimension — compose with the IVF/LSH bucketing for the full
-    FAISS-style IVF_SQ8: bucket prune first, ADC-scan the survivors."""
+    dimension — :func:`ivfsq8_topk` is the composed FAISS-style
+    IVF_SQ8: bucket prune first, ADC-scan only the survivors."""
     import operator
     from functools import reduce
 

@@ -196,7 +196,8 @@ def q_zip_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched articles back onto posts by list position): i-th document ↔
     i-th embedding under explicit orderings. The global row_number is a
     single-partition sort by construction — parity surface only; the
-    scale path is the key-equi respec (posts_link_articles)."""
+    scale paths are the key-equi respec (posts_link_articles) and, when
+    positional semantics must stay, zip_docs_embeddings_dist."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return zip_join(docs, emb, F.col("doc_id"), F.col("vec_id")).select(

@@ -411,7 +411,7 @@ def q_sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit: quantization is deterministic compression, not noise.
     Complements knn_embeddings (exact baseline), the LSH/IVF paths
     (search pruning), and embedding_near_dup (the candidate-verify
-    pipeline); compose SQ8 with IVF for FAISS's IVF_SQ8."""
+    pipeline); ivfsq8_topk_embeddings is the composed FAISS IVF_SQ8."""
     from stonkwhisperer_spark.operators.similarity import sq8_codebook, sq8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
