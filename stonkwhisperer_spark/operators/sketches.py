@@ -1,6 +1,6 @@
 """Mergeable sketches for corpus-scale cardinality and frequency.
 
-Two classic streaming sketches, built as pure DataFrame plans with the
+Three classic streaming sketches, built as pure DataFrame plans with the
 portable 60-bit hash so a DuckDB oracle can replay them bit-for-bit:
 
   * KMV (K-Minimum-Values) distinct-count sketch — per group, keep the
@@ -18,6 +18,11 @@ portable 60-bit hash so a DuckDB oracle can replay them bit-for-bit:
     overestimate by construction (est >= true always, pinned by
     pytest). The whole sketch is d*w integers — broadcastable, and
     mergeable across shards/days by element-wise addition.
+  * HyperLogLog (Flajolet et al. 2007) — m=2^p rank registers per
+    group, merged by element-wise MAX; fixed-size state and a
+    one-max-combine merge make it the industry default for
+    distributed distinct counts. See the HLL section comment below
+    for the integer-exactness contract with the oracle.
 
 Why sketches at 100 TB: the exact answers (count distinct, top-k
 frequency) need a vocabulary-sized shuffle per question asked; the
@@ -182,4 +187,115 @@ def cms_point_estimates(
     est = F.least(*[F.col(f"_c{i}") for i in range(d)])
     return out.withColumn("est_cnt", est).drop(
         *[c for i in range(d) for c in (f"_b{i}", f"_c{i}")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm") — the third mergeable
+# sketch: fixed m=2^p registers per group (vs KMV's K minima), merged by
+# element-wise MAX, which makes it the industry default for distributed
+# distinct counts (one tiny max-combine per shard, no re-ranking).
+#
+# Exactness contract with the DuckDB oracle twin:
+#   * bucket  = hash % m (low p bits); w = hash DIV m (the 52-bit rest)
+#   * rank    = leading zeros of w in the 52-bit field + 1
+#             = RANK_MAX - bit_length(w), where bit_length is the
+#               length of the minimal binary string — Spark
+#               length(conv(w,10,2)) == DuckDB length(bin(w)), both
+#               leading-zero-free
+#   * S       = sum over all m registers of 2^(RANK_MAX - M_j), with
+#               never-hit registers contributing 2^RANK_MAX; computed
+#               with BIGINT shifts (max 256 * 2^53 = 2^61 — no overflow)
+#   * est_raw = alpha_m * m^2 * 2^RANK_MAX / S evaluated as ONE
+#               integer division in DECIMAL(38,0) / HUGEINT, with
+#               alpha_256 = 0.7213/(1 + 1.079/256) expressed as the
+#               exact rational 7213*256*1000 / (10000*257079)
+#   * small-range correction (V zero registers > 0, est <= 5m/2):
+#               linear counting floor(m*ln(m/V) + 0.5) — engine-stable
+#               because for the 255 possible V values the product is
+#               never within 4.9e-3 of a .5 boundary (a 1-ulp libm
+#               disagreement cannot flip the floor; verified
+#               exhaustively in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_RANK_MAX = 60 - HLL_P + 1  # 53: w has 52 bits; w=0 -> rank 53
+# alpha_m * m^2 * 2^RANK_MAX as an exact integer ratio (see above).
+HLL_EST_NUM = 7213 * HLL_M * 1000 * HLL_M * HLL_M * (1 << HLL_RANK_MAX)
+HLL_EST_DEN = 10000 * (HLL_M * 1000 + 1079)
+
+
+def hll_sketch(rows: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL register table: (group, _bkt, _reg) with at most
+    m=256 rows per group — the persistable sketch.
+
+    Scale: one groupBy keyed on (group, bucket) — hash-uniform by
+    construction — with max() partial-aggregating map-side, so at most
+    m rows per group cross the wire per mapper regardless of corpus
+    size. Merge shard/day sketches with :func:`hll_merge` (element-wise
+    max); the merge is EXACT: max is associative/commutative, so merged
+    per-shard sketches reproduce the direct global sketch bit-for-bit
+    (pinned by pytest)."""
+    h = portable_hash64(F.col(value_col))
+    w = F.expr(f"_h DIV {HLL_M}")
+    rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
+        F.lit(HLL_RANK_MAX) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        rows.select(F.col(group_col), h.alias("_h"))
+        .select(group_col, (F.col("_h") % HLL_M).alias("_bkt"), rank.alias("_rank"))
+        .groupBy(group_col, "_bkt")
+        .agg(F.max("_rank").alias("_reg"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_col: str, into: str) -> DataFrame:
+    """Merge all per-group HLL sketches into ONE labelled ``into``:
+    element-wise max per bucket. |groups| * m rows in, m rows out —
+    driver-free and exact."""
+    return (
+        sketch.select(F.lit(into).alias(group_col), "_bkt", "_reg")
+        .groupBy(group_col, "_bkt")
+        .agg(F.max("_reg").alias("_reg"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Cardinality estimate from an HLL register table:
+    (group, v_zero, s_scaled, est_distinct).
+
+    ``s_scaled`` is the integer-scaled harmonic-mean denominator
+    S = sum_j 2^(RANK_MAX - M_j) (BIGINT-exact); ``est_distinct``
+    applies the raw estimator or linear counting per the standard
+    small-range rule — both branches bit-stable across engines (see
+    module comment)."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").alias("_hits"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_MAX} - _reg)")
+        ).alias("_s_hit"),
+    )
+    v = F.lit(HLL_M) - F.col("_hits")
+    s = (F.col("_s_hit") + v * F.lit(1 << HLL_RANK_MAX)).alias("s_scaled")
+    est_raw = F.expr(
+        f"CAST(CAST({HLL_EST_NUM} AS DECIMAL(38,0)) DIV "
+        f"(CAST({HLL_EST_DEN} AS DECIMAL(38,0)) * s_scaled) AS BIGINT)"
+    )
+    lin = F.floor(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        agg.select(group_col, v.cast("bigint").alias("v_zero"), s)
+        .withColumn("_raw", est_raw)
+        .select(
+            group_col,
+            "v_zero",
+            "s_scaled",
+            F.when(
+                (F.col("v_zero") > 0) & (F.col("_raw") <= (5 * HLL_M) // 2), lin
+            )
+            .otherwise(F.col("_raw"))
+            .alias("est_distinct"),
+        )
     )

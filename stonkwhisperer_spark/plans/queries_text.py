@@ -1795,6 +1795,102 @@ def q_kmv_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from stonkwhisperer_spark.operators.sketches import (  # noqa: E402
+    HLL_EST_DEN,
+    HLL_EST_NUM,
+)
+
+
+@register(
+    "hll_vocab_cardinality",
+    oracle=f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    h AS (
+      SELECT source, {portable_hash64_sql('tok')} AS _h FROM toks
+    ),
+    reg AS (
+      SELECT source, _h % 256 AS _bkt,
+             max(CASE WHEN _h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(_h // 256)) END) AS _reg
+      FROM h GROUP BY source, _h % 256
+    ),
+    allreg AS (
+      SELECT source, _bkt, _reg FROM reg
+      UNION ALL
+      SELECT '<all>', _bkt, max(_reg) FROM reg GROUP BY _bkt
+    ),
+    est AS (
+      SELECT source,
+             CAST(256 - count(*) AS BIGINT) AS v_zero,
+             CAST(sum(1::BIGINT << (53 - _reg))
+                  + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_scaled
+      FROM allreg GROUP BY source
+    ),
+    fin AS (
+      SELECT source, v_zero, s_scaled,
+             CAST(CAST({HLL_EST_NUM} AS HUGEINT)
+                  // (CAST({HLL_EST_DEN} AS HUGEINT) * s_scaled) AS BIGINT) AS _raw
+      FROM est
+    ),
+    tru AS (
+      SELECT source, count(DISTINCT tok) AS true_distinct
+      FROM toks GROUP BY source
+      UNION ALL SELECT '<all>', count(DISTINCT tok) FROM toks
+    )
+    SELECT fin.source, v_zero, s_scaled,
+           CASE WHEN v_zero > 0 AND _raw <= 640
+                THEN CAST(floor(256 * ln(256.0 / v_zero) + 0.5) AS BIGINT)
+                ELSE _raw END AS est_distinct,
+           true_distinct
+    FROM fin JOIN tru USING (source)
+    """,
+)
+def q_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality by HyperLogLog (m=256
+    registers), with the exact distinct count alongside, plus one
+    '<all>' row built by MERGING the per-source register tables
+    (element-wise max) — never by re-reading the corpus. The merge is
+    exact (max is associative), so the '<all>' estimate is identical
+    to a from-scratch global sketch; pinned by pytest.
+
+    Complements kmv_vocab_cardinality: the HLL state is a FIXED m
+    integers per group (vs K minima that must be re-ranked on merge),
+    so shard/day rollups are a single max-combine — the shape a 100 TB
+    ingest pipeline persists per partition and folds at query time.
+    All arithmetic (bucket, rank, harmonic sum, estimator) is integer-
+    exact across Spark and DuckDB; the linear-counting branch is
+    floor-stable (see operators/sketches.py module comment)."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+    from stonkwhisperer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # Corpus read exactly twice: the sketch pass (production path; its
+    # <=m-rows-per-source output is eagerly materialized so merge +
+    # estimate never re-run it) and the exact self-check's single
+    # ROLLUP scan (the null grouping row IS '<all>').
+    sk = hll_sketch(toks, "source", "tok").localCheckpoint(eager=True)
+    merged = hll_merge(sk, "source", "<all>")
+    est = hll_estimate(sk.unionByName(merged), "source")
+    truth = (
+        toks.rollup("source")
+        .agg(F.countDistinct("tok").alias("true_distinct"))
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"), "true_distinct"
+        )
+    )
+    return est.join(truth, "source").select(
+        "source", "v_zero", "s_scaled", "est_distinct", "true_distinct"
+    )
+
+
 _CMS_D = 4
 _CMS_W = 1024
 

@@ -87,6 +87,7 @@ _GATE_ORDER: list[str] = [
     "video_frame_stats",
     "streaming_cms",
     "ivfsq8_topk_embeddings",
+    "hll_vocab_cardinality",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -122,15 +123,14 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 7 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 33 lead round 9's window) --
+    # -- backlog: 6 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 34 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
     "bars_clean",
     "bars_enrich",
     "clean_documents",
-    "click_buy_reconcile",
 ]
 
 

@@ -1037,3 +1037,47 @@ def test_ivfsq8_topk_recall_and_pruning(spark):
 
     per_q = Counter(q for q, _ in composed)
     assert all(per_q[q] == 5 for q in range(6)), per_q
+
+
+def test_hll_accuracy_merge_identity_and_small_range(spark):
+    # Group "big" has 5000 distinct values: raw-estimator path, and
+    # m=256 gives sigma = 1.04/sqrt(256) = 6.5% — assert 4 sigma.
+    # Group "small" has 30: linear-counting path (V>0, est <= 5m/2),
+    # which is near-exact at that load factor. The merged '<all>'
+    # register table (element-wise max) must be IDENTICAL to a
+    # from-scratch global sketch — max is associative.
+    from stonkwhisperer_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = spark.createDataFrame(
+        [("small", f"s{i % 30}") for i in range(90)]
+        + [("big", f"b{i}") for i in range(5000)],
+        "g string, v string",
+    )
+    sk = hll_sketch(rows, "g", "v")
+    est = {r.g: r for r in hll_estimate(sk, "g").collect()}
+    assert abs(est["big"].est_distinct - 5000) <= 5000 * 0.26
+    assert abs(est["small"].est_distinct - 30) <= 5
+    assert est["small"].v_zero > 0  # small-range branch exercised
+
+    merged = hll_merge(sk, "g", "<all>")
+    direct = hll_sketch(rows.select(F.lit("<all>").alias("g"), "v"), "g", "v")
+    m = sorted((r._bkt, r._reg) for r in merged.collect())
+    d = sorted((r._bkt, r._reg) for r in direct.collect())
+    assert m == d  # merge is exact, not approximate
+
+
+def test_hll_linear_counting_floor_stable():
+    # The linear-counting branch rounds m*ln(m/V) via floor(x + 0.5).
+    # For it to be bit-stable across Spark (java.lang.Math.log) and
+    # DuckDB (libm log), no possible input may sit near a .5 boundary:
+    # a 1-ulp disagreement is ~1e-13, so 1e-3 slack is 10 orders of
+    # magnitude of margin. V ranges over 1..m-1 — check exhaustively.
+    import math
+
+    m = 256
+    gap = min(abs((m * math.log(m / v)) % 1.0 - 0.5) for v in range(1, m))
+    assert gap > 1e-3
