@@ -1057,12 +1057,16 @@ def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
         merge_append,
     )
 
-    merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+    # One parquet scan for the whole <=100-row working set; the three
+    # merge sources then slice the checkpointed frame instead of each
+    # re-scanning the documents table (same committed relations).
+    seed = docs.filter(F.col("doc_id") < 100).localCheckpoint(eager=True)
+    merge_append(spark, target, seed.filter(F.col("doc_id") < 40), ["doc_id"])
     v1 = _committed_version(target)
-    merge_append(spark, target, docs.filter(F.col("doc_id") < 80), ["doc_id"])
+    merge_append(spark, target, seed.filter(F.col("doc_id") < 80), ["doc_id"])
     if compact(spark, target) == 0:
         raise AssertionError("compaction found nothing to rewrite")
-    merge_append(spark, target, docs.filter(F.col("doc_id") < 100), ["doc_id"])
+    merge_append(spark, target, seed, ["doc_id"])
     return v1
 
 
@@ -2054,18 +2058,21 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = tempfile.mkdtemp(prefix="stonkw_txlog_repl_")
     try:
         source = f"{scratch}/src"
-        merge_append(spark, source, docs.filter(F.col("doc_id") < 40), ["doc_id"])
+        # One parquet scan for the <=80-row working set; the commit
+        # sources slice the checkpointed frame (same relations).
+        seed = docs.filter(F.col("doc_id") < 80).localCheckpoint(eager=True)
+        merge_append(spark, source, seed.filter(F.col("doc_id") < 40), ["doc_id"])
         merge_upsert(
             spark,
             source,
-            docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
+            seed.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
             .withColumn("source", F.concat(F.col("source"), F.lit("_u1"))),
             ["doc_id"],
         )
         merge_upsert(
             spark,
             source,
-            docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+            seed.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
             .withColumn("source", F.concat(F.col("source"), F.lit("_u2"))),
             ["doc_id"],
         )
