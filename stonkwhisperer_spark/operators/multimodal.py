@@ -12,12 +12,16 @@ The pattern for image/audio/video at 100 TB:
   * partition by content-size buckets before heavy decode so one task
     doesn't get all the 4K videos (see ``size_bucket``).
 
-The actual codec calls are STUBBED: image/audio libraries are not
-available in this environment. ``decode_features`` computes real,
-deterministic features of the bytes themselves (length, byte entropy,
-header) so the Spark-side plumbing — schema, batching, partitioning —
-is fully exercised and tested; swap ``_decode_stub`` for a real decoder
-(PIL/librosa/av) in production.
+Codec status: the PNG path (encode/decode/resize/frame-split) and the
+WAV/RIFF path (encode/decode/PCM stats) are REAL — stdlib-only, no
+image/audio library needed — so those legs have no stub anywhere.
+Only ``_decode_stub``/``_resize_stub``/``sample_frames`` remain
+bytes-contract stubs for formats that genuinely need external codecs
+(JPEG/mp4/mp3); ``decode_features`` computes real deterministic
+features of the bytes themselves (length, byte entropy, header) so
+the Spark-side plumbing — schema, batching, partitioning — is fully
+exercised either way. Swap PIL/librosa/av into the same mapInPandas
+contracts in production.
 """
 
 from __future__ import annotations
@@ -499,3 +503,115 @@ def sample_png_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/RIFF audio codec — the audio leg of the multimodal layer,
+# with no stub in the path (PCM needs no codec library). Same contract
+# shape as the PNG legs: an encoder builds honest containers, a
+# chunk-walking parser consumes them (skipping unknown chunks, honoring
+# RIFF's even-byte padding), and the feature stage emits integer-exact
+# stats an oracle can recompute from the sample formula. A compressed
+# format (mp3/opus) would swap its decoder into the same mapInPandas
+# contract.
+# ---------------------------------------------------------------------------
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Canonical 16-bit PCM WAV: RIFF header, fmt chunk, a LIST/INFO
+    chunk with an odd-sized payload (so parsers must honor the RIFF
+    pad byte), then the data chunk (little-endian int16)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        sample_rate,
+        sample_rate * channels * 2,  # byte rate
+        channels * 2,  # block align
+        16,  # bits per sample
+    )
+    info = b"INFOsw1"  # 7 bytes — odd, forces a pad byte
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt,
+        b"LIST" + struct.pack("<I", len(info)) + info + b"\x00",
+        b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b""),
+    )
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a 16-bit PCM WAV by walking RIFF chunks: returns
+    (sample_rate, channels, samples). Unknown chunks are skipped with
+    pad-byte handling; raises on a malformed container or a
+    non-PCM/non-16-bit stream (the real-decoder contract: fail loud,
+    never emit garbage features)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    rate = nch = None
+    samples: list[int] | None = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            samples = [
+                struct.unpack("<h", body[i : i + 2])[0] for i in range(0, size, 2)
+            ]
+        pos += 8 + size + (size & 1)  # RIFF pads chunks to even offsets
+    if samples is None:
+        raise ValueError("no data chunk")
+    return rate, nch, samples
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA (WAV payloads) → integer-exact PCM stats per clip:
+    sample count, peak |amplitude|, sum |s|, sum s² — the loudness /
+    clipping / silence signals an audio-curation pipeline thresholds
+    on, all integers so the oracle can replay them exactly.
+
+    Scale: one Arrow-batched mapInPandas over the payload column, zero
+    exchanges; stats are O(duration) per clip, so size-bucket first
+    (``size_bucket``) when clip lengths are skewed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate", "channels",
+                                    "n_samples", "peak", "sum_abs", "sum_sq")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, nch, samples = decode_wav(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(nch)
+                rows["n_samples"].append(len(samples))
+                rows["peak"].append(max((abs(s) for s in samples), default=0))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, PCM_STATS_SCHEMA)

@@ -849,6 +849,91 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# audio_pcm_stats — the audio leg REAL end to end: 16-bit PCM WAV
+# containers (RIFF chunks, odd-size LIST chunk forcing pad-byte
+# handling) built per doc, chunk-walked back open, integer-exact
+# loudness stats under the closed-form oracle. PCM needs no codec
+# library, so unlike image/video there is no stub anywhere near this
+# path; mp3/opus would swap a decoder into the same contract.
+# --------------------------------------------------------------------------
+_AUD_DOCS = 150
+_AUD_RATE = 8000
+_AUD_BASE = 480  # samples per clip = _AUD_BASE + doc_id % 32 (varies)
+
+
+@register(
+    "audio_pcm_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT d.doc_id, ((d.doc_id * 31 + i.range * 17) % 65536) - 32768 AS smp
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {_AUD_DOCS}) d,
+           range({_AUD_BASE + 32}) i
+      WHERE i.range < {_AUD_BASE} + d.doc_id % 32
+    )
+    SELECT doc_id,
+           {_AUD_RATE} AS sample_rate,
+           1 AS channels,
+           count(*) AS n_samples,
+           max(abs(smp)) AS peak,
+           CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+           CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with no stub in the path: each doc
+    becomes a REAL 16-bit PCM WAV (RIFF/fmt/LIST/data chunks, odd-size
+    LIST payload exercising the RIFF pad byte, variable clip lengths),
+    ``decode_wav`` walks the container back open skipping unknown
+    chunks, and ``wav_pcm_stats`` emits integer-exact loudness signals
+    (peak, sum|s|, sum s²) that the oracle recomputes from the sample
+    formula — encoder, chunk walker, AND feature stage all sit under
+    the value hash.
+
+    Scale: encode and stats are two Arrow-batched mapInPandas stages
+    over the doc_id scan, zero exchanges; stats are O(duration) per
+    clip, so ``size_bucket`` first when clip lengths skew."""
+    import pandas as pd
+
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        wav_pcm_stats,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AUD_DOCS)
+        .select("doc_id")
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = _AUD_BASE + did % 32
+                samples = [((did * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                ids.append(did)
+                types.append("audio/wav")
+                payloads.append(encode_wav(_AUD_RATE, 1, samples))
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(encode, MEDIA_SCHEMA)
+    return wav_pcm_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "peak",
+        "sum_abs",
+        "sum_sq",
+    )
+
+
+# --------------------------------------------------------------------------
 # Within-document repetition (C4/Gopher-style quality rule): repeated
 # trigram + repeated word fractions. Boilerplate, keyboard-mash, and
 # template spam score high; the downstream filter thresholds on these.

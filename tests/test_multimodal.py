@@ -290,3 +290,36 @@ def test_sample_png_frames_every_n(spark):
     assert [i for i, _ in out] == [0, 2, 4]
     for i, frame in out:
         assert decode_png(frame) == (2, 1, bytes([i, 0, 0, 0, i, 0]))
+
+
+def test_wav_codec_roundtrip_pad_and_errors():
+    import struct
+
+    import pytest
+
+    from stonkwhisperer_spark.operators.multimodal import decode_wav, encode_wav
+
+    # Round-trip with odd and even sample counts (data-chunk padding)
+    # and extreme amplitudes; the encoder's odd-size LIST chunk forces
+    # the parser through the RIFF pad-byte path on every container.
+    for samples in ([0], [-32768, 32767, 1], [5, -5], list(range(-50, 53))):
+        wav = encode_wav(8000, 1, samples)
+        assert decode_wav(wav) == (8000, 1, samples)
+        assert len(wav) % 2 == 0  # container itself is even-aligned
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+    # Non-PCM fmt must fail loud, not emit garbage features.
+    wav = bytearray(encode_wav(8000, 1, [1, 2]))
+    fmt_off = wav.index(b"fmt ") + 8
+    wav[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(wav))
+
+    # A truncated container (no data chunk inside the declared RIFF
+    # size) must also fail loud.
+    wav = encode_wav(8000, 1, [1, 2, 3])
+    data_off = wav.index(b"data")
+    with pytest.raises(ValueError, match="no data chunk"):
+        decode_wav(wav[:data_off] + b"\x00" * (len(wav) - data_off))
