@@ -153,7 +153,9 @@ def _global_rank(df: DataFrame, order_cols: list, nparts: int) -> DataFrame:
     return (
         part.withColumn("_lrn", F.row_number().over(local))
         .join(F.broadcast(offs), "_pid")
-        .withColumn("_zip_rn", (F.col("_lrn") + F.col("_off")).cast("int"))
+        # bigint, NOT int: at the advertised scale a side can exceed
+        # 2^31 rows and a 32-bit rank would wrap (colliding join keys).
+        .withColumn("_zip_rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
 

@@ -420,6 +420,10 @@ def connected_components(
     star's round count is O(log² n) worst-case vs label's O(diameter)."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown connected-components algorithm: {algorithm}")
+    if max_iter < 2:
+        # The first two label rounds are structurally unrolled into one
+        # plan; a budget below that floor cannot be honored.
+        raise ValueError(f"max_iter must be >= 2 (got {max_iter})")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if algorithm == "star":
         labels, _ = _cc_star(e)

@@ -580,19 +580,7 @@ def pq_topk(
     the per-(q, c) sum is one partial-aggregated shuffle keyed on
     uniform ids. :func:`ivfpq_topk` is the IVF composition (FAISS
     IVF-PQ): coarse cells prune candidates, PQ codes score survivors."""
-    dsub = dim // PQ_M
-    sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
-    cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
-    codes = _pq_assign(sub, cents, dsub).select(
-        F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
-    )
-    qsub = _pq_query_sub(vecs, sub, query_pred, id_col, vec, dim)
-    dt = qsub.join(F.broadcast(cents), "m").select(
-        "q_id",
-        "m",
-        F.col("cid").alias("code"),
-        sqdist_unrolled_int("sv", "cv", dsub).alias("d"),
-    )
+    codes, dt = _pq_train_encode(vecs, query_pred, id_col, vec, dim)
     adist = (
         codes.join(F.broadcast(dt), ["m", "code"])
         .filter(F.col("q_id") != F.col("c_id"))
@@ -620,14 +608,45 @@ def _pq_query_sub(
     frame (the common id-only case), filter THAT instead of re-running
     the quantization chain on the vector table (ADVICE r7) — resolved
     by attempting the cheap plan and falling back on analysis failure."""
+    from pyspark.errors import AnalysisException
+
     try:
         return sub.filter(query_pred).select(
             F.col(id_col).alias("q_id"), "m", "sv"
         )
-    except Exception:  # noqa: BLE001 — predicate needs vector-table columns
+    except AnalysisException:  # predicate needs vector-table columns
         return pq_subvectors(vecs.filter(query_pred), id_col, vec, dim).select(
             F.col(id_col).alias("q_id"), "m", "sv"
         )
+
+
+def _pq_train_encode(
+    vecs: DataFrame,
+    query_pred: Column,
+    id_col: str,
+    vec: str,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ chain behind :func:`pq_topk` and :func:`ivfpq_topk`:
+    train codebooks on the corpus subvectors (both frames eagerly
+    checkpointed — they are read by multiple consumers), encode every
+    vector as (c_id, m, code), and build the query-side ADC distance
+    table (q_id, m, code, d). One definition so the composed and
+    uncomposed paths can never diverge."""
+    dsub = dim // PQ_M
+    sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
+    cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents, dsub).select(
+        F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
+    )
+    qsub = _pq_query_sub(vecs, sub, query_pred, id_col, vec, dim)
+    dt = qsub.join(F.broadcast(cents), "m").select(
+        "q_id",
+        "m",
+        F.col("cid").alias("code"),
+        sqdist_unrolled_int("sv", "cv", dsub).alias("d"),
+    )
+    return codes, dt
 
 
 def ivfpq_topk(
@@ -662,7 +681,6 @@ def ivfpq_topk(
     pruned ADC. Memory stays M bytes/vector (32×) — prune-side AND
     compression-side levers at once, which is why this configuration
     is the one a 100 TB embedding corpus actually runs."""
-    dsub = dim // PQ_M
     assign = ivf_assign(vecs, centroids, id_col=id_col, vec=vec, dim=dim).select(
         F.col(id_col).alias("c_id"), "cell"
     )
@@ -673,18 +691,7 @@ def ivfpq_topk(
         vec=vec,
         dim=dim,
     ).select("q_id", "cell")
-    sub = pq_subvectors(vecs, id_col, vec, dim).localCheckpoint(eager=True)
-    cents = pq_codebooks(sub, dsub).localCheckpoint(eager=True)
-    codes = _pq_assign(sub, cents, dsub).select(
-        F.col(id_col).alias("c_id"), "m", (F.col("key") % PQ_K).alias("code")
-    )
-    qsub = _pq_query_sub(vecs, sub, query_pred, id_col, vec, dim)
-    dt = qsub.join(F.broadcast(cents), "m").select(
-        "q_id",
-        "m",
-        F.col("cid").alias("code"),
-        sqdist_unrolled_int("sv", "cv", dsub).alias("d"),
-    )
+    codes, dt = _pq_train_encode(vecs, query_pred, id_col, vec, dim)
     # Prune FIRST, map-side: the probe list broadcasts into the coarse
     # assignment, so the (q_id, c_id) candidate set — probes·avg_cell
     # rows per query — exists BEFORE the codes table is touched; only

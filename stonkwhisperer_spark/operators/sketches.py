@@ -141,16 +141,14 @@ def cms_table(
         F.explode(seeds).alias("seed"), F.col(token_col).alias("_tok")
     ).select(
         "seed",
+        # Same single hash definition as the probe side (_seeded_bucket):
+        # portable_hash64 of '<seed>|<tok>' — the seed is a column here,
+        # so the prefix is concatenated explicitly. Build and probe MUST
+        # share one definition or bucket agreement silently breaks.
         (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("_tok"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            portable_hash64(
+                F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("_tok"))
+            )
             % width
         ).alias("bucket"),
     )
@@ -181,9 +179,14 @@ def cms_point_estimates(
         leg = cms.filter(F.col("seed") == i).select(
             F.col("bucket").alias(f"_b{i}"), F.col("cnt").alias(f"_c{i}")
         )
-        out = out.withColumn(
-            f"_b{i}", _seeded_bucket(F.col(token_col), i, width)
-        ).join(F.broadcast(leg), f"_b{i}")
+        # LEFT join: a CMS point query is defined for every key — a
+        # token absent from the sketched stream has an empty bucket in
+        # some row and must estimate 0, not vanish from the output.
+        out = (
+            out.withColumn(f"_b{i}", _seeded_bucket(F.col(token_col), i, width))
+            .join(F.broadcast(leg), f"_b{i}", "left")
+            .withColumn(f"_c{i}", F.coalesce(F.col(f"_c{i}"), F.lit(0).cast("bigint")))
+        )
     est = F.least(*[F.col(f"_c{i}") for i in range(d)])
     return out.withColumn("est_cnt", est).drop(
         *[c for i in range(d) for c in (f"_b{i}", f"_c{i}")]
