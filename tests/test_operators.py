@@ -1081,3 +1081,33 @@ def test_hll_linear_counting_floor_stable():
     m = 256
     gap = min(abs((m * math.log(m / v)) % 1.0 - 0.5) for v in range(1, m))
     assert gap > 1e-3
+
+
+def test_cms_point_estimate_absent_token_is_zero(spark):
+    # A CMS point query is defined for EVERY key: a token that never
+    # occurred in the sketched stream must estimate 0 (or a small
+    # collision count), never vanish from the output — callers
+    # threshold/count the returned rows (sketch_salted_join probes the
+    # full key domain, which can include keys with zero fact rows).
+    from stonkwhisperer_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    toks = spark.createDataFrame([("seen",)] * 5, "tok string")
+    cms = cms_table(toks, "tok", d=4, width=1024)
+    probe = spark.createDataFrame([("seen",), ("never",)], "tok string")
+    est = {r.tok: r.est_cnt for r in cms_point_estimates(probe, "tok", cms, d=4, width=1024).collect()}
+    assert set(est) == {"seen", "never"}  # nothing dropped
+    assert est["seen"] >= 5  # one-sided
+    assert est["never"] <= 1  # 0 unless all 4 buckets collide
+
+
+def test_dist_zip_rank_is_bigint(spark):
+    # The positional-zip global rank must be 64-bit: at >2^31 rows a
+    # 32-bit rank wraps and the equi-join silently mispairs.
+    from stonkwhisperer_spark.operators.asof import _global_rank
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    ranked = _global_rank(df, ["v"], nparts=4)
+    assert dict(ranked.dtypes)["_zip_rn"] == "bigint"
