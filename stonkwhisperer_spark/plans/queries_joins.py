@@ -89,6 +89,103 @@ def q_new_urls_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# url_canonical_dedup — the canonicalization the reference's raw-url
+# merge key (loading.py:150-161) is missing: scheme/host case, default
+# ports, tracking params, param order, trailing slashes and fragments
+# all split dedup groups when the key is the raw string. Four raw
+# variants per logical article collapse to ONE canonical key; the
+# n_raw_distinct column records how many groups the raw key would have
+# produced (4 — i.e. the reference's sink would store every variant).
+# --------------------------------------------------------------------------
+from stonkwhisperer_spark.functions.urls import canonical_url, canonical_url_sql
+
+_RAW_URL_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://news.example.com/articles/' || (doc_id // 4)
+                    || '?id=' || (doc_id // 4) || '&utm_source=rss'
+        WHEN 1 THEN 'HTTPS://News.Example.COM:443/articles/' || (doc_id // 4)
+                    || '?id=' || (doc_id // 4) || '#top'
+        WHEN 2 THEN 'HtTpS://NEWS.EXAMPLE.COM/articles/' || (doc_id // 4)
+                    || '/?gclid=x&id=' || (doc_id // 4)
+        ELSE 'https://news.example.com/articles/' || (doc_id // 4)
+             || '?fbclid=a&id=' || (doc_id // 4)
+      END
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url
+      FROM documents WHERE doc_id < 400
+    ),
+    canon AS (
+      SELECT doc_id, url, {canonical_url_sql("url")} AS curl FROM raw
+    )
+    SELECT curl AS canonical_url,
+           min(doc_id) AS keep_id,
+           count(*) AS n_variants,
+           count(DISTINCT url) AS n_raw_distinct
+    FROM canon GROUP BY curl
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: four raw variants of every logical article
+    URL (host/scheme case, default port, tracking params in different
+    positions, trailing slash, fragment) are canonicalized with
+    :func:`canonical_url` and grouped — each group collapses to one
+    keeper (min doc_id) with n_variants=4, while n_raw_distinct=4 shows
+    the raw-string key the reference dedups on would have kept every
+    variant as a separate document. The DuckDB twin replays the same
+    string surgery byte-for-byte (shared Java-regex ∩ RE2 subset; the
+    param sort is byte-wise in both engines).
+
+    Scale: canonicalization is map-only (regex + array ops per row);
+    the dedup shuffles once on the canonical key — same profile as the
+    raw-key anti-join it replaces, so adopting it costs nothing."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    l = F.expr("doc_id DIV 4").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://news.example.com/articles/"), l,
+                F.lit("?id="), l, F.lit("&utm_source=rss"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://News.Example.COM:443/articles/"), l,
+                F.lit("?id="), l, F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("HtTpS://NEWS.EXAMPLE.COM/articles/"), l,
+                F.lit("/?gclid=x&id="), l,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://news.example.com/articles/"), l,
+                F.lit("?fbclid=a&id="), l,
+            )
+        )
+    )
+    canon = docs.select(
+        "doc_id", raw.alias("url"), canonical_url(raw).alias("curl")
+    )
+    return canon.groupBy(F.col("curl").alias("canonical_url")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # J5: lookup-or-create + FK backfill. Reference: link posts probe a
 # url→Article cache, create articles on miss, then set post.article_id
 # (loading.py:226-292). Posts = documents (text posts get null url);

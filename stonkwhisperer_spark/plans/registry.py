@@ -89,6 +89,7 @@ _GATE_ORDER: list[str] = [
     "ivfsq8_topk_embeddings",
     "hll_vocab_cardinality",
     "audio_pcm_stats",
+    "url_canonical_dedup",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -124,13 +125,12 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 5 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 35 lead round 9's window) --
+    # -- backlog: 4 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 36 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
     "bars_clean",
-    "bars_enrich",
 ]
 
 

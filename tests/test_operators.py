@@ -1111,3 +1111,37 @@ def test_dist_zip_rank_is_bigint(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     ranked = _global_rank(df, ["v"], nparts=4)
     assert dict(ranked.dtypes)["_zip_rn"] == "bigint"
+
+
+def test_canonical_url_cross_engine_edges(spark, duck):
+    # Edge inputs beyond what the registered query synthesizes: empty
+    # path, tracking-only query (empty after filter — the DuckDB
+    # array_to_string-of-empty-list NULL trap), prefix-named params
+    # that must NOT be dropped (ref_src vs ref), whitespace padding,
+    # mixed-case scheme, and param-order stability.
+    from stonkwhisperer_spark.functions.urls import canonical_url, canonical_url_sql
+
+    urls = [
+        "https://other.com/",
+        "https://other.com",
+        " https://pad.me/x?ref=tw ",
+        "https://h.io/p?ref_src=keepme&id=1",
+        "http://site.org:80/a/b?z=2&a=1&utm_medium=m",
+        "http://site.org/a/b?a=1&z=2",
+        "HtTpS://UP.example.COM:443/P/Q/?UTM_x=1#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    duck.execute("CREATE OR REPLACE TABLE _urls(url VARCHAR)")
+    duck.executemany("INSERT INTO _urls VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in duck.execute(
+        f"SELECT {canonical_url_sql('url')} FROM _urls"
+    ).fetchall()]
+    assert got == want
+    assert got[0] == got[1] == "https://other.com"  # trailing slash + empty path
+    assert got[2] == "https://pad.me/x"  # tracking-only query drops cleanly
+    assert got[3] == "https://h.io/p?id=1&ref_src=keepme"  # ref_src kept, sorted
+    assert got[4] == got[5]  # port + tracking + param order all collapse
+    # UTM_x is case-sensitive by design (params are case-significant);
+    # scheme/host still fold and the fragment drops.
+    assert got[6] == "https://up.example.com/P/Q?UTM_x=1"
