@@ -57,6 +57,7 @@ NOTES = {
     "priority_sample": "Weighted priority sampling: the int64 priority ((w << 31) DIV h) is one codegen projection over the scan and the k=500 cut plans as TakeOrderedAndProject — per-partition partial top-k, a k-row driver merge, ZERO exchanges and no global sort; 100 TB costs one scan.",
     "zip_docs_embeddings_dist": "J1 positional zip, scale form: per side one range shuffle into a checkpointed layout, a uniform _pid hash shuffle for the local rank window, and a <=32-row offsets broadcast; the final pairing is one hash equi-join on the dense rank — NO single-partition sort anywhere (contrast zip_docs_embeddings, the parity baseline).",
     "video_frame_stats": "Real frame sampling: encode -> chunk-walk container split -> every-2nd-frame decode -> per-frame means as mapInPandas stages; sample-then-decode means only kept frames pay decode, and the (media, frame) repartition before featurize is the long-video skew fix — decode parallelism is per-frame, not per-video.",
+    "quantile_sketch_prices": "Mergeable quantile summary: one hash shuffle on 64 buckets with a bounded per-bucket sort builds the B*k weighted sample; the rank-scan window is unpartitioned but over the 4096-row SKETCH, never the corpus; the truth pass joins the corpus against a 3-row broadcast.",
     "url_canonical_dedup": "Canonical-URL dedup: the whole canonicalization (regex extracts, param filter/sort) is one map-only projection; the group-by shuffles ONCE on the canonical key — the same profile as the raw-key anti-join it replaces.",
     "audio_pcm_stats":"Real audio leg: WAV encode -> RIFF chunk-walk decode -> integer PCM stats as two Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; stats are O(duration) per clip, size_bucket is the skew lever for mixed clip lengths.",
     "hll_vocab_cardinality":"Per-source HyperLogLog: rank registers aggregate with map-side max partials keyed on (source, bucket) — at most m=256 rows per source cross the wire per mapper; the <all> row is an element-wise max MERGE of the per-source register tables (m x sources rows), never a corpus re-read; estimator arithmetic is one integer division per group.",

@@ -1,6 +1,6 @@
 """Mergeable sketches for corpus-scale cardinality and frequency.
 
-Three classic streaming sketches, built as pure DataFrame plans with the
+Four classic streaming sketches, built as pure DataFrame plans with the
 portable 60-bit hash so a DuckDB oracle can replay them bit-for-bit:
 
   * KMV (K-Minimum-Values) distinct-count sketch — per group, keep the
@@ -23,6 +23,10 @@ portable 60-bit hash so a DuckDB oracle can replay them bit-for-bit:
     one-max-combine merge make it the industry default for
     distributed distinct counts. See the HLL section comment below
     for the integer-exactness contract with the oracle.
+  * Quantile summary (deterministic weighted systematic sampling — the
+    deterministic case of Agarwal et al. 2012, "Mergeable summaries")
+    — k weighted rank samples per hash bucket, merged by plain union;
+    rank error <= N/2k. See the quantile section comment below.
 
 Why sketches at 100 TB: the exact answers (count distinct, top-k
 frequency) need a vocabulary-sized shuffle per question asked; the
@@ -301,4 +305,81 @@ def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
             .otherwise(F.col("_raw"))
             .alias("est_distinct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary — the fourth sketch: cardinality (KMV,
+# HLL) and frequency (CMS) are covered above; this covers rank/quantile
+# questions ("p99 order value per day, merged across days") without a
+# global sort. Classic two-level weighted systematic sampling (the
+# deterministic special case of the mergeable quantile summaries of
+# Agarwal et al. 2012, "Mergeable summaries"):
+#
+#   * leaf: values are hashed into B buckets; each bucket keeps the k
+#     systematic ranks of its SORTED values — element at 0-based index
+#     floor((2i+1)*n_b / 2k) for i in 0..k-1 — each carrying weight n_b
+#     (one uniform 1/k scale, dropped so all arithmetic stays integer).
+#     Within-bucket rank error <= n_b/2k by construction.
+#   * merge/query: the B*k weighted rows (BOUNDED — this is the whole
+#     point) are rank-scanned: the p-quantile estimate is the smallest
+#     value whose cumulative weight reaches p*k*N, an integer
+#     comparison (100*cum >= p*k*N for integer percents). Total rank
+#     error <= sum_b n_b/2k = N/2k plus discretization — e.g. k=64
+#     gives <1% rank error regardless of N or distribution.
+#
+# Merging shards/days = unioning their leaf summaries (weights carry);
+# buckets never need re-reading. Deterministic end to end (sorting,
+# index arithmetic, integer rank scan), so the DuckDB oracle replays
+# the SAME summary bit-for-bit — the estimate itself is hash-gated.
+# ---------------------------------------------------------------------------
+def quantile_summary(
+    rows: DataFrame,
+    value_col: str,
+    bucket: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Leaf quantile summaries: (bucket, i, val, n_b) with exactly k
+    rows per non-empty bucket; ``val`` is the bucket's systematic
+    rank-i sample, weighted n_b. Scale: ONE shuffle keyed on the
+    (hash-uniform) bucket; the per-bucket sort is bounded by the
+    bucket size — size B to taste (B ~ corpus/executor-memory). The
+    output is B*k rows — persist it and every later quantile question
+    (per shard, per union of shards) never re-reads the corpus."""
+    per = (
+        rows.select(bucket.alias("bucket"), F.col(value_col).alias("_v"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("_v")).alias("_arr"), F.count("*").alias("n_b"))
+    )
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    picked = F.transform(
+        idx,
+        lambda i: F.element_at(
+            F.col("_arr"),
+            (
+                F.floor(((i * 2 + 1) * F.col("n_b")) / F.lit(2 * k)) + 1
+            ).cast("int"),
+        ),
+    )
+    return per.select(
+        "bucket", "n_b", F.posexplode(picked).alias("i", "val")
+    ).select("bucket", "i", "val", "n_b")
+
+
+def quantile_estimates(summary: DataFrame, pcts: list[int]) -> DataFrame:
+    """Quantile estimates from a (merged) summary: (pct, est_value).
+    The rank scan orders the BOUNDED summary (B*k rows — the
+    unpartitioned window is over the sketch, never the corpus) and
+    picks, per integer percent, the smallest value whose cumulative
+    weight reaches pct*k*N/100 — all-integer arithmetic, so the
+    estimate is deterministic and oracle-replayable."""
+    w = W.orderBy("val", "bucket", "i").rowsBetween(W.unboundedPreceding, 0)
+    cum = summary.withColumn("_cum", F.sum("n_b").over(w))
+    total = summary.groupBy().agg(F.sum(F.col("n_b")).alias("_ktotal"))
+    pct_rows = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    return (
+        cum.crossJoin(F.broadcast(total.select(pct_rows, "_ktotal")))
+        .filter(F.col("_cum") * 100 >= F.col("pct") * F.col("_ktotal"))
+        .groupBy("pct")
+        .agg(F.min("val").alias("est_value"))
     )

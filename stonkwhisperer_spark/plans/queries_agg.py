@@ -489,7 +489,9 @@ def q_event_type_enrich_sketch_salted(spark: SparkSession, sf_dir: str) -> DataF
 # KMV (k-minimum-values) approximate distinct count — the sketch family
 # under the EXACT oracle gate: because both engines compute the same
 # portable 60-bit hash, the k smallest hash values — and therefore the
-# ESTIMATE itself — are bit-identical, unlike HLL (engine-specific).
+# ESTIMATE itself — are bit-identical (our HLL at
+# plans/queries_text.py achieves the same via integer-exact registers;
+# Spark's builtin approx_count_distinct cannot).
 # --------------------------------------------------------------------------
 _KMV_K = 256
 
@@ -650,4 +652,90 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         "bin",
         ((F.col("bin") + 1) * F.lit(width)).cast("double").alias("est_upper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quantile_sketch_prices — the fourth sketch family: rank/quantile
+# questions from a mergeable bounded summary (operators/sketches.py,
+# quantile section). Deterministic end to end, so the ESTIMATES are
+# hash-gated; true_rank sits alongside as the in-result accuracy check
+# (rank error <= N/2k by construction, pinned tighter in pytest).
+# --------------------------------------------------------------------------
+_QSK_B = 64  # leaf buckets
+_QSK_K = 64  # samples per bucket -> rank error <= N/128
+
+
+@register(
+    "quantile_sketch_prices",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_orderkey % {_QSK_B} AS bucket,
+             CAST(l_extendedprice * 100 AS BIGINT) AS val
+      FROM lineitem
+    ),
+    per AS (
+      SELECT bucket, list_sort(list(val)) AS arr, count(*) AS n_b
+      FROM v GROUP BY bucket
+    ),
+    picked AS (
+      SELECT bucket, i.range AS i, n_b,
+             arr[CAST(((2 * i.range + 1) * n_b) // {2 * _QSK_K} AS BIGINT) + 1] AS val
+      FROM per, range({_QSK_K}) i
+    ),
+    tot AS (SELECT count(*) AS n FROM v),
+    cum AS (
+      SELECT val, sum(n_b) OVER (ORDER BY val, bucket, i) AS c
+      FROM picked
+    ),
+    est AS (
+      SELECT p.pct, min(val) AS est_value
+      FROM cum, tot, (SELECT unnest([50, 90, 99]) AS pct) p
+      WHERE c * 100 >= p.pct * {_QSK_K} * tot.n
+      GROUP BY p.pct
+    )
+    SELECT est.pct, est.est_value,
+           (SELECT count(*) FROM v WHERE v.val <= est.est_value) AS true_rank,
+           (SELECT n FROM tot) AS n_total
+    FROM est
+    """,
+)
+def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price (cents) from the
+    mergeable quantile summary: one bucket-keyed shuffle builds B*k
+    weighted rank samples, the bounded summary is rank-scanned with
+    all-integer arithmetic, and the corpus is touched once more only
+    for the in-result accuracy columns (true_rank of each estimate,
+    via a 3-row broadcast). The summary is deterministic, so the
+    DuckDB twin replays sampling AND estimation bit-for-bit — the
+    approximation itself is under the value hash, like KMV/HLL/CMS.
+
+    Scale: quantiles without a global sort — the corpus pass is one
+    hash shuffle on {_QSK_B} buckets with a bounded per-bucket sort;
+    every later quantile question (per day, merged across days) reads
+    the persisted B*k summary. The rank-scan window is unpartitioned
+    but over the BOUNDED sketch (B*k = 4096 rows), never the corpus."""
+    from stonkwhisperer_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_orderkey") % _QSK_B).alias("bucket"),
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("val"),
+    )
+    summ = quantile_summary(v, "val", F.col("bucket"), k=_QSK_K).localCheckpoint(
+        eager=True
+    )
+    est = quantile_estimates(summ, [50, 90, 99])
+    truth = (
+        v.crossJoin(F.broadcast(est))
+        .filter(F.col("val") <= F.col("est_value"))
+        .groupBy("pct", "est_value")
+        .agg(F.count("*").alias("true_rank"))
+    )
+    n_total = v.groupBy().agg(F.count("*").alias("n_total"))
+    return truth.crossJoin(F.broadcast(n_total)).select(
+        "pct", "est_value", "true_rank", "n_total"
     )

@@ -90,6 +90,7 @@ _GATE_ORDER: list[str] = [
     "hll_vocab_cardinality",
     "audio_pcm_stats",
     "url_canonical_dedup",
+    "quantile_sketch_prices",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -125,12 +126,11 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 4 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 36 lead round 9's window) --
+    # -- backlog: 3 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 37 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
     "asof_sentiment_bars",
-    "bars_clean",
 ]
 
 

@@ -1145,3 +1145,39 @@ def test_canonical_url_cross_engine_edges(spark, duck):
     # UTM_x is case-sensitive by design (params are case-significant);
     # scheme/host still fold and the fragment drops.
     assert got[6] == "https://up.example.com/P/Q?UTM_x=1"
+
+
+def test_quantile_summary_error_bound_and_merge(spark):
+    # Skewed values (squares) across 8 buckets, k=16: the estimate's
+    # true rank must be within N/2k + discretization of the target —
+    # assert the structural N/k bound. Merging two disjoint shards'
+    # summaries (plain union) must satisfy the same bound on the
+    # combined corpus: the weights carry, nothing re-reads the shards.
+    from stonkwhisperer_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_summary,
+    )
+
+    n = 4000
+    vals = [(i % 8, (i * i) % 100000) for i in range(n)]
+    df = spark.createDataFrame(vals, "bucket int, val long")
+
+    def check(est_df, full_vals):
+        full = sorted(full_vals)
+        n_tot = len(full)
+        for r in est_df.collect():
+            true_rank = sum(1 for v in full if v <= r.est_value)
+            target = r.pct * n_tot / 100
+            assert abs(true_rank - target) <= n_tot / 16, (r.pct, true_rank, target)
+
+    summ = quantile_summary(df, "val", F.col("bucket"), k=16)
+    check(quantile_estimates(summ, [50, 90, 99]), [v for _, v in vals])
+
+    # Shard merge: two halves sketched independently, summaries unioned.
+    a = spark.createDataFrame(vals[: n // 2], "bucket int, val long")
+    b = spark.createDataFrame(vals[n // 2 :], "bucket int, val long")
+    sa = quantile_summary(a, "val", F.col("bucket"), k=16)
+    # disjoint bucket ids so the union keeps both shards' leaves
+    sb = quantile_summary(b, "val", (F.col("bucket") + 8), k=16)
+    merged = sa.unionByName(sb)
+    check(quantile_estimates(merged, [50, 90, 99]), [v for _, v in vals])
