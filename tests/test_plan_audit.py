@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "sq8_topk_embeddings": 1,     # |Q|-row query set broadcast (ADC scan)
     "semantic_clusters": 2,       # K-row centroid broadcast, one per
                                   # Lloyd's assignment pass (K=8)
+    "quantile_sketch_prices": 3,  # 3-row (pct, total) into the sketch
+                                  # rank scan; 3-row estimate + 1-row
+                                  # total into the truth pass
 }
 
 
