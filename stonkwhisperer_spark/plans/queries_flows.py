@@ -1032,6 +1032,142 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming_quantiles — the quantile summary maintained incrementally
+# over the same 4-batch document stream: the sketch's merge is plain
+# UNION (weights carry), so foreachBatch just appends each batch's B*k
+# leaf rows to the persisted state. Completes the sketch x streaming
+# matrix: KMV (streaming_sketch), CMS (streaming_cms), quantiles here.
+# --------------------------------------------------------------------------
+_SQNT_B = 16
+_SQNT_K = 32
+
+
+def _streaming_quantiles_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT doc_id % 4 AS batch, doc_id % {_SQNT_B} AS bucket,
+             CAST(n_chars AS BIGINT) AS val
+      FROM documents
+    ),
+    per AS (
+      SELECT batch, bucket, list_sort(list(val)) AS arr, count(*) AS n_b
+      FROM v GROUP BY batch, bucket
+    ),
+    picked AS (
+      SELECT batch, bucket, i.range AS i, n_b,
+             arr[CAST(((2 * i.range + 1) * n_b) // {2 * _SQNT_K} AS BIGINT) + 1] AS val
+      FROM per, range({_SQNT_K}) i
+    ),
+    tot AS (SELECT count(*) AS n FROM v),
+    cum AS (
+      SELECT val, sum(n_b) OVER (ORDER BY val, batch, bucket, i) AS c
+      FROM picked
+    ),
+    est AS (
+      SELECT p.pct, min(val) AS est_value
+      FROM cum, tot, (SELECT unnest([50, 90, 99]) AS pct) p
+      WHERE c * 100 >= p.pct * {_SQNT_K} * tot.n
+      GROUP BY p.pct
+    )
+    SELECT est.pct, est.est_value,
+           (SELECT count(*) FROM v WHERE v.val <= est.est_value) AS true_rank,
+           (SELECT n FROM tot) AS n_total
+    FROM est
+    """
+
+
+@register("streaming_quantiles", oracle=_streaming_quantiles_oracle())
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable quantile summary maintained INCREMENTALLY over a
+    document stream: each of 4 micro-batches builds its own B*k leaf
+    summary of doc length (one bucket-keyed shuffle per batch) and
+    foreachBatch UNIONS it into the persisted state — that union IS
+    the sketch's merge operation (weights carry; per-leaf rank errors
+    sum to N/2k over the whole corpus), so the drained stream's
+    estimates carry the same bound as a from-scratch batch summary.
+    p50/p90/p99 of the final state are hash-checked against a DuckDB
+    twin that replays the per-batch sampling exactly; true_rank sits
+    alongside as the in-result accuracy check. (The estimate is
+    order-invariant within equal values, so the estimator never needs
+    to know which batch a leaf row came from.)
+
+    Scale: O(batch) per arriving shard, state grows B*k rows per batch
+    — a long-running deployment periodically re-compresses the state
+    by re-sampling the summary itself (same operator, summary as
+    input), keeping it bounded; versions live in the txlog format."""
+    import os
+
+    from stonkwhisperer_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_summary,
+    )
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scratch = tempfile.mkdtemp(prefix="stonkw_stream_qnt_")
+    try:
+        landing = f"{scratch}/docs"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
+        vals = stream.select(
+            (F.col("doc_id") % _SQNT_B).alias("bucket"),
+            F.col("n_chars").cast("bigint").alias("val"),
+        )
+
+        state_dir = f"{scratch}/state"
+        state = {"v": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            bsum = quantile_summary(batch_df, "val", F.col("bucket"), k=_SQNT_K)
+            if state["v"] > 0:
+                prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
+                merged = prev.unionByName(bsum)  # union IS the merge
+            else:
+                merged = bsum
+            merged.write.parquet(f"{state_dir}/v{state['v'] + 1}")
+            state["v"] += 1
+
+        with _stream_shuffle_width(spark):
+            q = (
+                vals.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_quantiles did not drain in 300s")
+            finally:
+                q.stop()
+        assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        est = quantile_estimates(final, [50, 90, 99])
+        corpus = docs.select(F.col("n_chars").cast("bigint").alias("val"))
+        truth = (
+            corpus.crossJoin(F.broadcast(est))
+            .filter(F.col("val") <= F.col("est_value"))
+            .groupBy("pct", "est_value")
+            .agg(F.count("*").alias("true_rank"))
+        )
+        n_total = corpus.groupBy().agg(F.count("*").alias("n_total"))
+        rows = (
+            truth.crossJoin(F.broadcast(n_total))
+            .select("pct", "est_value", "true_rank", "n_total")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "pct int, est_value bigint, true_rank bigint, n_total bigint"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # txlog_cdc_replay — the txlog family's HASH-CHECKED row: the CDC feed's
 # replayed insert set is a deterministic relation DuckDB can recompute
 # from the same seed data, so the driver gets a value-hash row for the

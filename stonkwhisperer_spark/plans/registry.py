@@ -91,6 +91,7 @@ _GATE_ORDER: list[str] = [
     "audio_pcm_stats",
     "url_canonical_dedup",
     "quantile_sketch_prices",
+    "streaming_quantiles",
     # -- changed in round 8 (batched BPE passes, grouped single-pass
     #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
     #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
@@ -126,11 +127,10 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 3 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 37 lead round 9's window) --
+    # -- backlog: 2 of the 40 whose newest green row is round 5
+    #    (alphabetical; the remaining 38 lead round 9's window) --
     "api_ingest_e2e",
     "asof_next_sentiment",
-    "asof_sentiment_bars",
 ]
 
 
