@@ -309,6 +309,122 @@ def hll_estimate(sketch: DataFrame, group_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, "Space/time trade-offs in hash coding with
+# allowable errors") — the fifth sketch: a MEMBERSHIP summary, where KMV/
+# HLL answer "how many distinct" and CMS answers "how often". d seeded
+# hash rows set one bit each per key in an m-bit array, packed into
+# m/32 BIGINT words; a key "might be present" iff all d of its bits are
+# set. No false negatives ever (every inserted key's bits are set);
+# false-positive rate ~(1 - e^(-d*n/m))^d.
+#
+# Why at 100 TB: semi-join pruning. A build-side key set too large to
+# ship as raw keys (100M 8-byte keys = 800 MB) packs into m/8 bytes of
+# bloom bits (2^27 bits = 16 MB) that broadcast to every executor; the
+# probe side filters MAP-ONLY, no shuffle touches the fact table, and
+# the surviving (tiny) fraction proceeds to the exact join. This is the
+# hand-rolled form of Spark's own runtime bloom-filter join pruning —
+# rolled by hand here so the sketch is persistable, mergeable across
+# shards (bitwise OR per word), and bit-for-bit oracle-replayable via
+# the portable hash.
+# ---------------------------------------------------------------------------
+BLOOM_WORD = 32  # bits packed per BIGINT word (word = bit DIV 32)
+
+
+def bloom_build(
+    rows: DataFrame,
+    value_col: str,
+    d: int = 4,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Packed bloom filter over ``value_col``: (word, bits) with at
+    most m/32 rows — the persistable sketch. bit_i(x) =
+    portable_hash64('<i>|' || x) % m (same seeded-hash family as CMS).
+
+    Scale: the d-way explode is map-side and bit_or partial-aggregates
+    before the single (word) shuffle — at most m/32 rows cross the
+    wire per mapper regardless of build-side size. Merge shard/day
+    blooms with :func:`bloom_merge` (bitwise OR per word) — exact:
+    OR is associative/commutative, so merged per-shard filters equal
+    the direct global filter bit-for-bit."""
+    seeds = F.array(*[F.lit(i) for i in range(d)])
+    bit = (
+        portable_hash64(
+            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("_v"))
+        )
+        % m_bits
+    )
+    occ = rows.select(
+        F.explode(seeds).alias("seed"),
+        F.col(value_col).cast("string").alias("_v"),
+    ).select(bit.alias("_bit"))
+    return (
+        occ.select(
+            F.expr(f"_bit DIV {BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(_bit % {BLOOM_WORD} AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_merge(sketches: DataFrame) -> DataFrame:
+    """Merge unioned (word, bits) bloom sketches: bitwise OR per word.
+    |shards| * m/32 rows in, m/32 out — driver-free and exact."""
+    return sketches.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    items: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    d: int = 4,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Membership-test each row's ``value_col`` against a bloom filter:
+    adds ``might_contain`` (true iff all d bits are set). Guaranteed
+    true for every inserted key (no false negatives — pinned by
+    pytest); spuriously true at the designed FP rate.
+
+    The m/32-word sketch is broadcast and joined once per hash row on
+    the map-side-computed word column — d broadcast joins, zero
+    shuffles added to ``items``'s plan (the CMS probe pattern). LEFT
+    joins: a word no build key touched is absent from the sparse
+    sketch and must read as all-zero bits, not drop the probe row.
+    Eagerly materialized for the same reason as the CMS table: it is
+    the persisted-artifact stand-in, not a plan to re-execute d
+    times."""
+    bloom = bloom.localCheckpoint(eager=True)
+    out = items
+    hits = []
+    for i in range(d):
+        bit = portable_hash64(F.col(value_col).cast("string"), seed=i) % m_bits
+        leg = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        out = (
+            out.withColumn(f"_bit{i}", bit)
+            .withColumn(f"_w{i}", F.expr(f"_bit{i} DIV {BLOOM_WORD}"))
+            .join(F.broadcast(leg), f"_w{i}", "left")
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_bit{i} % {BLOOM_WORD} AS INT))"
+        )
+        hits.append(
+            F.coalesce(F.col(f"_bits{i}"), F.lit(0).cast("bigint"))
+            .bitwiseAND(mask)
+            != 0
+        )
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    return out.withColumn("might_contain", cond).drop(
+        *[c for i in range(d) for c in (f"_bit{i}", f"_w{i}", f"_bits{i}")]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mergeable quantile summary — the fourth sketch: cardinality (KMV,
 # HLL) and frequency (CMS) are covered above; this covers rank/quantile
 # questions ("p99 order value per day, merged across days") without a

@@ -739,3 +739,97 @@ def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.crossJoin(F.broadcast(n_total)).select(
         "pct", "est_value", "true_rank", "n_total"
     )
+
+
+# --------------------------------------------------------------------------
+# bloom_prune_lineitem — the fifth sketch family: MEMBERSHIP. A bloom
+# filter over the selective build-side key set prunes the fact table
+# map-only before any join; the oracle replays the same bits, so the
+# false-positive set itself is hash-gated (no false negatives — the
+# (is_member, NOT bloom_pass) cell must be absent; pinned by pytest).
+# --------------------------------------------------------------------------
+_BLOOM_D = 4
+_BLOOM_M = 1 << 17  # 131072 bits = 4096 packed words (~32 KB broadcast)
+
+
+@register(
+    "bloom_prune_lineitem",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT cast(o_orderkey AS varchar) AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    seeds AS (SELECT unnest(range({_BLOOM_D})) AS seed),
+    kb AS (
+      SELECT {portable_hash64_sql("seed::varchar || '|' || k")} % {_BLOOM_M} AS bit
+      FROM keys CROSS JOIN seeds
+    ),
+    bloom AS (
+      SELECT bit // {32} AS word,
+             bit_or(1::BIGINT << cast(bit % 32 AS int)) AS bits
+      FROM kb GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    pb AS (
+      SELECT l_orderkey,
+             {portable_hash64_sql("seed::varchar || '|' || cast(l_orderkey AS varchar)")}
+               % {_BLOOM_M} AS bit
+      FROM probe CROSS JOIN seeds
+    ),
+    flags AS (
+      SELECT l_orderkey,
+             bool_and(
+               (coalesce(bits, 0) & (1::BIGINT << cast(bit % 32 AS int))) <> 0
+             ) AS bloom_pass
+      FROM pb LEFT JOIN bloom ON bloom.word = pb.bit // 32
+      GROUP BY l_orderkey
+    )
+    SELECT coalesce(k IS NOT NULL, false)  AS is_member,
+           bloom_pass,
+           count(*)                        AS n_keys
+    FROM flags LEFT JOIN keys ON keys.k = cast(flags.l_orderkey AS varchar)
+    GROUP BY 1, 2
+    """,
+)
+def q_bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prune: pack the URGENT-priority order
+    keys into a {_BLOOM_M}-bit bloom (d={_BLOOM_D} seeded hash rows),
+    probe every distinct lineitem order key against it map-only, and
+    tabulate the confusion cells (is_member x bloom_pass) — the
+    (true, false) cell can never appear (no false negatives), and the
+    (false, true) cell IS the measured false-positive count, gated
+    bit-for-bit by the oracle replaying the same bits.
+
+    Scale: the production shape for "filter 100 TB of fact rows by a
+    key set too big to ship raw" — the build side packs into m/8
+    bytes (here 16 KB; size m to ~12 bits per build key) that
+    broadcast everywhere; the probe is d broadcast lookups per row,
+    zero shuffles added to the fact scan, and only the surviving
+    sliver reaches the exact join. The exact-membership join here is
+    the self-check, not the production path. Mergeable across shards
+    by bitwise OR (`bloom_merge`), so 1000 executors build it in one
+    partial-agg pass."""
+    from stonkwhisperer_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "k", d=_BLOOM_D, m_bits=_BLOOM_M)
+    probe = li.select("l_orderkey").distinct()
+    flagged = bloom_probe(probe, "l_orderkey", bloom, d=_BLOOM_D, m_bits=_BLOOM_M)
+    member = keys.select(
+        F.col("k").cast("bigint").alias("l_orderkey"), F.lit(True).alias("_m")
+    )
+    return (
+        flagged.join(F.broadcast(member), "l_orderkey", "left")
+        .select(
+            F.coalesce("_m", F.lit(False)).alias("is_member"),
+            F.col("might_contain").alias("bloom_pass"),
+        )
+        .groupBy("is_member", "bloom_pass")
+        .agg(F.count("*").alias("n_keys"))
+    )

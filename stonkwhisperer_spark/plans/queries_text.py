@@ -2040,3 +2040,154 @@ def q_cms_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("tok", "est_cnt", "true_cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# kmv_shard_overlap — set OPERATIONS on KMV sketches (the theta-sketch
+# pattern, Dasgupta et al. 2016): union/intersection/difference
+# cardinalities between two corpus shards from their k-min sketches
+# alone. inter_in_k = |U_k ∩ A_k ∩ B_k| is a Binomial(|U_k|, J) draw of
+# the Jaccard similarity, so est_intersect = inter_in_k * est_union /
+# |U_k| — all-integer arithmetic here, so the oracle replays the
+# estimate itself bit-for-bit.
+# --------------------------------------------------------------------------
+_KSO_K = 64
+
+
+def _kso_est_sql(src: str) -> str:
+    return (
+        f"CASE WHEN (SELECT count(*) FROM {src}) < {_KSO_K} "
+        f"THEN (SELECT count(*) FROM {src}) "
+        f"ELSE CAST((CAST({_KSO_K - 1} AS HUGEINT) * CAST({1 << 60} AS HUGEINT)) "
+        f"// (SELECT max(_h) FROM {src}) AS BIGINT) END"
+    )
+
+
+@register(
+    "kmv_shard_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT shard, tok FROM (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS shard,
+               unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    h AS (SELECT DISTINCT shard, {portable_hash64_sql('tok')} AS _h FROM toks),
+    rk AS (
+      SELECT shard, _h,
+             row_number() OVER (PARTITION BY shard ORDER BY _h) AS rk
+      FROM h
+    ),
+    ska AS (SELECT _h FROM rk WHERE shard = 'a' AND rk <= {_KSO_K}),
+    skb AS (SELECT _h FROM rk WHERE shard = 'b' AND rk <= {_KSO_K}),
+    u AS (
+      SELECT _h, row_number() OVER (ORDER BY _h) AS rk
+      FROM (SELECT _h FROM ska UNION SELECT _h FROM skb)
+    ),
+    usk AS (SELECT _h FROM u WHERE rk <= {_KSO_K}),
+    c AS (
+      SELECT count(*) AS inter_in_k FROM usk
+      WHERE _h IN (SELECT _h FROM ska) AND _h IN (SELECT _h FROM skb)
+    ),
+    est AS (
+      SELECT (SELECT count(*) FROM ska) AS n_a,
+             (SELECT count(*) FROM skb) AS n_b,
+             (SELECT count(*) FROM usk) AS n_u,
+             {_kso_est_sql('ska')} AS est_a,
+             {_kso_est_sql('skb')} AS est_b,
+             {_kso_est_sql('usk')} AS est_union,
+             (SELECT inter_in_k FROM c) AS inter_in_k
+    ),
+    flags AS (
+      SELECT tok,
+             max(CASE WHEN shard = 'a' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN shard = 'b' THEN 1 ELSE 0 END) AS in_b
+      FROM toks GROUP BY tok
+    ),
+    tru AS (
+      SELECT CAST(sum(in_a) AS BIGINT)        AS true_a,
+             CAST(sum(in_b) AS BIGINT)        AS true_b,
+             CAST(sum(in_a * in_b) AS BIGINT) AS true_intersect,
+             count(*)                         AS true_union
+      FROM flags
+    )
+    SELECT n_a, n_b, n_u, est_a, est_b, est_union, inter_in_k,
+           CAST(CAST(inter_in_k AS HUGEINT) * est_union // n_u AS BIGINT)
+             AS est_intersect,
+           greatest(
+             est_a
+               - CAST(CAST(inter_in_k AS HUGEINT) * est_union // n_u AS BIGINT),
+             0
+           ) AS est_diff_a,
+           true_a, true_b, true_intersect, true_union
+    FROM est CROSS JOIN tru
+    """,
+)
+def q_kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary set operations between two corpus shards (even/odd
+    doc_id) computed from their KMV sketches alone: union, intersection
+    and A-only cardinality estimates next to the exact answers — the
+    "how much does shard B add to shard A's vocabulary" question a
+    dedup/curation planner asks before committing to a merge pass.
+
+    Scale: each shard's sketch is K=64 integers built in one
+    (shard, hash)-keyed pass (and in production persisted at ingest);
+    EVERY set-operation estimate here reads only the ≤3K sketch rows —
+    the corpus is never re-read, and sketches of 1000 shards compose
+    the same way (union = re-rank, intersect = count shared minima in
+    the union's k-min set). The exact side is the self-check, sharing
+    one token-scan pass."""
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+    from stonkwhisperer_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("shard"),
+        F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch(toks, "shard", "tok", k=_KSO_K).localCheckpoint(eager=True)
+    u = kmv_merge(sk, "shard", "u", k=_KSO_K).localCheckpoint(eager=True)
+    est = kmv_estimate(sk.unionByName(u), "shard", k=_KSO_K)
+    one = lambda s, pre: (  # noqa: E731 — 1-row slice of the estimate table
+        est.filter(F.col("shard") == s).select(
+            F.col("n_mins").alias(f"n_{pre}"),
+            F.col("est_distinct").alias(f"est_{pre}"),
+        )
+    )
+    c = (
+        u.join(sk.filter(F.col("shard") == "a").select("_h"), "_h")
+        .join(sk.filter(F.col("shard") == "b").select("_h"), "_h")
+        .agg(F.count("*").alias("inter_in_k"))
+    )
+    flags = toks.groupBy("tok").agg(
+        F.max(F.when(F.col("shard") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("shard") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    tru = flags.agg(
+        F.sum("in_a").cast("bigint").alias("true_a"),
+        F.sum("in_b").cast("bigint").alias("true_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("true_intersect"),
+        F.count("*").alias("true_union"),
+    )
+    est_inter = F.expr(
+        "CAST(CAST(inter_in_k AS DECIMAL(38,0)) * est_union DIV n_u AS BIGINT)"
+    )
+    return (
+        one("a", "a")
+        .crossJoin(F.broadcast(one("b", "b")))
+        .crossJoin(F.broadcast(one("u", "union").withColumnRenamed("n_union", "n_u")))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            "n_a", "n_b", "n_u", "est_a", "est_b", "est_union", "inter_in_k",
+            est_inter.alias("est_intersect"),
+            F.greatest(F.col("est_a") - est_inter, F.lit(0)).alias("est_diff_a"),
+            "true_a", "true_b", "true_intersect", "true_union",
+        )
+    )

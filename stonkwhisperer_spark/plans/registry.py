@@ -71,8 +71,14 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 8: IVF×PQ composed ANN, txlog lifecycle hash
-    #    companion, incremental corpus dedup, mergeable sketches --
+    # -- new in round 9: bloom-filter membership sketch, KMV set
+    #    operations --
+    "bloom_prune_lineitem",
+    "kmv_shard_overlap",
+    # -- round 8 (no CORRECTNESS_r08 was ever recorded, so the whole
+    #    round-8 window stays for round 9's gate): IVF×PQ composed ANN,
+    #    txlog lifecycle hash companion, incremental corpus dedup,
+    #    mergeable sketches --
     "ivfpq_topk_embeddings",
     "ivfpq_refine_embeddings",
     "txlog_e2e_state",
@@ -127,10 +133,9 @@ _GATE_ORDER: list[str] = [
     "steel_part_suppliers",
     "top_customer_per_nation",
     "top_supplier_revenue",
-    # -- backlog: 2 of the 40 whose newest green row is round 5
-    #    (alphabetical; the remaining 38 lead round 9's window) --
-    "api_ingest_e2e",
-    "asof_next_sentiment",
+    # (the 40 r5-stale queries lead round 10's window; the two that
+    #  briefly held these slots in the unrecorded r8 window —
+    #  api_ingest_e2e, asof_next_sentiment — go first then)
 ]
 
 

@@ -1181,3 +1181,90 @@ def test_quantile_summary_error_bound_and_merge(spark):
     sb = quantile_summary(b, "val", (F.col("bucket") + 8), k=16)
     merged = sa.unionByName(sb)
     check(quantile_estimates(merged, [50, 90, 99]), [v for _, v in vals])
+
+
+def test_bloom_no_false_negatives_and_merge_identity(spark):
+    # Contract 1: every inserted key passes the probe — no false
+    # negatives, ever. Contract 2: merging per-shard blooms (bitwise
+    # OR per word) is IDENTICAL to building one bloom over the union.
+    # Contract 3: with m sized ~12 bits/key the FP rate on a disjoint
+    # probe set stays near the design point, not saturated.
+    from stonkwhisperer_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    d, m = 4, 1 << 12  # 4096 bits for ~340 keys ≈ 12 bits/key
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(340)], "k string"
+    )
+    bloom = bloom_build(members, "k", d=d, m_bits=m)
+
+    flags = {
+        r.k: r.might_contain
+        for r in bloom_probe(members, "k", bloom, d=d, m_bits=m).collect()
+    }
+    assert all(flags.values())  # no false negatives
+
+    strangers = spark.createDataFrame(
+        [(f"other{i}",) for i in range(2000)], "k string"
+    )
+    fp = sum(
+        1
+        for r in bloom_probe(strangers, "k", bloom, d=d, m_bits=m).collect()
+        if r.might_contain
+    )
+    # design FP ~ (1 - e^(-d*n/m))^d ~ 0.5%; allow generous slack
+    assert fp / 2000 < 0.05
+
+    # merge identity: shard blooms OR'd == direct bloom over the union
+    half_a = members.filter(F.substring("k", 4, 10).cast("int") % 2 == 0)
+    half_b = members.filter(F.substring("k", 4, 10).cast("int") % 2 == 1)
+    merged = bloom_merge(
+        bloom_build(half_a, "k", d=d, m_bits=m).unionByName(
+            bloom_build(half_b, "k", d=d, m_bits=m)
+        )
+    )
+    direct = {(r.word, r.bits) for r in bloom.collect()}
+    assert {(r.word, r.bits) for r in merged.collect()} == direct
+
+
+def test_bloom_prune_query_confusion_cells(spark):
+    # The registered query's contract: the (is_member=true,
+    # bloom_pass=false) cell must NOT exist, and every member key must
+    # land in the (true, true) cell.
+    from stonkwhisperer_spark.plans.registry import query_map
+
+    rows = query_map()["bloom_prune_lineitem"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    cells = {(r.is_member, r.bloom_pass): r.n_keys for r in rows}
+    assert (True, False) not in cells  # no false negatives
+    assert cells.get((True, True), 0) > 0
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    # Two shards with a known overlap, all vocab sizes below K: the
+    # sketch "estimates" must be EXACT (n_union < k path) and the
+    # intersection formula must reproduce the true intersection.
+    from stonkwhisperer_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    k = 64
+    rows = spark.createDataFrame(
+        [("a", f"shared{i}") for i in range(10)]
+        + [("a", f"onlya{i}") for i in range(5)]
+        + [("b", f"shared{i}") for i in range(10)]
+        + [("b", f"onlyb{i}") for i in range(7)],
+        "shard string, tok string",
+    )
+    sk = kmv_sketch(rows, "shard", "tok", k=k)
+    u = kmv_merge(sk, "shard", "u", k=k)
+    c = (
+        u.join(sk.filter(F.col("shard") == "a").select("_h"), "_h")
+        .join(sk.filter(F.col("shard") == "b").select("_h"), "_h")
+        .count()
+    )
+    n_u = u.count()
+    assert n_u == 22  # 10 shared + 5 + 7
+    assert c == 10  # exact intersection below K

@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     "quantile_sketch_prices": 3,  # 3-row (pct, total) into the sketch
                                   # rank scan; 3-row estimate + 1-row
                                   # total into the truth pass
+    "kmv_shard_overlap": 4,       # four 1-row sketch-estimate slices
+                                  # cross-joined into the single result
+                                  # row (every side ≤ K=64 sketch rows)
 }
 
 
