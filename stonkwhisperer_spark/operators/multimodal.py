@@ -615,3 +615,69 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, PCM_STATS_SCHEMA)
+
+
+CLIP_FEATURES_SCHEMA = T.StructType(
+    PCM_STATS_SCHEMA.fields
+    + [
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("peak_frame_energy", T.LongType(), True),
+        T.StructField("n_zero_cross", T.LongType(), True),
+    ]
+)
+
+
+def wav_clip_features(media: DataFrame, frame: int = 160) -> DataFrame:
+    """MEDIA_SCHEMA (WAV payloads) → the PCM_STATS columns PLUS
+    framewise DSP features from the same single decode pass: the clip
+    is cut into non-overlapping ``frame``-sample windows (trailing
+    partial frame dropped — the standard STFT convention) and each
+    frame's energy (sum s²) and zero-crossing count (sign flips
+    between adjacent samples, 0 counting as positive) reduce to
+    n_frames / peak_frame_energy / total n_zero_cross per clip — the
+    voice-activity / silence-trim signals an audio-curation stage
+    thresholds on before any expensive model sees the clip. All
+    integers, so the oracle replays them exactly.
+
+    Scale: identical shape to :func:`wav_pcm_stats` — one Arrow-batched
+    mapInPandas, zero exchanges, O(duration) per clip; a framewise
+    per-row output (media_id, frame_idx, energy, zcross) would be the
+    same pass with the aggregate loop removed."""
+
+    cols = (
+        "media_id", "sample_rate", "channels", "n_samples", "peak",
+        "sum_abs", "sum_sq", "n_frames", "peak_frame_energy",
+        "n_zero_cross",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, nch, samples = decode_wav(bytes(payload))
+                nf = len(samples) // frame
+                peak_e = 0
+                zc = 0
+                for f in range(nf):
+                    seg = samples[f * frame : (f + 1) * frame]
+                    peak_e = max(peak_e, sum(s * s for s in seg))
+                    zc += sum(
+                        1
+                        for a, b in zip(seg, seg[1:])
+                        if (a < 0) != (b < 0)
+                    )
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(nch)
+                rows["n_samples"].append(len(samples))
+                rows["peak"].append(max((abs(s) for s in samples), default=0))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["sum_sq"].append(sum(s * s for s in samples))
+                rows["n_frames"].append(nf)
+                rows["peak_frame_energy"].append(peak_e)
+                rows["n_zero_cross"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, CLIP_FEATURES_SCHEMA)

@@ -859,25 +859,53 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUD_DOCS = 150
 _AUD_RATE = 8000
 _AUD_BASE = 480  # samples per clip = _AUD_BASE + doc_id % 32 (varies)
+_AUD_FRAME = 160  # framewise-feature window (3 full frames per clip)
 
 
 @register(
     "audio_pcm_stats",
     oracle=f"""
     WITH s AS (
-      SELECT d.doc_id, ((d.doc_id * 31 + i.range * 17) % 65536) - 32768 AS smp
+      SELECT d.doc_id, i.range AS idx,
+             ((d.doc_id * 31 + i.range * 17) % 65536) - 32768 AS smp
       FROM (SELECT doc_id FROM documents WHERE doc_id < {_AUD_DOCS}) d,
            range({_AUD_BASE + 32}) i
       WHERE i.range < {_AUD_BASE} + d.doc_id % 32
+    ),
+    fr AS (
+      SELECT doc_id, idx // {_AUD_FRAME} AS f, smp,
+             lag(smp) OVER (
+               PARTITION BY doc_id, idx // {_AUD_FRAME} ORDER BY idx
+             ) AS prev
+      FROM s WHERE idx < {(_AUD_BASE // _AUD_FRAME) * _AUD_FRAME}
+    ),
+    fe AS (
+      SELECT doc_id, f,
+             CAST(sum(smp * smp) AS BIGINT) AS energy,
+             CAST(sum(CASE WHEN prev IS NOT NULL
+                                AND (prev < 0) <> (smp < 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zc
+      FROM fr GROUP BY doc_id, f
+    ),
+    fa AS (
+      SELECT doc_id, count(*) AS n_frames,
+             max(energy)             AS peak_frame_energy,
+             CAST(sum(zc) AS BIGINT) AS n_zero_cross
+      FROM fe GROUP BY doc_id
+    ),
+    st AS (
+      SELECT doc_id,
+             {_AUD_RATE} AS sample_rate,
+             1 AS channels,
+             count(*) AS n_samples,
+             max(abs(smp)) AS peak,
+             CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+             CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+      FROM s GROUP BY doc_id
     )
-    SELECT doc_id,
-           {_AUD_RATE} AS sample_rate,
-           1 AS channels,
-           count(*) AS n_samples,
-           max(abs(smp)) AS peak,
-           CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
-           CAST(sum(smp * smp) AS BIGINT) AS sum_sq
-    FROM s GROUP BY doc_id
+    SELECT st.doc_id, sample_rate, channels, n_samples, peak, sum_abs,
+           sum_sq, n_frames, peak_frame_energy, n_zero_cross
+    FROM st JOIN fa ON st.doc_id = fa.doc_id
     """,
 )
 def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,20 +913,24 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a REAL 16-bit PCM WAV (RIFF/fmt/LIST/data chunks, odd-size
     LIST payload exercising the RIFF pad byte, variable clip lengths),
     ``decode_wav`` walks the container back open skipping unknown
-    chunks, and ``wav_pcm_stats`` emits integer-exact loudness signals
-    (peak, sum|s|, sum s²) that the oracle recomputes from the sample
-    formula — encoder, chunk walker, AND feature stage all sit under
-    the value hash.
+    chunks, and ``wav_clip_features`` emits integer-exact loudness
+    signals (peak, sum|s|, sum s²) PLUS framewise DSP features
+    ({_AUD_FRAME}-sample windows: frame count, peak frame energy,
+    zero-crossing total — the voice-activity/silence-trim signals)
+    from the same single decode pass; the oracle recomputes all of it
+    from the sample formula — encoder, chunk walker, AND both feature
+    stages sit under the value hash.
 
-    Scale: encode and stats are two Arrow-batched mapInPandas stages
-    over the doc_id scan, zero exchanges; stats are O(duration) per
-    clip, so ``size_bucket`` first when clip lengths skew."""
+    Scale: encode and features are two Arrow-batched mapInPandas
+    stages over the doc_id scan, zero exchanges; features are
+    O(duration) per clip, so ``size_bucket`` first when clip lengths
+    skew."""
     import pandas as pd
 
     from stonkwhisperer_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         encode_wav,
-        wav_pcm_stats,
+        wav_clip_features,
     )
 
     docs = (
@@ -922,7 +954,7 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(encode, MEDIA_SCHEMA)
-    return wav_pcm_stats(media).select(
+    return wav_clip_features(media, frame=_AUD_FRAME).select(
         F.col("media_id").alias("doc_id"),
         "sample_rate",
         "channels",
@@ -930,6 +962,9 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "sum_abs",
         "sum_sq",
+        "n_frames",
+        "peak_frame_energy",
+        "n_zero_cross",
     )
 
 

@@ -323,3 +323,28 @@ def test_wav_codec_roundtrip_pad_and_errors():
     data_off = wav.index(b"data")
     with pytest.raises(ValueError, match="no data chunk"):
         decode_wav(wav[:data_off] + b"\x00" * (len(wav) - data_off))
+
+
+def test_wav_clip_features_framing_and_zero_cross(spark):
+    # A hand-built alternating clip: 370 samples at frame=160 → 2 full
+    # frames (trailing 50 dropped); each frame alternates sign every
+    # sample → 159 crossings/frame; energy = 160 * amp². The aggregate
+    # columns must match those closed forms exactly.
+    from stonkwhisperer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        wav_clip_features,
+    )
+
+    samples = [100 if i % 2 == 0 else -100 for i in range(370)]
+    payload = encode_wav(8000, 1, samples)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(payload))], MEDIA_SCHEMA
+    )
+    row = wav_clip_features(media, frame=160).collect()[0]
+    assert row.n_samples == 370
+    assert row.n_frames == 2
+    assert row.peak_frame_energy == 160 * 100 * 100
+    assert row.n_zero_cross == 2 * 159
+    # the clip-level stats still come through the same pass
+    assert row.peak == 100 and row.sum_abs == 370 * 100
