@@ -12,7 +12,6 @@ rows-only (LR training is iterative, not SQL).
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +22,7 @@ from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_f
 from stonkwhisperer_spark.operators.asof import zip_join
 from stonkwhisperer_spark.plans.queries_pipelines import _bars_raw, _news_raw, _posts_raw
 from stonkwhisperer_spark.plans.registry import register
+from stonkwhisperer_spark.session import scratch_dir
 from stonkwhisperer_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -50,7 +50,7 @@ def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < _BARS_LANDING_CAP
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_flows_")
+    scratch = scratch_dir("stonkw_flows_")
     try:
         news_landing = f"{scratch}/landing_news"
         posts_landing = f"{scratch}/landing_posts"
@@ -429,7 +429,6 @@ def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     start_merge_stream."""
     global _stream_ohlcv_runs
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.streaming.jobs import minute_bars, read_landing_stream
 
@@ -444,7 +443,7 @@ def q_streaming_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         F.col("value").alias("price"),
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_ohlcv_")
+    scratch = scratch_dir("stonkw_stream_ohlcv_")
     try:
         landing = f"{scratch}/ticks"
         ticks.coalesce(1).write.parquet(landing)
@@ -535,7 +534,6 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sparse synthetic ticks); production cadences use minutes."""
     global _stream_join_runs
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.streaming.jobs import (
         join_streams_time_bounded,
@@ -553,7 +551,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ticks = base.filter(F.col("event_id") % 2 == 0).withColumnRenamed("value", "price")
     scores = base.filter(F.col("event_id") % 2 == 1).withColumnRenamed("value", "score")
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_join_")
+    scratch = scratch_dir("stonkw_stream_join_")
     try:
         tick_path, score_path = f"{scratch}/ticks", f"{scratch}/scores"
         ticks.coalesce(1).write.parquet(tick_path)
@@ -660,7 +658,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     open sessions per key."""
     global _stream_sess_runs
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
@@ -668,7 +665,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 50).alias("sess_key"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_sess_")
+    scratch = scratch_dir("stonkw_stream_sess_")
     try:
         landing = f"{scratch}/events"
         src.coalesce(1).write.parquet(landing)
@@ -733,7 +730,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unbounded stream dedup in bounded memory."""
     global _stream_dedup_runs
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.streaming.jobs import (
         dedup_within_watermark,
@@ -744,7 +740,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 1000).alias("dedup_key"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_dedup_")
+    scratch = scratch_dir("stonkw_stream_dedup_")
     try:
         landing = f"{scratch}/events"
         src.coalesce(1).write.parquet(landing)
@@ -837,7 +833,7 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_sketch_")
+    scratch = scratch_dir("stonkw_stream_sketch_")
     try:
         landing = f"{scratch}/docs"
         for i in range(4):
@@ -963,7 +959,7 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_cms_")
+    scratch = scratch_dir("stonkw_stream_cms_")
     try:
         landing = f"{scratch}/docs"
         for i in range(4):
@@ -1104,7 +1100,7 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    scratch = tempfile.mkdtemp(prefix="stonkw_stream_qnt_")
+    scratch = scratch_dir("stonkw_stream_qnt_")
     try:
         landing = f"{scratch}/docs"
         for i in range(4):
@@ -1222,12 +1218,11 @@ def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(delta), never a table scan; commit attribution adds one scan node
     per commit in the window."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import table_changes
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_cdc_")
+    scratch = scratch_dir("stonkw_txlog_cdc_")
     try:
         target = f"{scratch}/t"
         v1 = _build_cdc_table(spark, docs, target)
@@ -1286,7 +1281,6 @@ def q_txlog_cdc_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     both O(delta) at 100 TB, the Delta MERGE + CDF contract
     (reference trigger_databricks_job.py:10 is exactly this shape)."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -1296,7 +1290,7 @@ def q_txlog_cdc_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_upd_")
+    scratch = scratch_dir("stonkw_txlog_upd_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
@@ -1353,7 +1347,6 @@ def q_txlog_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete on a zone-mapped column opens only the files whose stats
     admit the predicate."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -1364,7 +1357,7 @@ def q_txlog_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_del_")
+    scratch = scratch_dir("stonkw_txlog_del_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
@@ -1428,7 +1421,6 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta's deletion-vector trade, verified end-to-end here."""
     import os as _os
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -1441,7 +1433,7 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_dv_")
+    scratch = scratch_dir("stonkw_txlog_dv_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
@@ -1519,7 +1511,6 @@ def q_txlog_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain files."""
     import os as _os
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -1532,7 +1523,7 @@ def q_txlog_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_upd2_")
+    scratch = scratch_dir("stonkw_txlog_upd2_")
     try:
         target = f"{scratch}/t"
         for lo, hi in ((0, 20), (20, 40), (40, 60)):
@@ -1609,7 +1600,6 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted). The DuckDB twin recomputes both halves with explicit
     casts."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -1618,7 +1608,7 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_widen_")
+    scratch = scratch_dir("stonkw_txlog_widen_")
     try:
         target = f"{scratch}/t"
         merge_append(
@@ -1689,7 +1679,6 @@ def q_txlog_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail."""
     import os as _os
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -1705,7 +1694,7 @@ def q_txlog_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_ckpt_")
+    scratch = scratch_dir("stonkw_txlog_ckpt_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 30), ["doc_id"])
@@ -1781,7 +1770,6 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of O(table). The skip decision is driver-side manifest metadata,
     no task scheduled for excluded files."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -1791,7 +1779,7 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_bloom_")
+    scratch = scratch_dir("stonkw_txlog_bloom_")
     try:
         target = f"{scratch}/t"
         scattered = docs.filter(F.col("doc_id") < 200)
@@ -1855,7 +1843,6 @@ def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key the same way, so date-pruned reads are trustworthy),
     which no amount of per-job discipline guarantees at 100 TB."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         add_generated_column,
@@ -1864,7 +1851,7 @@ def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_gen_")
+    scratch = scratch_dir("stonkw_txlog_gen_")
     try:
         target = f"{scratch}/t"
         merge_append(
@@ -1935,7 +1922,6 @@ def q_txlog_rename_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-cost select-alias at plan build time, never a data pass."""
     import os as _os
     import shutil
-    import tempfile
 
     import pyarrow.parquet as _pq
 
@@ -1949,7 +1935,7 @@ def q_txlog_rename_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_ren_")
+    scratch = scratch_dir("stonkw_txlog_ren_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
@@ -2019,7 +2005,6 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate on a partition or zone-mapped column, file discovery
     opens only the region's files."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -2028,7 +2013,7 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_rw_")
+    scratch = scratch_dir("stonkw_txlog_rw_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
@@ -2096,7 +2081,6 @@ def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR stale row are rewritten, and a ``delete_condition`` scopes
     partial-snapshot syncs to their slice."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -2107,7 +2091,7 @@ def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_sync_")
+    scratch = scratch_dir("stonkw_txlog_sync_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
@@ -2176,7 +2160,6 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica — continuous table replication priced at the delta, the
     CDF consumer pattern Delta documents for 100 TB tables."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -2191,7 +2174,7 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_repl_")
+    scratch = scratch_dir("stonkw_txlog_repl_")
     try:
         source = f"{scratch}/src"
         # One parquet scan for the <=80-row working set; the commit
@@ -2286,7 +2269,6 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that makes a 100 TB merge-append table tailable."""
     global _txlog_stream_runs
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sources.txlog_stream import TxlogChangeFeedDataSource
 
@@ -2295,7 +2277,7 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_stream_")
+    scratch = scratch_dir("stonkw_txlog_stream_")
     try:
         target = f"{scratch}/t"
         v1 = _build_cdc_table(spark, docs, target)
@@ -2357,7 +2339,6 @@ def q_txlog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves; nothing here scans the table beyond the committed file
     list."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -2370,7 +2351,7 @@ def q_txlog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_")
+    scratch = scratch_dir("stonkw_txlog_")
     try:
         target = f"{scratch}/t"
         b1 = docs.filter(F.col("doc_id") < 40)
@@ -2487,7 +2468,6 @@ def q_txlog_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned relation is 240 rows collected before scratch
     cleanup."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -2499,7 +2479,7 @@ def q_txlog_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_state_")
+    scratch = scratch_dir("stonkw_txlog_state_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 40), ["doc_id"])
@@ -2578,12 +2558,11 @@ def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a selective range touches O(selected) files before any task
     is scheduled, the same mechanism as Delta/Iceberg file skipping."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import merge_append, read_committed_pruned
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_skip_")
+    scratch = scratch_dir("stonkw_txlog_skip_")
     try:
         target = f"{scratch}/t"
         for lo in range(0, 500, 100):
@@ -2643,7 +2622,6 @@ def q_txlog_skipping_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side manifest metadata."""
     import os as _os
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         committed_files,
@@ -2654,7 +2632,7 @@ def q_txlog_skipping_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     me, mu = events.agg(F.max("event_id"), F.max("user_id")).collect()[0]
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_z_")
+    scratch = scratch_dir("stonkw_txlog_z_")
     try:
         target = f"{scratch}/t"
         for i in range(5):
@@ -2726,12 +2704,11 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata — no footer round-trip per file, which at 100 TB is the
     difference between instant and a listing-wide metadata storm."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
 
     docs = load_table(spark, sf_dir, "documents")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_evo_")
+    scratch = scratch_dir("stonkw_txlog_evo_")
     try:
         target = f"{scratch}/t"
         merge_append(
@@ -2795,7 +2772,7 @@ def q_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_mev_")
+    scratch = scratch_dir("stonkw_txlog_mev_")
     try:
         target = f"{scratch}/t"
         merge_append(
@@ -2860,7 +2837,6 @@ def q_txlog_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB table moves no data. Timestamp-based travel
     (``version_as_of``) rides the same manifests."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -2872,7 +2848,7 @@ def q_txlog_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_restore_")
+    scratch = scratch_dir("stonkw_txlog_restore_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 60), ["doc_id"])
@@ -2934,7 +2910,6 @@ def q_txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the continuous-ingest shape for a 100 TB table; contrast
     ``start_merge_stream``, which pays a key anti-join per batch."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         last_txn_version,
@@ -2943,7 +2918,7 @@ def q_txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stonkwhisperer_spark.streaming.jobs import start_txn_append_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_sink_")
+    scratch = scratch_dir("stonkw_txlog_sink_")
     try:
         landing = f"{scratch}/landing"
         # Two separate single-file drops → a deterministic 2-batch split
@@ -3006,7 +2981,6 @@ def q_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCH per constraint — O(batch) at any table size; the constraint
     set itself is O(#commits) driver metadata."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -3017,7 +2991,7 @@ def q_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_cons_")
+    scratch = scratch_dir("stonkw_txlog_cons_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 30), ["doc_id"])
@@ -3082,7 +3056,6 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     + #reclaimed), no Spark job; this is what bounds storage for a
     continuously-upserting copy-on-write table at 100 TB."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         committed_files,
@@ -3093,7 +3066,7 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_vac_")
+    scratch = scratch_dir("stonkw_txlog_vac_")
     try:
         import os as _os
 
@@ -3169,7 +3142,6 @@ def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: O(#commits) driver metadata — DESCRIBE HISTORY on a 100 TB
     table opens zero data files."""
     import shutil
-    import tempfile
 
     from stonkwhisperer_spark.sinks.writers import (
         add_constraint,
@@ -3182,7 +3154,7 @@ def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_hist_")
+    scratch = scratch_dir("stonkw_txlog_hist_")
     try:
         target = f"{scratch}/t"
         # coalesce(1): one seed file, so the restore's re-added row
@@ -3258,7 +3230,7 @@ def q_txlog_clone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_clone_")
+    scratch = scratch_dir("stonkw_txlog_clone_")
     try:
         src = f"{scratch}/src"
         dst = f"{scratch}/dst"
@@ -3361,7 +3333,7 @@ def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    scratch = tempfile.mkdtemp(prefix="stonkw_txlog_inc_")
+    scratch = scratch_dir("stonkw_txlog_inc_")
     try:
         target = f"{scratch}/t"
         merge_append(spark, target, docs.filter(F.col("doc_id") < 200), ["doc_id"])
