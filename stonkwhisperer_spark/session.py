@@ -43,18 +43,21 @@ def get_spark(
         # log-tail capture window — keep stdout clean in all harness runs.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Cap generated-method size at HotSpot's DontCompileHugeMethods
-        # threshold (8000 bytecode bytes): beyond it the JVM never JITs
-        # the method, so whole-stage codegen output runs in the BYTECODE
-        # interpreter — slower than Spark's own fallback expression
-        # evaluation. The dim-unrolled integer ANN expressions and the
-        # wide text/quality projections routinely cross 8 KB; with the
-        # default limit (65535) they compile, get JIT-rejected, and pay
-        # both the janino compile AND interpreted-bytecode execution.
-        # Measured at sf0.1: ivfpq_topk 5.3->3.7 s, ivfpq_refine stable
-        # 5.3 s (was 9-19 s), first-run ivfsq8 31->8.6 s; plain TPC-H
-        # queries improve ~10% too. Stages under 8 KB are unaffected.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Lower the codegen fallback threshold from 65535 to 35000
+        # bytecode bytes. HotSpot never JIT-compiles a method over 8000
+        # bytes (DontCompileHugeMethods), so a huge generated method
+        # runs as interpreted BYTECODE — but that only hurts when the
+        # hot arithmetic sits in the big method itself instead of in
+        # JIT-friendly split callees. Measured per family at sf0.1:
+        # the deep single-expression ANN trees (dim-unrolled integer
+        # dot/sqdist — one >35 KB method codegen cannot split) are
+        # 30-45% faster falling back to interpreted EXPRESSIONS
+        # (ivfpq_topk 5.3->3.7 s steady, first-run ivfsq8 31->8.6 s),
+        # while the wide-but-splittable text/JSON stages (8-35 KB
+        # top-level, hot work in split sub-methods) LOSE ~20% if forced
+        # to fall back — 35000 keeps codegen for them and sheds it only
+        # where the JIT could never help.
+        .config("spark.sql.codegen.hugeMethodLimit", "35000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
