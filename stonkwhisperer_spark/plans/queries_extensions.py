@@ -487,3 +487,88 @@ def q_order_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# jsonl_ingest_roundtrip — the JSONL source-format leg: the landing
+# format every scraped/exported corpus actually arrives in. The query
+# WRITES the documents table out as JSON Lines (Spark's parallel text
+# writer over to_json), drops one deliberately malformed line into the
+# landing dir, reads it back under an EXPLICIT schema in PERMISSIVE
+# mode with a corrupt-record column, and proves the round trip against
+# the parquet source of truth: per-language counts and char sums must
+# match `documents` exactly, and exactly one '<corrupt>' row must
+# surface (never silently dropped, never poisoning the typed columns).
+# --------------------------------------------------------------------------
+_JSONL_BAD = b'{"doc_id": 999999, "text": "truncated...\n'
+
+
+@register(
+    "jsonl_ingest_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '<corrupt>', 1, NULL
+    """,
+)
+def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with schema-on-read: parquet → JSON Lines landing
+    files (parallel write, one line per doc, newlines escaped by
+    to_json) → read back under an explicit schema + PERMISSIVE mode.
+    A malformed line lands in the `_corrupt` column with the typed
+    columns null — surfaced as a '<corrupt>' group, so ingest
+    monitoring sees bad records instead of losing them (FAILFAST and
+    DROPMALFORMED are one option away). The oracle recomputes the
+    expected relation from the parquet source: any encode/escape/parse
+    drift breaks the hash.
+
+    Scale: both directions are map-only (to_json / from_json per row,
+    no shuffle until the final small agg); the landing dir holds one
+    part-file per task, so 1000 executors write and re-read without
+    coordination. Explicit schema is the 100 TB discipline — inference
+    would cost a full extra pass before the first real read.
+
+    Cites reference ingestion shape: stonkWhisperer lands scraped API
+    batches as JSON before normalization (SURVEY §2.1 S1-S3)."""
+    import os
+    import shutil
+
+    from stonkwhisperer_spark.session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("stonkw_jsonl_")
+    try:
+        land = f"{scratch}/landing"
+        docs.select(
+            F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias(
+                "value"
+            )
+        ).write.mode("overwrite").text(land)
+        with open(os.path.join(land, "part-bad.txt"), "wb") as fh:
+            fh.write(_JSONL_BAD)
+        schema = (
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint, _corrupt string"
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(land)
+        )
+        out = (
+            back.groupBy(
+                F.when(F.col("_corrupt").isNotNull(), F.lit("<corrupt>"))
+                .otherwise(F.col("lang"))
+                .alias("lang")
+            )
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -431,3 +431,20 @@ def test_txlog_stream_starting_timestamp_and_horizon(spark, tmp_path):
     with pytest.raises(ValueError, match="retention horizon"):
         _TxlogStreamReader(schema, {"path": target, "startingVersion": "1"})
     _TxlogStreamReader(schema, {"path": target, "startingVersion": "3"})
+
+
+def test_jsonl_roundtrip_surfaces_corrupt_line(spark):
+    # The malformed landing line must surface as exactly one
+    # '<corrupt>' group (PERMISSIVE + corrupt-record column), never be
+    # silently dropped, and never poison the typed groups.
+    from stonkwhisperer_spark.plans.registry import query_map
+
+    rows = {
+        r.lang: r
+        for r in query_map()["jsonl_ingest_roundtrip"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    bad = rows.pop("<corrupt>")
+    assert bad.n_docs == 1 and bad.sum_chars is None
+    assert all(r.sum_chars is not None for r in rows.values())
