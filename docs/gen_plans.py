@@ -59,7 +59,10 @@ NOTES = {
     "video_frame_stats": "Real frame sampling: encode -> chunk-walk container split -> every-2nd-frame decode -> per-frame means as mapInPandas stages; sample-then-decode means only kept frames pay decode, and the (media, frame) repartition before featurize is the long-video skew fix — decode parallelism is per-frame, not per-video.",
     "quantile_sketch_prices": "Mergeable quantile summary: one hash shuffle on 64 buckets with a bounded per-bucket sort builds the B*k weighted sample; the rank-scan window is unpartitioned but over the 4096-row SKETCH, never the corpus; the truth pass joins the corpus against a 3-row broadcast.",
     "url_canonical_dedup": "Canonical-URL dedup: the whole canonicalization (regex extracts, param filter/sort) is one map-only projection; the group-by shuffles ONCE on the canonical key — the same profile as the raw-key anti-join it replaces.",
-    "audio_pcm_stats":"Real audio leg: WAV encode -> RIFF chunk-walk decode -> integer PCM stats as two Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; stats are O(duration) per clip, size_bucket is the skew lever for mixed clip lengths.",
+    "audio_pcm_stats":"Real audio leg: WAV encode -> RIFF chunk-walk decode -> integer PCM stats PLUS framewise energy/zero-cross features in the same single decode pass, as two Arrow-batched mapInPandas stages over the doc_id scan — zero exchanges; features are O(duration) per clip, size_bucket is the skew lever for mixed clip lengths.",
+    "bloom_prune_lineitem": "Bloom semi-join prune: the build side explodes d=4 bits/key map-side and bit_or partial-aggregates into <=4096 packed words (ONE word-keyed shuffle bounded by m/32 rows per mapper); probing is d broadcast hash-joins + codegen bit tests adding ZERO shuffles to the fact scan — the exact-membership join is the self-check, not the production path.",
+    "jsonl_ingest_roundtrip": "JSONL landing round trip: to_json write and schema-on-read parse are both map-only (one part-file per task, no coordination); PERMISSIVE corrupt-record routing is a codegen CASE over the parse, and the only exchange is the final per-language agg.",
+    "kmv_shard_overlap": "KMV set operations: one (shard, hash)-keyed sketch pass over the corpus; union/intersection/difference estimates are joins over the <=K-row sketches assembled via four 1-row broadcast slices — the corpus is read once for the sketch and once for the exact self-check, never for the estimates.",
     "hll_vocab_cardinality":"Per-source HyperLogLog: rank registers aggregate with map-side max partials keyed on (source, bucket) — at most m=256 rows per source cross the wire per mapper; the <all> row is an element-wise max MERGE of the per-source register tables (m x sources rows), never a corpus re-read; estimator arithmetic is one integer division per group.",
     "ivfsq8_topk_embeddings": "IVF x SQ8 composed: the probe list broadcasts into the coarse assignment so the probes*avg_cell candidate set exists BEFORE any scoring expression runs; only survivors pay the 64-term dequant-dot (codegen, fixed fold order) — pruning lever + 4x memory lever at once, vs sq8_topk's linear ADC scan.",
 }

@@ -3404,3 +3404,155 @@ def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, cnt bigint, sum_chars bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_bloom — the MEMBERSHIP mirror: the packed bloom filter
+# maintained incrementally over the same 4-batch document stream.
+# Bloom merge is bitwise OR per word — exact — so the drained stream's
+# filter equals the batch filter bit-for-bit, and the oracle replays
+# the maintenance loop plus the probe's confusion matrix (the
+# false-negative cell must be absent). Completes the sketch x
+# streaming matrix: KMV, CMS, quantiles, bloom.
+# --------------------------------------------------------------------------
+_SBLM_D = 4
+_SBLM_M = 1 << 20  # 1 Mbit = 32768 packed words; ~12+ bits/key at sf0.1 vocab
+
+
+def _streaming_bloom_oracle() -> str:
+    from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
+    from stonkwhisperer_spark.plans.queries_text import _SKETCH_TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    probe AS (
+      SELECT tok AS k, true AS is_member FROM vocab
+      UNION ALL
+      SELECT 'absent:' || i.range, false FROM range(2000) i
+    ),
+    seeds AS (SELECT unnest(range({_SBLM_D})) AS seed),
+    kb AS (
+      SELECT {portable_hash64_sql("seed::varchar || '|' || tok")} % {_SBLM_M} AS bit
+      FROM vocab CROSS JOIN seeds
+    ),
+    bloom AS (
+      SELECT bit // 32 AS word,
+             bit_or(1::BIGINT << cast(bit % 32 AS int)) AS bits
+      FROM kb GROUP BY 1
+    ),
+    pb AS (
+      SELECT k, is_member,
+             {portable_hash64_sql("seed::varchar || '|' || k")} % {_SBLM_M} AS bit
+      FROM probe CROSS JOIN seeds
+    ),
+    flags AS (
+      SELECT k, is_member,
+             bool_and(
+               (coalesce(bits, 0) & (1::BIGINT << cast(bit % 32 AS int))) <> 0
+             ) AS bloom_pass
+      FROM pb LEFT JOIN bloom ON bloom.word = pb.bit // 32
+      GROUP BY k, is_member
+    )
+    SELECT is_member, bloom_pass, count(*) AS n_keys
+    FROM flags GROUP BY 1, 2
+    """
+
+
+@register("streaming_bloom", oracle=_streaming_bloom_oracle())
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-vocabulary bloom filter maintained INCREMENTALLY over
+    a document stream: each of 4 micro-batches builds its own packed
+    filter (map-side bit explode, one word-keyed partial-agg shuffle)
+    and foreachBatch folds it into the persisted state by bitwise OR
+    per word — the bloom merge is exact, so the drained stream's
+    filter is identical to a from-scratch batch filter. The probe then
+    classifies every vocabulary token (must ALL pass — a false
+    negative is impossible by construction and fatal by hash) plus
+    2000 known-absent keys (the (false, true) cell IS the measured FP
+    count), and the DuckDB twin replays bits AND confusion matrix.
+
+    This is the ingest-time membership story: each arriving shard
+    pays O(shard) bit-setting against m/32 words of state, and the
+    downstream semi-join prune (see bloom_prune_lineitem) never
+    re-reads the corpus to ask "have we seen this key?". Scale: the
+    state union touches 2·m/32 rows per batch regardless of batch
+    size; production keeps versions in the txlog format."""
+    import os
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scratch = scratch_dir("stonkw_stream_bloom_")
+    try:
+        landing = f"{scratch}/docs"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
+        toks = stream.select(
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+
+        state_dir = f"{scratch}/state"
+        state = {"v": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            bbl = bloom_build(batch_df, "tok", d=_SBLM_D, m_bits=_SBLM_M)
+            if state["v"] > 0:
+                prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
+                merged = bloom_merge(prev.unionByName(bbl))
+            else:
+                merged = bbl
+            merged.write.parquet(f"{state_dir}/v{state['v'] + 1}")
+            state["v"] += 1
+
+        with _stream_shuffle_width(spark):
+            q = (
+                toks.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_bloom did not drain within 300s")
+            finally:
+                q.stop()
+        assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        vocab = (
+            docs.select(
+                F.explode(tokens_of(clean_text_for_nlp("text"))).alias("k")
+            )
+            .filter(F.col("k") != "")
+            .distinct()
+        )
+        absent = spark.range(2000).select(
+            F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("k")
+        )
+        probe = vocab.withColumn("is_member", F.lit(True)).unionByName(
+            absent.withColumn("is_member", F.lit(False))
+        )
+        cells = (
+            bloom_probe(probe, "k", final, d=_SBLM_D, m_bits=_SBLM_M)
+            .groupBy("is_member", F.col("might_contain").alias("bloom_pass"))
+            .agg(F.count("*").alias("n_keys"))
+        )
+        rows = cells.collect()
+        # Scratch state dies on return — the <=4-row result is
+        # collected first, same pattern as the sibling stream sketches.
+        return spark.createDataFrame(rows, cells.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -72,9 +72,11 @@ def oracle_map() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
     # -- new in round 9: bloom-filter membership sketch, KMV set
-    #    operations --
+    #    operations, stream-maintained bloom, JSONL ingest --
     "bloom_prune_lineitem",
     "kmv_shard_overlap",
+    "streaming_bloom",
+    "jsonl_ingest_roundtrip",
     # -- round 8 (no CORRECTNESS_r08 was ever recorded, so the whole
     #    round-8 window stays for round 9's gate): IVF×PQ composed ANN,
     #    txlog lifecycle hash companion, incremental corpus dedup,
@@ -109,8 +111,11 @@ _GATE_ORDER: list[str] = [
     "near_dup_jaccard",
     "txlog_stream_cdc",
     "txlog_stream_upsert",
-    "pq_topk_embeddings",
-    "ivf_topk_embeddings",
+    # (pq_topk_embeddings / ivf_topk_embeddings also changed in r8 —
+    #  displaced to make room for the r9 debuts because the refactored
+    #  ivf_probe/pq chains are gated THROUGH ivfpq_topk/ivfpq_refine/
+    #  ivfsq8 above, which share those code paths; both re-enter in
+    #  round 10 with the r5-stale rotation)
     # -- backlog: the 19 whose newest green row is round 4 (the full
     #    r4-stale set — VERDICT r7 task 1; event_type_enrich_salted
     #    was listed at position 51 in r7 and never gated) --
