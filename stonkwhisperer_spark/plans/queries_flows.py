@@ -3556,3 +3556,128 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, cells.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# streaming_hll — the cardinality mirror that finishes the matrix: ALL
+# five mergeable sketch families (KMV, CMS, quantiles, bloom, HLL) now
+# have a stream-maintained twin. HLL merge is element-wise register
+# MAX — exact — so the drained stream's register table equals the
+# batch sketch bit-for-bit and the oracle replays registers AND the
+# integer estimator (same contract as hll_vocab_cardinality).
+# --------------------------------------------------------------------------
+def _streaming_hll_oracle() -> str:
+    from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
+    from stonkwhisperer_spark.operators.sketches import HLL_EST_DEN, HLL_EST_NUM
+    from stonkwhisperer_spark.plans.queries_text import _SKETCH_TOKS_SQL
+
+    return f"""
+    WITH toks AS ({_SKETCH_TOKS_SQL}),
+    h AS (
+      SELECT source, {portable_hash64_sql('tok')} AS _h FROM toks
+    ),
+    reg AS (
+      SELECT source, _h % 256 AS _bkt,
+             max(CASE WHEN _h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(_h // 256)) END) AS _reg
+      FROM h GROUP BY source, _h % 256
+    ),
+    est AS (
+      SELECT source,
+             CAST(256 - count(*) AS BIGINT) AS v_zero,
+             CAST(sum(1::BIGINT << (53 - _reg))
+                  + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_scaled
+      FROM reg GROUP BY source
+    ),
+    fin AS (
+      SELECT source, v_zero, s_scaled,
+             CAST(CAST({HLL_EST_NUM} AS HUGEINT)
+                  // (CAST({HLL_EST_DEN} AS HUGEINT) * s_scaled) AS BIGINT) AS _raw
+      FROM est
+    )
+    SELECT source, v_zero, s_scaled,
+           CASE WHEN v_zero > 0 AND _raw <= 640
+                THEN CAST(floor(256 * ln(256.0 / v_zero) + 0.5) AS BIGINT)
+                ELSE _raw END AS est_distinct
+    FROM fin
+    """
+
+
+@register("streaming_hll", oracle=_streaming_hll_oracle())
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog registers maintained INCREMENTALLY over
+    the 4-micro-batch document stream: each batch's m=256-register
+    table folds into the persisted state by element-wise MAX inside
+    foreachBatch — the HLL merge is exact, so the drained state equals
+    a from-scratch batch sketch bit-for-bit, and the integer estimator
+    (harmonic sum, alpha correction, linear-counting branch) runs over
+    it under the same cross-engine contract as hll_vocab_cardinality.
+
+    This closes the sketch x streaming matrix: all five mergeable
+    families (KMV, CMS, quantiles, bloom, HLL) maintain state at
+    O(shard) per arriving batch with bounded persisted size (here
+    256 registers per source). Scale: the state union touches
+    2·m·sources rows per batch regardless of batch size; HLL's
+    fixed-size one-max-combine state is the industry default for
+    exactly this deployment."""
+    import os
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.operators.sketches import hll_estimate, hll_sketch
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scratch = scratch_dir("stonkw_stream_hll_")
+    try:
+        landing = f"{scratch}/docs"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        schema = spark.read.parquet(landing).schema
+        stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
+        toks = stream.select(
+            "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
+        ).filter(F.col("tok") != "")
+
+        state_dir = f"{scratch}/state"
+        state = {"v": 0}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sess = batch_df.sparkSession
+            breg = hll_sketch(batch_df, "source", "tok")
+            if state["v"] > 0:
+                prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
+                merged = (
+                    prev.unionByName(breg)
+                    .groupBy("source", "_bkt")
+                    .agg(F.max("_reg").alias("_reg"))
+                )
+            else:
+                merged = breg
+            merged.write.parquet(f"{state_dir}/v{state['v'] + 1}")
+            state["v"] += 1
+
+        with _stream_shuffle_width(spark):
+            q = (
+                toks.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{scratch}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("streaming_hll did not drain within 300s")
+            finally:
+                q.stop()
+        assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        est = hll_estimate(final, "source")
+        rows = est.collect()
+        # Scratch state dies on return — the sources-row result is
+        # collected first, same pattern as the sibling stream sketches.
+        return spark.createDataFrame(rows, est.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -76,6 +76,7 @@ _GATE_ORDER: list[str] = [
     "bloom_prune_lineitem",
     "kmv_shard_overlap",
     "streaming_bloom",
+    "streaming_hll",
     "jsonl_ingest_roundtrip",
     # -- round 8 (no CORRECTNESS_r08 was ever recorded, so the whole
     #    round-8 window stays for round 9's gate): IVF×PQ composed ANN,
@@ -95,7 +96,9 @@ _GATE_ORDER: list[str] = [
     "video_frame_stats",
     "streaming_cms",
     "ivfsq8_topk_embeddings",
-    "hll_vocab_cardinality",
+    # (hll_vocab_cardinality ceded its slot to streaming_hll, which
+    #  gates the same hll_sketch/hll_estimate chain PLUS the
+    #  element-wise-max merge loop; it re-enters in round 10)
     "audio_pcm_stats",
     "url_canonical_dedup",
     "quantile_sketch_prices",
