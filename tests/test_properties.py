@@ -72,3 +72,40 @@ def test_merge_idempotence_property(spark, tmp_path):
         # re-running the same batch immediately inserts nothing
         assert merge_append(spark, path, batch, ["k"]) == 0
     assert spark.read.parquet(path).count() == len(seen)
+
+
+def test_bloom_bits_match_pure_python_replay(spark):
+    # Cross-implementation property: Spark's bloom_build must produce
+    # EXACTLY the packed words a direct Python replay of the portable
+    # hash computes, for arbitrary key sets — the same independence
+    # argument as the DuckDB oracle, from a third implementation. And
+    # every built key must probe positive (no false negatives).
+    import hashlib
+
+    from stonkwhisperer_spark.operators.sketches import bloom_build, bloom_probe
+
+    d, m = 3, 1 << 10
+    batches: list[list[str]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), min_size=0, max_size=24), min_size=1, max_size=12))
+    def gather(keys):
+        batches.append(keys)
+
+    gather()
+    keys = sorted({f"b{i}|{k}" for i, batch in enumerate(batches) for k in batch})
+
+    expect: dict[int, int] = {}
+    for k in keys:
+        for seed in range(d):
+            h = int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:15], 16)
+            bit = h % m
+            expect[bit // 32] = expect.get(bit // 32, 0) | (1 << (bit % 32))
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bloom = bloom_build(df, "k", d=d, m_bits=m)
+    got = {r.word: r.bits for r in bloom.collect()}
+    assert got == expect
+
+    flags = bloom_probe(df, "k", bloom, d=d, m_bits=m).collect()
+    assert all(r.might_contain for r in flags)
