@@ -18,10 +18,36 @@ return their record counts (flows/news_etl_flow.py:23) — the A5
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from stonkwhisperer_spark.pipelines import clean_bars, clean_news, clean_posts
+from stonkwhisperer_spark.schemas import (
+    RAW_BARS_SCHEMA,
+    RAW_NEWS_SCHEMA,
+    RAW_POSTS_SCHEMA,
+)
 from stonkwhisperer_spark.sinks.writers import merge_append
 from stonkwhisperer_spark.sources.landing import read_landing
+
+_RAW = {"news": RAW_NEWS_SCHEMA, "posts": RAW_POSTS_SCHEMA, "bars": RAW_BARS_SCHEMA}
+
+
+def _read_raw(
+    spark: SparkSession, path: str, kind: str, fmt: str, arrival_in_data: bool
+) -> DataFrame:
+    """Landing read for a flow. ``arrival_in_data=False`` (default) is
+    the surrogate-order path: `_arrival_id` is synthesized from file
+    row layout (read_landing). ``True`` declares the landing files
+    CARRY their own ``_arrival_id`` column (exported queue offsets,
+    extractor sequence numbers — the reference's fetch batches are
+    ordered lists, extraction.py:28-96), making every keep-first dedup
+    downstream value-deterministic and replayable."""
+    if not arrival_in_data:
+        return read_landing(spark, path, kind, fmt=fmt)
+    schema = T.StructType(
+        list(_RAW[kind].fields) + [T.StructField("_arrival_id", T.LongType())]
+    )
+    return read_landing(spark, path, schema, fmt=fmt, with_arrival_id=False)
 
 # Reference core/constants.py:1-28 equivalents.
 FLOW_CONFIG = {
@@ -34,11 +60,15 @@ FLOW_CONFIG = {
 
 
 def news_flow(
-    spark: SparkSession, landing_path: str, target_path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    landing_path: str,
+    target_path: str,
+    fmt: str = "parquet",
+    arrival_in_data: bool = False,
 ) -> int:
     """Landing news drops → clean_news → merge-append on url.
     One shuffle (url dedup window) + the merge anti-join."""
-    raw = read_landing(spark, landing_path, "news", fmt=fmt)
+    raw = _read_raw(spark, landing_path, "news", fmt, arrival_in_data)
     clean = clean_news(raw, order_col="_arrival_id")
     return merge_append(spark, target_path, clean, ["url"])
 
@@ -49,10 +79,11 @@ def posts_flow(
     target_path: str,
     flairs: list[str] | None = None,
     fmt: str = "parquet",
+    arrival_in_data: bool = False,
 ) -> int:
     """Landing reddit drops → clean_posts (optional F1 flair filter) →
     merge-append on reddit_id."""
-    raw = read_landing(spark, landing_path, "posts", fmt=fmt)
+    raw = _read_raw(spark, landing_path, "posts", fmt, arrival_in_data)
     clean = clean_posts(raw, order_col="_arrival_id", flairs=flairs)
     return merge_append(spark, target_path, clean, ["reddit_id"])
 
@@ -63,12 +94,13 @@ def bars_flow(
     target_path: str,
     companies: DataFrame,
     fmt: str = "parquet",
+    arrival_in_data: bool = False,
 ) -> int:
     """Landing bar drops → clean_bars (coerce + gap-fill) → FK resolve
     + merge-append on (company_id, bar_ts), bar_date-partitioned."""
     from stonkwhisperer_spark.sinks.writers import upsert_bars
 
-    raw = read_landing(spark, landing_path, "bars", fmt=fmt)
+    raw = _read_raw(spark, landing_path, "bars", fmt, arrival_in_data)
     clean = clean_bars(raw, tiebreak_col="_arrival_id")
     return upsert_bars(spark, target_path, clean, companies)
 

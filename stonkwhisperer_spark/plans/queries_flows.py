@@ -111,6 +111,211 @@ def q_flows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# flows_e2e_state — the HASH companion to flows_e2e (VERDICT r9 task 3,
+# mirroring the txlog_e2e_state pattern): run the three flows into
+# scratch txlog targets with a value-deterministic arrival order, read
+# back the COMMITTED end-state tables, and return one stage-tagged
+# relation (state rows + per-flow audit counts) whose DuckDB twin
+# replays clean → dedup → merge relationally.
+# --------------------------------------------------------------------------
+_FLOWS_STATE_EVENT_CAP = 5000  # bounds the bars leg (and the final collect)
+
+
+def _flows_state_oracle() -> str:
+    from stonkwhisperer_spark.plans.queries_pipelines import (
+        bars_clean_oracle,
+        news_clean_oracle,
+        posts_clean_oracle,
+    )
+
+    # First-run merge-append into an EMPTY target inserts exactly the
+    # clean relation (each flow's batch is unique on its merge key by
+    # construction — see q_flows_e2e_state docstring), and the rerun
+    # inserts 0 — so the committed end state IS the clean relation and
+    # the audit counts are its cardinality and a hard zero.
+    return f"""
+    WITH news AS ({news_clean_oracle()}),
+    posts AS ({posts_clean_oracle(flairs=["DD", "News"])}),
+    ev AS (
+      SELECT event_id, ts, user_id FROM (
+        SELECT event_id, ts, user_id,
+               row_number() OVER (PARTITION BY user_id % 15, ts
+                                  ORDER BY event_id) AS _rn
+        FROM events WHERE event_id < {_FLOWS_STATE_EVENT_CAP}
+      ) WHERE _rn = 1
+    ),
+    bars AS ({bars_clean_oracle(src="ev")}),
+    state AS (
+      SELECT 'news' AS flow, 'state' AS stage, url AS k,
+             author AS attr, title_cleaned AS title, content_cleaned AS body,
+             published_at AS ts,
+             CAST(NULL AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+             CAST(NULL AS DOUBLE) AS m3
+      FROM news
+      UNION ALL
+      SELECT 'posts', 'state', reddit_id, author, subreddit_category,
+             body_text, published_at,
+             CAST(score AS DOUBLE), upvote_ratio, CAST(NULL AS DOUBLE)
+      FROM posts
+      UNION ALL
+      SELECT 'bars', 'state', 'c' || substr(ticker, 2), ticker,
+             CAST(CAST(bar_ts AS DATE) AS VARCHAR), CAST(NULL AS VARCHAR),
+             bar_ts, open, close, CAST(volume AS DOUBLE)
+      FROM bars
+    ),
+    audit AS (
+      SELECT flow, 'audit' AS stage, 'inserted' AS k,
+             CAST(NULL AS VARCHAR) AS attr, CAST(NULL AS VARCHAR) AS title,
+             CAST(NULL AS VARCHAR) AS body, CAST(NULL AS TIMESTAMP) AS ts,
+             CAST(n AS DOUBLE) AS m1, CAST(0 AS DOUBLE) AS m2,
+             CAST(NULL AS DOUBLE) AS m3
+      FROM (
+        SELECT 'news' AS flow, (SELECT count(*) FROM news) AS n
+        UNION ALL
+        SELECT 'posts', (SELECT count(*) FROM posts)
+        UNION ALL
+        SELECT 'bars', (SELECT count(*) FROM bars)
+      )
+    )
+    SELECT * FROM state UNION ALL SELECT * FROM audit
+    """
+
+
+_FLOWS_STATE_SCHEMA = (
+    "flow string, stage string, k string, attr string, title string,"
+    " body string, ts timestamp_ntz, m1 double, m2 double, m3 double"
+)
+
+
+@register("flows_e2e_state", oracle=_flows_state_oracle())
+def q_flows_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flows_e2e's pipeline with its end state under the VALUE HASH
+    (flows_e2e itself is rows-only by design — its relation is the
+    audit log of a side-effecting job): run all three reference flows
+    (news/posts/bars: landing read → clean → idempotent merge into a
+    txlog target, reference flows/news_etl_flow.py:16-23) twice each
+    against scratch targets, then read back the COMMITTED tables and
+    return one stage-tagged relation — representative typed columns of
+    every committed row, plus per-flow audit rows carrying the first
+    insert count and the rerun count (hash-pinned to 0, the
+    loading.py:150-161 idempotence invariant).
+
+    Value determinism, the reason flows_e2e could never carry a hash:
+    here the landing files CARRY their arrival order
+    (``arrival_in_data=True`` — _arrival_id = doc_id / event_id), so
+    every keep-first dedup picks the same survivor on every engine,
+    and the bars landing is pre-deduplicated to one event per
+    (symbol, ts) (keep min event_id) so merge_append's key-dedup is a
+    no-op rather than an arbitrary pick. The DuckDB twin replays
+    clean → dedup → merge relationally from the same seed tables: a
+    flow that merged a wrong duplicate, dropped a flair-filtered row
+    on the wrong side of dedup, or inserted on a rerun hash-fails.
+
+    Scale: each flow is the same one-shuffle lazy plan as flows_e2e;
+    the end-state read-back is O(committed rows), collected before
+    scratch cleanup and bounded by the event cap (~5.5k rows)."""
+    from stonkwhisperer_spark.sinks.writers import read_committed
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < _FLOWS_STATE_EVENT_CAP
+    )
+    wdd = Window.partitionBy(F.col("user_id") % 15, "ts").orderBy("event_id")
+    ev = (
+        events.withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    scratch = scratch_dir("stonkw_flows_state_")
+    try:
+        news_landing = f"{scratch}/landing_news"
+        posts_landing = f"{scratch}/landing_posts"
+        bars_landing = f"{scratch}/landing_bars"
+        companies = spark.createDataFrame(
+            [(f"c{i}", f"S{i}") for i in range(15)], "id string, ticker string"
+        )
+        _news_raw(docs).coalesce(1).write.parquet(news_landing)
+        _posts_raw(docs).coalesce(1).write.parquet(posts_landing)
+        (
+            _bars_raw(ev)
+            .withColumn(
+                "timestamp",
+                F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            )
+            .withColumnRenamed("event_id", "_arrival_id")
+            .coalesce(1)
+            .write.parquet(bars_landing)
+        )
+
+        flows = [
+            ("news", lambda t: news_flow(spark, news_landing, t, arrival_in_data=True)),
+            (
+                "posts",
+                lambda t: posts_flow(
+                    spark, posts_landing, t, flairs=["DD", "News"], arrival_in_data=True
+                ),
+            ),
+            (
+                "bars",
+                lambda t: bars_flow(
+                    spark, bars_landing, t, companies, arrival_in_data=True
+                ),
+            ),
+        ]
+        audit_rows = []
+        targets = {}
+        with _stream_shuffle_width(spark, 8):
+            for flow, run in flows:
+                target = f"{scratch}/target_{flow}"
+                first, rerun = run(target), run(target)
+                targets[flow] = target
+                audit_rows.append(
+                    (flow, "audit", "inserted", None, None, None, None,
+                     float(first), float(rerun), None)
+                )
+
+        dnull = F.lit(None).cast("double")
+        ntz = lambda c: F.col(c).cast("timestamp_ntz")  # noqa: E731
+        news_t = read_committed(spark, targets["news"]).select(
+            F.lit("news").alias("flow"), F.lit("state").alias("stage"),
+            F.col("url").alias("k"), F.col("author").alias("attr"),
+            F.col("title_cleaned").alias("title"),
+            F.col("content_cleaned").alias("body"),
+            ntz("published_at").alias("ts"),
+            dnull.alias("m1"), dnull.alias("m2"), dnull.alias("m3"),
+        )
+        posts_t = read_committed(spark, targets["posts"]).select(
+            F.lit("posts").alias("flow"), F.lit("state").alias("stage"),
+            F.col("reddit_id").alias("k"), F.col("author").alias("attr"),
+            F.col("subreddit_category").alias("title"),
+            F.col("body_text").alias("body"),
+            ntz("published_at").alias("ts"),
+            F.col("score").cast("double").alias("m1"),
+            F.col("upvote_ratio").cast("double").alias("m2"),
+            dnull.alias("m3"),
+        )
+        bars_t = read_committed(spark, targets["bars"]).select(
+            F.lit("bars").alias("flow"), F.lit("state").alias("stage"),
+            F.col("company_id").alias("k"), F.col("ticker").alias("attr"),
+            F.col("bar_date").cast("string").alias("title"),
+            F.lit(None).cast("string").alias("body"),
+            ntz("bar_ts").alias("ts"),
+            F.col("open").cast("double").alias("m1"),
+            F.col("close").cast("double").alias("m2"),
+            F.col("volume").cast("double").alias("m3"),
+        )
+        audit = spark.createDataFrame(audit_rows, _FLOWS_STATE_SCHEMA)
+        # Materialize before the scratch targets vanish (bounded: ~5.5k
+        # rows under the event cap).
+        rows = news_t.unionByName(posts_t).unionByName(bars_t).unionByName(
+            audit
+        ).collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, _FLOWS_STATE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # api_ingest_e2e — the Spark-4 Python Data Source (sources/datasource.py)
 # feeding clean_news, oracle-checked end to end: the synthetic page
 # records are deterministic formulas DuckDB re-derives from range().

@@ -73,9 +73,11 @@ def _news_raw(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "news_clean",
-    oracle=f"""
+def news_clean_oracle() -> str:
+    """DuckDB twin of the full news transform (raw derivation → C2
+    fixes → keep-first url dedup → clean/id/parse). Reused by
+    flows_e2e_state to replay the news flow's committed end state."""
+    return f"""
     WITH raw AS ({_NEWS_RAW_SQL}),
     fixed AS (
       SELECT doc_id, url, source_name,
@@ -97,8 +99,10 @@ def _news_raw(docs: DataFrame) -> DataFrame:
            cast(publishedAt AS timestamp)                   AS published_at,
            source_name, url
     FROM dedup WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("news_clean", oracle=news_clean_oracle())
 def q_news_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end news transform flow (F4/F6/F7, C1/C2/C5, A1, C11) over
     a raw frame derived from documents. Scale: map-only except the url
@@ -188,14 +192,22 @@ def _posts_raw(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "posts_clean",
-    oracle=f"""
+def posts_clean_oracle(flairs: list[str] | None = None) -> str:
+    """DuckDB twin of the full posts transform. ``flairs`` prepends the
+    F1 source predicate exactly where the pipeline applies it — BEFORE
+    the keep-first dedup (clean_posts filters raw first, so flair
+    filtering changes which duplicate survives). Reused by
+    flows_e2e_state."""
+    dedup_src = "raw"
+    if flairs is not None:
+        quoted = ", ".join("'" + f + "'" for f in flairs)
+        dedup_src = f"(SELECT * FROM raw WHERE link_flair_text IN ({quoted}))"
+    return f"""
     WITH raw AS (SELECT doc_id, {_POSTS_RAW_CASES} FROM documents),
     dedup AS (
       SELECT *, row_number() OVER (
                PARTITION BY reddit_id, permalink ORDER BY doc_id) AS rn
-      FROM raw
+      FROM {dedup_src}
     ),
     kept AS (
       SELECT * FROM dedup
@@ -219,8 +231,10 @@ def _posts_raw(docs: DataFrame) -> DataFrame:
            permalink                                          AS reddit_post_url,
            article_categories_joined                          AS article_categories
     FROM kept
-    """,
-)
+    """
+
+
+@register("posts_clean", oracle=posts_clean_oracle())
 def q_posts_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reddit-posts transform flow (F5/F8/F9, C3/C4/C6/C10,
     A2, C11) over a raw frame derived from documents. Scale: one dedup
@@ -275,9 +289,13 @@ def _bars_raw(events: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "bars_clean",
-    oracle=f"""
+def bars_clean_oracle(src: str = "events") -> str:
+    """DuckDB twin of the full bars transform (raw derivation → C9
+    coercion → W1-W4 gap-fill → all-null drop), parameterized on the
+    events-shaped source relation so flows_e2e_state can replay it over
+    a capped/deduplicated subset. Emits doubles (the registered
+    projection's final cast)."""
+    return f"""
     WITH raw AS (
       SELECT event_id,
              'S' || (user_id % 15)                       AS symbol,
@@ -291,7 +309,7 @@ def _bars_raw(events: DataFrame) -> DataFrame:
                   ELSE cast(event_id % 5000 AS varchar) END AS volume,
              CASE WHEN event_id % 19 = 0 THEN NULL
                   ELSE cast(event_id % 500 AS varchar) END  AS trade_count
-      FROM events
+      FROM {src}
     ),
     coerced AS (
       SELECT symbol, bar_ts, event_id,
@@ -334,8 +352,10 @@ def _bars_raw(events: DataFrame) -> DataFrame:
     FROM filled
     WHERE open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
       AND close IS NOT NULL AND vwap IS NOT NULL
-    """,
-)
+    """
+
+
+@register("bars_clean", oracle=bars_clean_oracle())
 def q_bars_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end bars transform flow (C9 try_cast, W1-W4 gap-fill, F10,
     F5) over a raw frame derived from events. Scale: one shuffle on
