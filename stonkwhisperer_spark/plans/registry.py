@@ -71,79 +71,74 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 9: bloom-filter membership sketch, KMV set
-    #    operations, stream-maintained bloom, JSONL ingest --
-    "bloom_prune_lineitem",
-    "kmv_shard_overlap",
-    "streaming_bloom",
-    "streaming_hll",
-    "jsonl_ingest_roundtrip",
-    # -- round 8 (no CORRECTNESS_r08 was ever recorded, so the whole
-    #    round-8 window stays for round 9's gate): IVF×PQ composed ANN,
-    #    txlog lifecycle hash companion, incremental corpus dedup,
-    #    mergeable sketches --
-    "ivfpq_topk_embeddings",
-    "ivfpq_refine_embeddings",
-    "txlog_e2e_state",
-    "incremental_dedup",
-    "kmv_vocab_cardinality",
-    "cms_token_topk",
-    "streaming_sketch",
-    "event_type_enrich_sketch_salted",
-    "media_resize_stats",
-    "priority_sample",
-    "zip_docs_embeddings_dist",
-    "video_frame_stats",
-    "streaming_cms",
-    "ivfsq8_topk_embeddings",
-    # (hll_vocab_cardinality ceded its slot to streaming_hll, which
-    #  gates the same hll_sketch/hll_estimate chain PLUS the
-    #  element-wise-max merge loop; it re-enters in round 10)
-    "audio_pcm_stats",
-    "url_canonical_dedup",
-    "quantile_sketch_prices",
-    "streaming_quantiles",
-    # -- changed in round 8 (batched BPE passes, grouped single-pass
-    #    jaccard + lazy-checkpoint CC, availableNow-wrapper streaming
-    #    drains, ivf_probe factoring + pq qsub reuse): re-confirm --
-    "bpe_merges",
-    "bpe_encode",
+    # -- new in round 10: the three-flow pipeline's hash companion --
+    "flows_e2e_state",
+    # -- never gated: displaced from the r9 window (its chain was
+    #    gated through streaming_hll, but the query deserves its own
+    #    recorded row — VERDICT r9 task 1) --
+    "hll_vocab_cardinality",
+    # -- changed in round 10 (shared stream fixture + 3-batch drains
+    #    for the five stream-maintained sketches; CC pre-convergence
+    #    trim in curation_e2e; shared CDC seed for the stream source;
+    #    jaccard-prefix probe follow-up): re-confirm --
     "curation_e2e",
-    "dedup_canonical",
-    "dup_clusters",
-    "near_dup_jaccard",
+    "streaming_sketch",
+    "streaming_cms",
+    "streaming_hll",
+    "streaming_quantiles",
+    "streaming_bloom",
     "txlog_stream_cdc",
-    "txlog_stream_upsert",
-    # (pq_topk_embeddings / ivf_topk_embeddings also changed in r8 —
-    #  displaced to make room for the r9 debuts because the refactored
-    #  ivf_probe/pq chains are gated THROUGH ivfpq_topk/ivfpq_refine/
-    #  ivfsq8 above, which share those code paths; both re-enter in
-    #  round 10 with the r5-stale rotation)
-    # -- backlog: the 19 whose newest green row is round 4 (the full
-    #    r4-stale set — VERDICT r7 task 1; event_type_enrich_salted
-    #    was listed at position 51 in r7 and never gated) --
-    "event_type_enrich_salted",
-    "forecast_revenue",
-    "idle_rich_customers",
-    "large_orders",
-    "media_headers",
-    "media_pixel_stats",
-    "nation_trade_volume",
-    "part_value_share",
-    "priority_order_counts",
-    "promo_revenue_share",
-    "revenue_cube",
-    "shipping_priority",
-    "small_order_part_revenue",
-    "sole_return_suppliers",
-    "source_capped_sample",
-    "sql_top_brands_by_region",
-    "steel_part_suppliers",
-    "top_customer_per_nation",
-    "top_supplier_revenue",
-    # (the 40 r5-stale queries lead round 10's window; the two that
-    #  briefly held these slots in the unrecorded r8 window —
-    #  api_ingest_e2e, asof_next_sentiment — go first then)
+    "near_dup_jaccard_prefix",
+    # -- the full r5-stale cohort (VERDICT r9 task 1: newest green row
+    #    round 5 for all 39; api_ingest_e2e / asof_next_sentiment /
+    #    ivf_topk_embeddings are also the displaced r8-window
+    #    re-entries) plus pq_topk_embeddings (changed r8, gated only
+    #    through the ivfpq/ivfsq8 composites since) --
+    "api_ingest_e2e",
+    "asof_next_sentiment",
+    "pq_topk_embeddings",
+    "ivf_topk_embeddings",
+    "asof_sentiment_bars",
+    "bars_clean",
+    "bars_enrich",
+    "clean_documents",
+    "click_buy_reconcile",
+    "clickers_minus_buyers",
+    "dedup_keep_first",
+    "dedup_low_card",
+    "distinct_event_types",
+    "doc_fingerprints",
+    "doc_repetition",
+    "doc_shingles",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "event_type_stats_salted",
+    "event_weighted_stats_udaf",
+    "events_in_promo_windows",
+    "events_in_promo_windows_grid",
+    "events_props_parsed",
+    "events_schema_evolution_union",
+    "fuzzy_near_dups",
+    "knn_embeddings",
+    "minhash_band_candidates",
+    "nation_market_share",
+    "new_urls_anti",
+    "news_clean",
+    "pack_documents",
+    "part_supplier_counts",
+    "posts_clean",
+    "posts_link_articles",
+    "product_profit_by_nation",
+    "profile_documents",
+    "returned_item_customers",
+    "shipping_delay_priority",
+    "temperature_mixture",
+    "user_event_runs",
+    # (after this rotation every oracle-bearing query's newest green
+    #  row is r6+; the r6-stale cohort — txlog family, tpch cubes,
+    #  ohlcv, span_dedup, sq8, dsir — leads round 11's window, led by
+    #  txlog_cdc_replay whose seed build is shared with
+    #  txlog_stream_cdc from round 10 on)
 ]
 
 
