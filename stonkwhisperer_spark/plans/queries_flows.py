@@ -1010,8 +1010,9 @@ def _streaming_sketch_oracle() -> str:
 @register("streaming_sketch", oracle=_streaming_sketch_oracle())
 def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-cardinality KMV sketches maintained
-    INCREMENTALLY over a document stream: documents arrive in 4
-    micro-batches (file source, maxFilesPerTrigger=1), each batch's
+    INCREMENTALLY over the corpus token stream: token shards arrive in
+    N_BATCHES micro-batches (shared fixture landing, file source,
+    maxFilesPerTrigger=1 — see plans/stream_fixtures.py), each batch's
     K-minimum set merges into the persisted sketch state inside
     ``foreachBatch`` (read previous state → union → re-take K minima →
     write next version), and the final state is estimated with the
@@ -1021,35 +1022,25 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes, hash-checking the entire incremental maintenance loop.
 
     This is the ingest-time shape of the sketch layer's promise: each
-    arriving shard pays one small tokenize+groupBy, the persisted
-    state is K integers per source, and NO consumer ever re-reads the
-    corpus. Scale: per-batch work is O(batch) with a (source, hash)
-    shuffle inside the batch; the state union touches K·sources rows;
-    state versions are tiny files (a production deployment would keep
-    them in the txlog table format for time travel over sketch
-    history)."""
+    arriving shard pays one small groupBy, the persisted state is K
+    integers per source, and NO consumer ever re-reads the corpus.
+    Scale: per-batch work is O(batch) with a (source, hash) shuffle
+    inside the batch; the state union touches K·sources rows; state
+    versions are tiny files (a production deployment would keep them
+    in the txlog table format for time travel over sketch history)."""
     import os
 
-    from stonkwhisperer_spark.functions.hashing import tokens_of
     from stonkwhisperer_spark.operators.sketches import kmv_estimate, kmv_sketch
     from stonkwhisperer_spark.plans.queries_text import _KMV_K
+    from stonkwhisperer_spark.plans.stream_fixtures import token_landing
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
     scratch = scratch_dir("stonkw_stream_sketch_")
     try:
-        landing = f"{scratch}/docs"
-        for i in range(4):
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(landing)
+        landing = token_landing(spark, sf_dir)
         schema = spark.read.parquet(landing).schema
         stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
-        toks = stream.select(
-            "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
-        ).filter(F.col("tok") != "")
+        toks = stream.select("source", "tok")
 
         state_dir = f"{scratch}/state"
         state = {"v": 0}
@@ -1137,13 +1128,14 @@ def _streaming_cms_oracle() -> str:
 @register("streaming_cms", oracle=_streaming_cms_oracle())
 def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The d×w Count-Min frequency table maintained INCREMENTALLY over
-    a document stream: each of 4 micro-batches builds its own CMS
-    (map-side partial counts, one d·w-bounded shuffle) and foreachBatch
-    folds it into the persisted state by per-(seed, bucket) counter
-    ADDITION — the CMS merge is exact, so the drained stream's sketch
-    is identical to a from-scratch batch sketch, and the DuckDB twin
-    hash-checks the entire maintenance loop through the same top-20
-    point-estimate surface as cms_token_topk.
+    the corpus token stream (N_BATCHES shards, shared fixture landing):
+    each micro-batch builds its own CMS (map-side partial counts, one
+    d·w-bounded shuffle) and foreachBatch folds it into the persisted
+    state by per-(seed, bucket) counter ADDITION — the CMS merge is
+    exact, so the drained stream's sketch is identical to a
+    from-scratch batch sketch, and the DuckDB twin hash-checks the
+    entire maintenance loop through the same top-20 point-estimate
+    surface as cms_token_topk.
 
     With streaming_sketch (KMV) this completes the ingest-time story:
     cardinality AND frequency state maintained per arriving shard at
@@ -1153,29 +1145,20 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     production deployment keeps versions in the txlog format."""
     import os
 
-    from stonkwhisperer_spark.functions.hashing import tokens_of
     from stonkwhisperer_spark.operators.sketches import (
         cms_point_estimates,
         cms_table,
     )
     from stonkwhisperer_spark.plans.queries_text import _CMS_D, _CMS_W
+    from stonkwhisperer_spark.plans.stream_fixtures import token_landing
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
     scratch = scratch_dir("stonkw_stream_cms_")
     try:
-        landing = f"{scratch}/docs"
-        for i in range(4):
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(landing)
+        landing = token_landing(spark, sf_dir)
         schema = spark.read.parquet(landing).schema
         stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
-        toks = stream.select(
-            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
-        ).filter(F.col("tok") != "")
+        toks = stream.select("tok")
 
         state_dir = f"{scratch}/state"
         state = {"v": 0}
@@ -1210,11 +1193,11 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
         final = spark.read.parquet(f"{state_dir}/v{state['v']}")
         # Probe the stream-maintained state exactly as the batch path
-        # probes its sketch: true counts from the full corpus, est_cnt
-        # from the persisted counters.
-        corpus_toks = docs.select(
-            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
-        ).filter(F.col("tok") != "")
+        # probes its sketch: true counts from the full corpus (read
+        # back from the shared token landing — same rows the stream
+        # drained, no second tokenize pass), est_cnt from the persisted
+        # counters.
+        corpus_toks = spark.read.parquet(landing).select("tok")
         tc = corpus_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
         est = cms_point_estimates(tc, "tok", final, d=_CMS_D, width=_CMS_W)
         rows = (
@@ -1244,9 +1227,11 @@ _SQNT_K = 32
 
 
 def _streaming_quantiles_oracle() -> str:
+    from stonkwhisperer_spark.plans.stream_fixtures import N_BATCHES
+
     return f"""
     WITH v AS (
-      SELECT doc_id % 4 AS batch, doc_id % {_SQNT_B} AS bucket,
+      SELECT doc_id % {N_BATCHES} AS batch, doc_id % {_SQNT_B} AS bucket,
              CAST(n_chars AS BIGINT) AS val
       FROM documents
     ),
@@ -1280,17 +1265,18 @@ def _streaming_quantiles_oracle() -> str:
 @register("streaming_quantiles", oracle=_streaming_quantiles_oracle())
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable quantile summary maintained INCREMENTALLY over a
-    document stream: each of 4 micro-batches builds its own B*k leaf
-    summary of doc length (one bucket-keyed shuffle per batch) and
-    foreachBatch UNIONS it into the persisted state — that union IS
-    the sketch's merge operation (weights carry; per-leaf rank errors
-    sum to N/2k over the whole corpus), so the drained stream's
-    estimates carry the same bound as a from-scratch batch summary.
-    p50/p90/p99 of the final state are hash-checked against a DuckDB
-    twin that replays the per-batch sampling exactly; true_rank sits
-    alongside as the in-result accuracy check. (The estimate is
-    order-invariant within equal values, so the estimator never needs
-    to know which batch a leaf row came from.)
+    document stream (N_BATCHES shards, shared fixture landing): each
+    micro-batch builds its own B*k leaf summary of doc length (one
+    bucket-keyed shuffle per batch) and foreachBatch UNIONS it into
+    the persisted state — that union IS the sketch's merge operation
+    (weights carry; per-leaf rank errors sum to N/2k over the whole
+    corpus), so the drained stream's estimates carry the same bound
+    as a from-scratch batch summary. p50/p90/p99 of the final state
+    are hash-checked against a DuckDB twin that replays the per-batch
+    sampling exactly; true_rank sits alongside as the in-result
+    accuracy check. (The estimate is order-invariant within equal
+    values, so the estimator never needs to know which batch a leaf
+    row came from.)
 
     Scale: O(batch) per arriving shard, state grows B*k rows per batch
     — a long-running deployment periodically re-compresses the state
@@ -1302,16 +1288,13 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_estimates,
         quantile_summary,
     )
+    from stonkwhisperer_spark.plans.stream_fixtures import docs_landing
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     scratch = scratch_dir("stonkw_stream_qnt_")
     try:
-        landing = f"{scratch}/docs"
-        for i in range(4):
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(landing)
+        landing = docs_landing(spark, sf_dir)
         schema = spark.read.parquet(landing).schema
         stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
         vals = stream.select(
@@ -1407,6 +1390,28 @@ def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
     return v1
 
 
+_CDC_SEED: dict[str, tuple[str, int]] = {}
+
+
+def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Per-process cached _build_cdc_table result. Both CDC consumers
+    (batch ``table_changes`` replay and the streaming source) only
+    READ the seed table, so one build per (process, sf_dir) serves
+    both — the same shared-ingest-fixture discipline as
+    plans/stream_fixtures.py, whose atexit cleanup this reuses.
+    Returns (target_path, v1 subscription point)."""
+    if sf_dir not in _CDC_SEED:
+        from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        root = scratch_dir("stonkw_fixture_cdc_")
+        _ROOTS.append(root)
+        target = f"{root}/t"
+        v1 = _build_cdc_table(spark, docs, target)
+        _CDC_SEED[sf_dir] = (target, v1)
+    return _CDC_SEED[sf_dir]
+
+
 @register("txlog_cdc_replay", oracle=_TXLOG_CDC_ORACLE)
 def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC replay under the value hash: build a txlog table with four
@@ -1422,23 +1427,16 @@ def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the CDC read opens only the files the polled commits added —
     O(delta), never a table scan; commit attribution adds one scan node
     per commit in the window."""
-    import shutil
-
     from stonkwhisperer_spark.sinks.writers import table_changes
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    scratch = scratch_dir("stonkw_txlog_cdc_")
-    try:
-        target = f"{scratch}/t"
-        v1 = _build_cdc_table(spark, docs, target)
-        cdc = table_changes(spark, target, from_version=v1, with_version=True)
-        if cdc is None:
-            raise AssertionError("CDC feed empty after two post-v1 merges")
-        # Materialize before the scratch dir is deleted: the returned
-        # plan must not lazily re-read vanished files.
-        rows = cdc.select("doc_id", "source", "_commit_version").collect()
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+    target, v1 = _cdc_seed_table(spark, sf_dir)
+    cdc = table_changes(spark, target, from_version=v1, with_version=True)
+    if cdc is None:
+        raise AssertionError("CDC feed empty after two post-v1 merges")
+    # Materialize: the shared seed is process-lived, but the returned
+    # plan must not depend on fixture files (same pattern as the
+    # scratch-table queries).
+    rows = cdc.select("doc_id", "source", "_commit_version").collect()
     return spark.createDataFrame(
         rows, "doc_id bigint, source string, _commit_version bigint"
     )
@@ -2481,11 +2479,9 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(TxlogChangeFeedDataSource)
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     scratch = scratch_dir("stonkw_txlog_stream_")
     try:
-        target = f"{scratch}/t"
-        v1 = _build_cdc_table(spark, docs, target)
+        target, v1 = _cdc_seed_table(spark, sf_dir)
         _txlog_stream_runs += 1
         name = f"txlog_stream_{_txlog_stream_runs}"
         feed = (
@@ -3667,15 +3663,16 @@ def _streaming_bloom_oracle() -> str:
 @register("streaming_bloom", oracle=_streaming_bloom_oracle())
 def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-vocabulary bloom filter maintained INCREMENTALLY over
-    a document stream: each of 4 micro-batches builds its own packed
-    filter (map-side bit explode, one word-keyed partial-agg shuffle)
-    and foreachBatch folds it into the persisted state by bitwise OR
-    per word — the bloom merge is exact, so the drained stream's
-    filter is identical to a from-scratch batch filter. The probe then
-    classifies every vocabulary token (must ALL pass — a false
-    negative is impossible by construction and fatal by hash) plus
-    2000 known-absent keys (the (false, true) cell IS the measured FP
-    count), and the DuckDB twin replays bits AND confusion matrix.
+    the corpus token stream (N_BATCHES shards, shared fixture landing):
+    each micro-batch builds its own packed filter (map-side bit
+    explode, one word-keyed partial-agg shuffle) and foreachBatch
+    folds it into the persisted state by bitwise OR per word — the
+    bloom merge is exact, so the drained stream's filter is identical
+    to a from-scratch batch filter. The probe then classifies every
+    vocabulary token (must ALL pass — a false negative is impossible
+    by construction and fatal by hash) plus 2000 known-absent keys
+    (the (false, true) cell IS the measured FP count), and the DuckDB
+    twin replays bits AND confusion matrix.
 
     This is the ingest-time membership story: each arriving shard
     pays O(shard) bit-setting against m/32 words of state, and the
@@ -3685,29 +3682,20 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; production keeps versions in the txlog format."""
     import os
 
-    from stonkwhisperer_spark.functions.hashing import tokens_of
     from stonkwhisperer_spark.operators.sketches import (
         bloom_build,
         bloom_merge,
         bloom_probe,
     )
+    from stonkwhisperer_spark.plans.stream_fixtures import token_landing
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
     scratch = scratch_dir("stonkw_stream_bloom_")
     try:
-        landing = f"{scratch}/docs"
-        for i in range(4):
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(landing)
+        landing = token_landing(spark, sf_dir)
         schema = spark.read.parquet(landing).schema
         stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
-        toks = stream.select(
-            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
-        ).filter(F.col("tok") != "")
+        toks = stream.select("tok")
 
         state_dir = f"{scratch}/state"
         state = {"v": 0}
@@ -3737,13 +3725,9 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
         assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
         final = spark.read.parquet(f"{state_dir}/v{state['v']}")
-        vocab = (
-            docs.select(
-                F.explode(tokens_of(clean_text_for_nlp("text"))).alias("k")
-            )
-            .filter(F.col("k") != "")
-            .distinct()
-        )
+        # Vocabulary probe from the shared token landing — the same
+        # rows the stream drained, no second tokenize pass.
+        vocab = spark.read.parquet(landing).select(F.col("tok").alias("k")).distinct()
         absent = spark.range(2000).select(
             F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("k")
         )
@@ -3811,12 +3795,13 @@ def _streaming_hll_oracle() -> str:
 @register("streaming_hll", oracle=_streaming_hll_oracle())
 def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source HyperLogLog registers maintained INCREMENTALLY over
-    the 4-micro-batch document stream: each batch's m=256-register
-    table folds into the persisted state by element-wise MAX inside
-    foreachBatch — the HLL merge is exact, so the drained state equals
-    a from-scratch batch sketch bit-for-bit, and the integer estimator
-    (harmonic sum, alpha correction, linear-counting branch) runs over
-    it under the same cross-engine contract as hll_vocab_cardinality.
+    the corpus token stream (N_BATCHES shards, shared fixture
+    landing): each batch's m=256-register table folds into the
+    persisted state by element-wise MAX inside foreachBatch — the HLL
+    merge is exact, so the drained state equals a from-scratch batch
+    sketch bit-for-bit, and the integer estimator (harmonic sum,
+    alpha correction, linear-counting branch) runs over it under the
+    same cross-engine contract as hll_vocab_cardinality.
 
     This closes the sketch x streaming matrix: all five mergeable
     families (KMV, CMS, quantiles, bloom, HLL) maintain state at
@@ -3827,25 +3812,16 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly this deployment."""
     import os
 
-    from stonkwhisperer_spark.functions.hashing import tokens_of
     from stonkwhisperer_spark.operators.sketches import hll_estimate, hll_sketch
+    from stonkwhisperer_spark.plans.stream_fixtures import token_landing
     from stonkwhisperer_spark.streaming.jobs import read_landing_stream
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
     scratch = scratch_dir("stonkw_stream_hll_")
     try:
-        landing = f"{scratch}/docs"
-        for i in range(4):
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(landing)
+        landing = token_landing(spark, sf_dir)
         schema = spark.read.parquet(landing).schema
         stream = read_landing_stream(spark, landing, schema, max_files_per_trigger=1)
-        toks = stream.select(
-            "source", F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok")
-        ).filter(F.col("tok") != "")
+        toks = stream.select("source", "tok")
 
         state_dir = f"{scratch}/state"
         state = {"v": 0}

@@ -1,0 +1,102 @@
+"""Shared, per-process, read-only stream landings (VERDICT r9 task 5).
+
+The five stream-maintained sketch queries (streaming_sketch / _cms /
+_hll / _quantiles / _bloom) all replay the same ingest shape: the
+document corpus arriving in N micro-batch shards. Through round 9 each
+query built its OWN landing — four corpus slices apiece, and for the
+token sketches a full clean+tokenize per micro-batch plus another for
+the probe side — so one bench process paid the same corpus passes five
+times over (~26 s of suite wall at sf0.1).
+
+This module builds each landing ONCE per (process, sf_dir), exactly
+how a production deployment points every downstream consumer at the
+same seeded ingest stream. Only the LANDING (input data) is shared;
+every query keeps its own scratch state dirs, stream checkpoints and
+sinks, so the incremental-maintenance loops under test stay fully
+independent. Landings live in the scratch area and are removed at
+process exit.
+
+Shard layout: ``N_BATCHES`` files, file i holding the rows with
+``doc_id % N_BATCHES == i`` — with ``maxFilesPerTrigger=1`` a drain
+sees exactly N_BATCHES micro-batches, and because every maintained
+sketch's merge is exact (K-minima union / counter addition / register
+max / summary union / bitwise OR), shard ORDER never affects the final
+state the oracles hash.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from stonkwhisperer_spark.session import scratch_dir
+from stonkwhisperer_spark.sources.tables import load_table
+
+N_BATCHES = 3  # >= 3 keeps real merge coverage (first fold + 2 refolds)
+
+_LANDINGS: dict[tuple[str, str], str] = {}
+_ROOTS: list[str] = []
+
+
+def _cleanup() -> None:
+    for root in _ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def docs_landing(spark: SparkSession, sf_dir: str) -> str:
+    """N_BATCHES-file landing of (doc_id, source, text, n_chars)."""
+    key = ("docs", sf_dir)
+    if key not in _LANDINGS:
+        root = scratch_dir("stonkw_fixture_docs_")
+        _ROOTS.append(root)
+        path = f"{root}/landing"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        for i in range(N_BATCHES):
+            docs.filter(F.col("doc_id") % N_BATCHES == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        _LANDINGS[key] = path
+    return _LANDINGS[key]
+
+
+def token_landing(spark: SparkSession, sf_dir: str) -> str:
+    """N_BATCHES-file landing of exploded clean tokens
+    (doc_id, source, tok) — ONE clean+tokenize pass over the corpus,
+    staged to parquet, then sliced into shard files without touching
+    the regex chain again. Batch-side consumers (CMS true counts,
+    bloom vocabulary probes) read this landing directly instead of
+    re-tokenizing the corpus."""
+    key = ("tokens", sf_dir)
+    if key not in _LANDINGS:
+        from stonkwhisperer_spark.functions.hashing import tokens_of
+        from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+        root = scratch_dir("stonkw_fixture_toks_")
+        _ROOTS.append(root)
+        path = f"{root}/landing"
+        staging = f"{root}/staging"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        toks = docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
+        ).filter(F.col("tok") != "")
+        toks.write.parquet(staging)
+        staged = spark.read.parquet(staging)
+        for i in range(N_BATCHES):
+            staged.filter(F.col("doc_id") % N_BATCHES == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        shutil.rmtree(staging, ignore_errors=True)
+        _LANDINGS[key] = path
+    return _LANDINGS[key]
