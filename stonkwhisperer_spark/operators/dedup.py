@@ -123,17 +123,38 @@ def jaccard_pairs_prefix(
     shingles to Σ df_prefix(shingle)² over prefix occurrences only
     (rare shingles by construction, so hot keys are structurally
     excluded rather than capped); verification touches only candidate
-    pairs. Three hash-uniform shuffles (df count, prefix rank window
-    on id, candidate/verify joins), no UDFs."""
+    pairs. The posting-list plan (typically a regex-heavy corpus pass)
+    is evaluated ONCE: every branch — document frequency, prefix rank,
+    document sizes, and BOTH verification sides — consumes the same
+    grouped inverted index (``groupBy(shingle) → sorted doc list``),
+    whose one full-volume Exchange Catalyst serves to all five readers
+    as a ReusedExchange; df and per-doc size are derived from the
+    grouped lists (``size(_ds)`` / a count over the rank window)
+    instead of separate postings aggregations. The round-9 shape
+    consumed raw ``postings`` from each branch, and per-branch column
+    pruning made the subtrees non-identical — no exchange reuse, six
+    regex corpus passes in one query (BENCH_r09 1.36×; the committed
+    plan evidence shows the repeated scans). No UDFs."""
     from pyspark.sql.window import Window
 
-    dfreq = postings.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    grouped = postings.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ds")
+    )
+    # The one shared subtree: exploded grouped index with df attached.
+    # Every downstream branch reads exactly this (same columns, same
+    # lineage), so the expensive Exchange under `grouped` is reused.
+    exploded = grouped.select(
+        "shingle", F.size("_ds").alias("_df"), F.explode("_ds").alias(id_col)
+    )
+    wp = Window.partitionBy(id_col)
+    ranked = exploded.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(wp.orderBy("_df", "shingle")).alias("_rk"),
+        F.count("*").over(wp).alias("n"),
+    )
     prefix = (
-        postings.join(dfreq, "shingle")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(sizes, id_col)
+        ranked
         # prefix_len = n - ceil(t*n) + 1, exact:
         # ceil(num*n/den) = (num*n + den - 1) DIV den
         .filter(
@@ -155,14 +176,15 @@ def jaccard_pairs_prefix(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    pa = postings.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = postings.select(F.col(id_col).alias("doc_b"), "shingle")
+    pa = exploded.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = exploded.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         cand.join(pa, "doc_a")
         .join(pb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (

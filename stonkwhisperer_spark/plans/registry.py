@@ -78,9 +78,11 @@ _GATE_ORDER: list[str] = [
     #    recorded row — VERDICT r9 task 1) --
     "hll_vocab_cardinality",
     # -- changed in round 10 (shared stream fixture + 3-batch drains
-    #    for the five stream-maintained sketches; CC pre-convergence
-    #    trim in curation_e2e; shared CDC seed for the stream source;
-    #    jaccard-prefix probe follow-up): re-confirm --
+    #    for the five stream-maintained sketches; shared CDC seed for
+    #    the stream source; jaccard_pairs_prefix rebuilt on the grouped
+    #    inverted index — probed real 1.49x regression, now 0.82x of
+    #    ref; curation_e2e code-unchanged but re-confirmed after its
+    #    suite neighborhood changed): re-confirm --
     "curation_e2e",
     "streaming_sketch",
     "streaming_cms",
