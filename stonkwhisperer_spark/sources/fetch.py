@@ -75,24 +75,44 @@ def _fetch_batch_stub(urls: list[str]) -> list[tuple[str, str | None, str]]:
 
 
 def _fetch_batch_urllib(
-    urls: list[str], timeout: float, max_workers: int = 16
+    urls: list[str],
+    timeout: float,
+    max_workers: int = 16,
+    retries: int = 3,
+    backoff_sec: float = 30.0,
 ) -> list[tuple[str, str | None, str]]:
     """Stdlib network client: thread-pooled GETs (urllib blocks, so
     threads supply the concurrency asyncio gives httpx), per-URL
-    timeout, per-URL failure isolation (reference :343-346)."""
+    timeout, per-URL failure isolation (reference :343-346).
+
+    Retry contract (reference extraction.py:229-236 — Celery
+    ``max_retries=3`` with a 30 s countdown): TRANSIENT failures —
+    connection errors, per-URL timeouts, HTTP 5xx — are retried up to
+    ``retries`` total attempts with ``backoff_sec`` between attempts;
+    a DETERMINISTIC rejection (HTTP 4xx) is returned immediately, and
+    after exhaustion the row defaults to (content=None, last error
+    status) without affecting any other URL in the batch."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
     from urllib.error import HTTPError, URLError
     from urllib.request import urlopen
 
     def one(u: str) -> tuple[str, str | None, str]:
-        try:
-            with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — caller-supplied URLs are the operator's contract
-                body = resp.read().decode("utf-8", errors="replace")
-                return (u, body, str(resp.status))
-        except HTTPError as e:
-            return (u, None, str(e.code))
-        except (URLError, OSError, ValueError) as e:
-            return (u, None, f"error:{type(e).__name__}")
+        last = "error:unreachable"
+        for attempt in range(max(1, retries)):
+            try:
+                with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — caller-supplied URLs are the operator's contract
+                    body = resp.read().decode("utf-8", errors="replace")
+                    return (u, body, str(resp.status))
+            except HTTPError as e:
+                if e.code < 500:  # 4xx: deterministic, never retried
+                    return (u, None, str(e.code))
+                last = str(e.code)
+            except (URLError, OSError, ValueError) as e:
+                last = f"error:{type(e).__name__}"
+            if attempt + 1 < max(1, retries) and backoff_sec > 0:
+                _time.sleep(backoff_sec)
+        return (u, None, last)
 
     if not urls:
         return []
@@ -120,6 +140,8 @@ def fetch_url_content(
     timeout: float = 15.0,
     backend: str | None = None,
     extract: bool = False,
+    retries: int = 3,
+    backoff_sec: float = 30.0,
 ) -> DataFrame:
     """S4/S5: enrich each row's url with fetched content. One concurrent
     batch per partition (the reference's Celery batch = our partition);
@@ -128,6 +150,10 @@ def fetch_url_content(
     ``backend``: None → httpx if installed else urllib; or force
     'httpx' / 'urllib' / 'stub'. ``extract=True`` applies the HTML→text
     extractor to successful fetches (S5's fetch+extract contract).
+    ``timeout``/``retries``/``backoff_sec`` default to the reference's
+    15 s per-URL timeout and 3-attempt/30 s retry policy
+    (extraction.py:229-236, 339); transient failures retry, 4xx
+    returns immediately, exhaustion defaults the row to null content.
 
     Returns (url, content, fetch_status); join back on url for the
     metadata-preserving variant (J1's url-equi respec)."""
@@ -144,7 +170,9 @@ def fetch_url_content(
 
                 rows = asyncio.run(_fetch_batch_httpx(urls, timeout))
             elif backend == "urllib":
-                rows = _fetch_batch_urllib(urls, timeout)
+                rows = _fetch_batch_urllib(
+                    urls, timeout, retries=retries, backoff_sec=backoff_sec
+                )
             else:
                 rows = _fetch_batch_stub(urls)
             if extract:

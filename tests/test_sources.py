@@ -184,6 +184,112 @@ def test_fetch_url_content_real_http(spark):
         server.server_close()
 
 
+def test_fetch_retry_and_timeout_semantics():
+    """The reference's retry/timeout contract (extraction.py:229-236,
+    339 — 3 attempts, per-URL timeout, per-record failure isolation)
+    pinned against a real local http.server, per record:
+
+    * transient 5xx → retried, succeeds once the server recovers;
+    * 4xx → deterministic rejection, returned immediately, NO retry;
+    * persistent 5xx → retries exhaust, row defaults to null content
+      with the last status;
+    * timeout → row defaults to (None, error:*) without delaying or
+      failing the other URLs in the same batch."""
+    import http.server
+    import threading
+    import time
+
+    from stonkwhisperer_spark.sources.fetch import _fetch_batch_urllib
+
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                hits[self.path] = hits.get(self.path, 0) + 1
+                n = hits[self.path]
+            if self.path == "/flaky":
+                if n <= 2:
+                    self.send_error(503)
+                else:
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"recovered")
+            elif self.path == "/always500":
+                self.send_error(500)
+            elif self.path == "/slow":
+                time.sleep(1.5)
+                try:
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"too late")
+                except BrokenPipeError:
+                    pass  # the timed-out client already disconnected
+            elif self.path == "/ok":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"fine")
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # retry-then-succeed: two 503s then 200 under the 3-attempt policy.
+        rows = dict(
+            (u, (c, s))
+            for u, c, s in _fetch_batch_urllib(
+                [f"{base}/flaky"], timeout=5.0, retries=3, backoff_sec=0.0
+            )
+        )
+        assert rows[f"{base}/flaky"] == ("recovered", "200")
+        assert hits["/flaky"] == 3
+
+        # 4xx is deterministic: one attempt only, no retry burn.
+        rows = dict(
+            (u, (c, s))
+            for u, c, s in _fetch_batch_urllib(
+                [f"{base}/missing"], timeout=5.0, retries=3, backoff_sec=0.0
+            )
+        )
+        assert rows[f"{base}/missing"] == (None, "404")
+        assert hits["/missing"] == 1
+
+        # exhaustion defaults the record: retries attempts, last status.
+        rows = dict(
+            (u, (c, s))
+            for u, c, s in _fetch_batch_urllib(
+                [f"{base}/always500"], timeout=5.0, retries=2, backoff_sec=0.0
+            )
+        )
+        assert rows[f"{base}/always500"] == (None, "500")
+        assert hits["/always500"] == 2
+
+        # timeout-then-default, isolated per record: the slow URL times
+        # out (after its retry budget) while /ok in the SAME batch
+        # succeeds untouched.
+        rows = dict(
+            (u, (c, s))
+            for u, c, s in _fetch_batch_urllib(
+                [f"{base}/slow", f"{base}/ok"],
+                timeout=0.3,
+                retries=2,
+                backoff_sec=0.0,
+            )
+        )
+        slow_content, slow_status = rows[f"{base}/slow"]
+        assert slow_content is None and slow_status.startswith("error:")
+        assert rows[f"{base}/ok"] == ("fine", "200")
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_extract_article_text_pure():
     from stonkwhisperer_spark.sources.fetch import extract_article_text
 
