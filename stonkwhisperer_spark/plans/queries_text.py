@@ -2226,3 +2226,176 @@ def q_kmv_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_a", "true_b", "true_intersect", "true_union",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bm25_topk_docs — BM25 top-k retrieval over the corpus: the standard
+# lexical-retrieval primitive of a training-data pipeline (eval-set
+# decontamination lookups, quality-by-retrieval, nearest-document
+# audits). Okapi BM25 (k1=1.2, b=0.75; Robertson & Zaragoza 2009) with
+# the Lucene idf form, made hash-gateable by integer-exact fixed-point
+# scoring: the ONLY floating step is one ln over an exactly-computed
+# double ratio, immediately fixed-pointed; every downstream product,
+# division and sum is exact integer arithmetic (DECIMAL(38,0) / HUGEINT).
+# --------------------------------------------------------------------------
+_BM25_SCALE = 65536  # idf fixed point = 2^16
+_BM25_RANKS = (10, 14)  # query terms: per-source count-ranks 10..14
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    lo, hi = _BM25_RANKS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, tok FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS s
+      FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    qterms AS (
+      SELECT source AS query_id, tok FROM (
+        SELECT source, tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, tok) AS rk
+        FROM toks GROUP BY source, tok
+      ) WHERE rk BETWEEN {lo} AND {hi}
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(floor({_BM25_SCALE} * ln(
+               CAST(2 * n_docs + 2 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)
+             ) + 0.5) AS BIGINT) AS idf_s
+      FROM dfreq, stats
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST((CAST(i.idf_s AS HUGEINT) * 44 * st.s * t.tf)
+                  // (20 * CAST(st.s AS HUGEINT) * t.tf + 6 * st.s
+                      + 18 * CAST(d.dl AS HUGEINT) * st.n_docs)
+                  AS BIGINT) AS w
+      FROM qterms q
+      JOIN tf t USING (tok)
+      JOIN dl d USING (doc_id)
+      JOIN idf i ON i.tok = q.tok
+      CROSS JOIN stats st
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(sum(w) AS BIGINT) AS score_s,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_s, n_terms
+    FROM (
+      SELECT query_id, doc_id, score_s, n_terms,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_s DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register("bm25_topk_docs", oracle=_bm25_oracle())
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} document retrieval, one query per source (its
+    count-ranks-{lo}..{hi} tokens — past the stopword head, still
+    corpus-attested), scored with Okapi BM25 (k1=1.2, b=0.75, Lucene
+    idf ln((N+1)/(df+0.5) ... as ln((2N+2)/(2df+1)) over exact
+    integers). Integer-exact scoring discipline: idf is fixed-pointed
+    at 2^16 right after the single ln; the tf normalization
+    idf·(k1+1)·tf / (tf + k1(1-b) + k1·b·dl·N/S) is cross-multiplied
+    by 20·S into CAST(idf_s·44·S·tf AS DECIMAL(38,0)) DIV
+    (20·S·tf + 6·S + 18·dl·N) — floor division of exact integers — so
+    per-doc scores are integer SUMS whose hash cannot drift with
+    partial-agg order, and rank ties break on doc_id.
+    tests/test_operators.py::test_bm25_idf_fixed_point_cross_engine
+    sweeps the full df domain cross-engine to pin the lone ln against
+    DuckDB's.
+
+    Scale: tf/dl/df are one-pass partial aggregations over the token
+    stream; query terms join the tf table through a broadcast (#queries
+    × 5 rows after the idf attach); corpus stats ride a 1-row
+    broadcast; the only full-volume shuffles are the (doc, tok) and
+    doc-keyed aggregations every retrieval index build pays once. At
+    100 TB the tf/df tables ARE the inverted index — persist them and
+    per-query cost is a broadcast join against df-pruned postings."""
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    lo, hi = _BM25_RANKS
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("s"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    qterms = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("source").orderBy(F.desc("c"), "tok"))
+        )
+        .filter(F.col("rk").between(lo, hi))
+        .select(F.col("source").alias("query_id"), "tok")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.floor(
+            _BM25_SCALE
+            * F.log(
+                (2 * F.col("n_docs") + 2).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("idf_s"),
+    )
+    # Tiny side first: query terms pick up their idf, then broadcast
+    # into the tf table (the only full-volume join input).
+    q_idf = qterms.join(idf, "tok").select("query_id", "tok", "idf_s")
+    contrib = (
+        tf.join(F.broadcast(q_idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "CAST((CAST(idf_s AS DECIMAL(38,0)) * 44 * s * tf) DIV "
+                "(CAST(20 AS DECIMAL(38,0)) * s * tf + CAST(6 AS DECIMAL(38,0)) * s "
+                "+ CAST(18 AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("w").cast("bigint").alias("score_s"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+        "query_id", "rank", "doc_id", "score_s", "n_terms"
+    )

@@ -1268,3 +1268,43 @@ def test_kmv_set_ops_exact_below_k(spark):
     n_u = u.count()
     assert n_u == 22  # 10 shared + 5 + 7
     assert c == 10  # exact intersection below K
+
+
+def test_bm25_idf_fixed_point_cross_engine(spark):
+    """bm25_topk_docs is integer-exact EXCEPT one ln over an exact
+    double ratio, fixed-pointed at 2^16 immediately after. IEEE
+    division is correctly rounded (identical in both engines), but
+    libm ln implementations may differ by 1 ulp — this sweep pins
+    floor(65536·ln((2N+2)/(2df+1)) + 0.5) for EVERY df in a domain
+    far beyond any tested corpus's vocabulary document frequencies
+    (df up to 200k at three corpus sizes), so a divergence that could
+    ever flip a gated score fails here first."""
+    import duckdb
+
+    from stonkwhisperer_spark.plans.queries_text import _BM25_SCALE
+
+    for n_docs in (350, 35_000, 200_000):
+        spark_vals = (
+            spark.range(1, n_docs + 1)
+            .selectExpr(
+                "id AS df",
+                f"CAST(floor({_BM25_SCALE} * ln("
+                f"  CAST(2 * {n_docs} + 2 AS DOUBLE) / CAST(2 * id + 1 AS DOUBLE)"
+                f") + 0.5) AS BIGINT) AS idf_s",
+            )
+            .toPandas()
+            .set_index("df")["idf_s"]
+        )
+        duck_vals = (
+            duckdb.sql(
+                f"SELECT r.range AS df, "
+                f"CAST(floor({_BM25_SCALE} * ln("
+                f"  CAST(2 * {n_docs} + 2 AS DOUBLE) / CAST(2 * r.range + 1 AS DOUBLE)"
+                f") + 0.5) AS BIGINT) AS idf_s "
+                f"FROM range(1, {n_docs + 1}) r"
+            )
+            .df()
+            .set_index("df")["idf_s"]
+        )
+        diff = (spark_vals != duck_vals).sum()
+        assert diff == 0, f"n_docs={n_docs}: {diff} df values disagree"

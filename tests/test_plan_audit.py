@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
     "kmv_shard_overlap": 4,       # four 1-row sketch-estimate slices
                                   # cross-joined into the single result
                                   # row (every side ≤ K=64 sketch rows)
+    "bm25_topk_docs": 2,          # 1-row corpus stats (N, Σdl) into the
+                                  # idf table and the scoring join
 }
 
 
