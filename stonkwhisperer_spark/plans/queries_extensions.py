@@ -572,3 +572,101 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# pagerank_part_supplier — iterative PageRank (Pregel-shape message
+# passing as per-round join+agg) over the supplier↔part co-occurrence
+# graph, in integer fixed point so the iteration is hash-gateable: the
+# DuckDB twin replays all 8 rounds as programmatically unrolled CTEs.
+# --------------------------------------------------------------------------
+_PR_SCALE = 10**12
+_PR_ITERS = 8
+_PR_TOPK = 25
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    ctes = [
+        f"""pairs AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT sk * 2 AS src, pk * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT pk * 2 + 1, sk * 2 FROM pairs
+    ),
+    outdeg AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, o.outd FROM edges e JOIN outdeg o USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes, st)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT ew.dst AS node,
+             CAST(SUM((17 * r{i}.r) // (20 * ew.outd)) AS BIGINT) AS s
+      FROM ew JOIN r{i} ON r{i}.node = ew.src GROUP BY 1
+    ),
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST((3 * {_PR_SCALE}) // (20 * st.n)
+                  + COALESCE(c{i}.s, 0) AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{i} USING (node) CROSS JOIN st
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT kind, key, rank_scaled, rnk FROM (
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+             CAST(node // 2 AS BIGINT) AS key,
+             r AS rank_scaled,
+             CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS rnk
+      FROM r{iters}
+    ) WHERE rnk <= {_PR_TOPK}
+    """
+
+
+@register("pagerank_part_supplier", oracle=_pagerank_oracle())
+def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔part co-occurrence graph (an edge per
+    distinct lineitem (suppkey, partkey) pair, both directions — the
+    random walk alternates sides of the bipartite graph), 8 Pregel
+    rounds in INTEGER fixed point (operators/graph.py): damping 17/20,
+    per-edge contribution (17·r) DIV (20·outdeg) floor-divided then
+    exactly summed, teleport (3·scale) DIV (20·N). The DuckDB twin
+    replays all 8 rounds as unrolled CTEs, so the hash gates the whole
+    iterative computation — join plumbing, degree normalization,
+    teleport arithmetic and convergence trajectory, not just the top-k
+    shape. Returns the top 25 nodes (ties broken by node id).
+
+    Scale: per round ONE hash-uniform equi-join (edge list × ranks,
+    keyed on node ids) + one partial-aggregated sum keyed on dst — the
+    canonical distributed PageRank plan; the degree-annotated edge list
+    is checkpointed once and re-read per round. The top-k is
+    TakeOrderedAndProject (per-partition partial top-25), never a
+    global sort."""
+    from stonkwhisperer_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    fwd = li.select((F.col("sk") * 2).alias("src"), (F.col("pk") * 2 + 1).alias("dst"))
+    bwd = li.select((F.col("pk") * 2 + 1).alias("src"), (F.col("sk") * 2).alias("dst"))
+    ranks = pagerank(
+        fwd.unionByName(bwd), iterations=_PR_ITERS, scale=_PR_SCALE
+    )
+    top = ranks.orderBy(F.desc("rank_scaled"), "node").limit(_PR_TOPK)
+    # row_number over the 25-row post-limit relation (bounded single
+    # partition); the full-relation cut above plans as
+    # TakeOrderedAndProject.
+    rnk = F.row_number().over(W.orderBy(F.desc("rank_scaled"), "node")).cast("int")
+    return top.withColumn("rnk", rnk).select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("kind"),
+        F.expr("CAST(node DIV 2 AS BIGINT)").alias("key"),
+        "rank_scaled",
+        "rnk",
+    )

@@ -1308,3 +1308,40 @@ def test_bm25_idf_fixed_point_cross_engine(spark):
         )
         diff = (spark_vals != duck_vals).sum()
         assert diff == 0, f"n_docs={n_docs}: {diff} df values disagree"
+
+
+def test_pagerank_fixed_point_structure(spark):
+    """pagerank (operators/graph.py) on crafted graphs: a 2-cycle is
+    symmetric (equal ranks, total mass ~ scale within the documented
+    floor leak); a star funnels mass to the center; a source->sink
+    chain leaves the source at the bare teleport term."""
+    from stonkwhisperer_spark.operators.graph import pagerank
+
+    scale = 10**12
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {row.node: row.rank_scaled for row in pagerank(cyc, scale=scale).collect()}
+    assert r[1] == r[2]
+    leak_bound = 2 * 8 + 16  # |E| * iters floor units + init rounding
+    assert scale - leak_bound <= r[1] + r[2] <= scale
+
+    # star: leaves 2..5 -> center 1, center -> leaf 2 (so no dangling)
+    star = spark.createDataFrame(
+        [(i, 1) for i in range(2, 6)] + [(1, 2)], "src long, dst long"
+    )
+    s = {row.node: row.rank_scaled for row in pagerank(star, scale=scale).collect()}
+    # mass ping-pongs between center and leaf 2 with period 2, so the
+    # parity-robust claims are: that pair holds the bulk of the mass,
+    # and the three pure leaves tie exactly at the teleport floor.
+    assert s[1] + s[2] > (7 * scale) // 10
+    assert s[1] > s[3] and s[2] > s[3]
+    assert s[3] == s[4] == s[5]
+
+    # chain 1 -> 2 -> 3, 3 -> 2 (keeps 3 non-dangling): node 1 receives
+    # nothing, so after round 1 it sits exactly at the teleport term.
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 2)], "src long, dst long")
+    c = {row.node: row.rank_scaled for row in pagerank(chain, scale=scale).collect()}
+    assert c[1] == (3 * scale) // (20 * 3)
+    # 2<->3 also oscillates with period 2; the parity-free claim is
+    # that both hold far more than the never-fed source.
+    assert c[2] > c[1] and c[3] > c[1]
