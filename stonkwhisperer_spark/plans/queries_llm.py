@@ -1748,3 +1748,194 @@ def q_near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(
         _postings(spark, sf_dir), threshold_num=4, threshold_den=5
     )
+
+
+# --------------------------------------------------------------------------
+# rrf_hybrid_retrieval — hybrid search: BM25 (lexical) fused with
+# quantized-cosine (semantic) by Reciprocal Rank Fusion (Cormack et
+# al., SIGIR'09), entirely in integer arithmetic so the fused ranking
+# is hash-gateable end to end. Queries are the per-source BM25 query
+# terms on the lexical side and the per-source embedding CENTROID on
+# the semantic side — the same 20 queries through two systems.
+# --------------------------------------------------------------------------
+_RRF_LIST = 50       # per-system list depth feeding the fusion
+_RRF_TOPK = 10
+_RRF_K = 60          # standard RRF constant
+_RRF_R_SCALE = 10**9  # rrf contribution = floor(1e9 / (60 + rank))
+_SIM_SCALE = 10**9   # cosine^2 fixed point
+
+
+def _rrf_oracle() -> str:
+    from stonkwhisperer_spark.plans.queries_text import _bm25_ctes
+
+    d = _KM_DIM
+    return f"""
+    WITH {_bm25_ctes()},
+    bm_top AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_s DESC, doc_id) AS r
+        FROM scored
+      ) WHERE r <= {_RRF_LIST}
+    ),
+    qvec AS (SELECT vec_id, {_KM_QVEC_SQL} AS qv FROM embeddings),
+    docvec AS (
+      SELECT dd.doc_id, dd.source, q.qv,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+                  i -> q.qv[i] * q.qv[i])) AS BIGINT) AS na
+      FROM documents dd JOIN qvec q ON q.vec_id = dd.doc_id
+    ),
+    cdims AS (
+      SELECT source, t.i, CAST(sum(qv[t.i]) // count(*) AS BIGINT) AS cval
+      FROM docvec, unnest(range(1, {d + 1})) AS t(i)
+      GROUP BY source, t.i
+    ),
+    cent AS (
+      SELECT source, list(cval ORDER BY i) AS cv FROM cdims GROUP BY source
+    ),
+    centn AS (
+      SELECT source, cv,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+                  i -> cv[i] * cv[i])) AS BIGINT) AS nb
+      FROM cent
+    ),
+    sim AS (
+      SELECT c.source AS query_id, dv.doc_id,
+             CAST(list_sum(list_transform(range(1, {d + 1}),
+                  i -> dv.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+             dv.na, c.nb
+      FROM docvec dv CROSS JOIN centn c
+    ),
+    skey AS (
+      SELECT query_id, doc_id,
+             (CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+               * CAST((CAST(dot AS HUGEINT) * dot * {_SIM_SCALE})
+                      // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS sk
+      FROM sim WHERE na > 0 AND nb > 0
+    ),
+    cos_top AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sk DESC, doc_id) AS r
+        FROM skey
+      ) WHERE r <= {_RRF_LIST}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum({_RRF_R_SCALE} // ({_RRF_K} + r)) AS BIGINT) AS rrf_s,
+             CAST(count(*) AS BIGINT) AS n_systems
+      FROM (SELECT * FROM bm_top UNION ALL SELECT * FROM cos_top)
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, rrf_s, n_systems
+    FROM (
+      SELECT query_id, doc_id, rrf_s, n_systems,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_s DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+@register("rrf_hybrid_retrieval", oracle=_rrf_oracle())
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the same 20 per-source queries scored by TWO
+    systems — BM25 over the token inverted index (lexical;
+    queries_text.bm25_scored) and fixed-point cosine against the
+    source's quantized embedding centroid (semantic; 2^20 quantization
+    as the k-means family, cos ordered by the exact integer key
+    sign(dot)·(dot²·10⁹) DIV (‖a‖²·‖b‖²)) — then fused with Reciprocal
+    Rank Fusion: contribution floor(10⁹ / (60 + rank)) per top-50
+    list, summed exactly. Docs without embeddings simply miss the
+    semantic list (real RRF handles asymmetric coverage); n_systems
+    records 1- vs 2-list support. Every step is integer arithmetic on
+    both engines, so the hash gates the entire two-system pipeline,
+    both rankings included.
+
+    Scale: the BM25 side is the persisted-index plan (see
+    bm25_topk_docs); the semantic side is one posexplode + (source, i)
+    partial-agg for centroids, then a ≤#sources-row broadcast into a
+    map-side codegen'd 64-term dot over the corpus — no shuffle added
+    beyond the per-query rank windows (bounded by #queries
+    partitions). Fusion is a union + one (query, doc)-keyed agg."""
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.operators.similarity import dot_unrolled_int
+    from stonkwhisperer_spark.plans.queries_text import bm25_scored
+
+    wq = W.partitionBy("query_id")
+    bm_top = (
+        bm25_scored(spark, sf_dir)
+        .withColumn(
+            "r", F.row_number().over(wq.orderBy(F.desc("score_s"), "doc_id"))
+        )
+        .filter(F.col("r") <= _RRF_LIST)
+        .select("query_id", "doc_id", "r")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    qv = emb.select("vec_id", _km_quantize().alias("qv"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docvec = (
+        docs.join(qv, docs["doc_id"] == qv["vec_id"])
+        .select(
+            "doc_id", "source", "qv",
+            dot_unrolled_int("qv", "qv", _KM_DIM).alias("na"),
+        )
+    )
+    cdims = (
+        docvec.select("source", F.posexplode("qv").alias("i", "val"))
+        .groupBy("source", "i")
+        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
+    )
+    cent = cdims.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cv")
+    )
+    centn = cent.select(
+        F.col("source").alias("qsrc"), "cv",
+        dot_unrolled_int("cv", "cv", _KM_DIM).alias("nb"),
+    )
+    sim = docvec.crossJoin(F.broadcast(centn)).select(
+        F.col("qsrc").alias("query_id"),
+        "doc_id",
+        dot_unrolled_int("qv", "cv", _KM_DIM).alias("dot"),
+        "na",
+        "nb",
+    )
+    skey = sim.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "query_id",
+        "doc_id",
+        (
+            F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+            * F.expr(
+                f"CAST((CAST(dot AS DECIMAL(38,0)) * dot * {_SIM_SCALE}) DIV "
+                f"(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            )
+        ).alias("sk"),
+    )
+    cos_top = (
+        skey.withColumn("r", F.row_number().over(wq.orderBy(F.desc("sk"), "doc_id")))
+        .filter(F.col("r") <= _RRF_LIST)
+        .select("query_id", "doc_id", "r")
+    )
+    fused = (
+        bm_top.unionByName(cos_top)
+        .withColumn(
+            "c", F.expr(f"CAST({_RRF_R_SCALE} DIV ({_RRF_K} + r) AS BIGINT)")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("rrf_s"),
+            F.count("*").cast("bigint").alias("n_systems"),
+        )
+    )
+    ranked = fused.withColumn(
+        "rank", F.row_number().over(wq.orderBy(F.desc("rrf_s"), "doc_id")).cast("int")
+    )
+    return ranked.filter(F.col("rank") <= _RRF_TOPK).select(
+        "query_id", "rank", "doc_id", "rrf_s", "n_systems"
+    )

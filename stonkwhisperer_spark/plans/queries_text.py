@@ -2243,10 +2243,12 @@ _BM25_RANKS = (10, 14)  # query terms: per-source count-ranks 10..14
 _BM25_TOPK = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The WITH-body through ``scored`` (query_id, doc_id, score_s,
+    n_terms) — shared by the bm25_topk_docs oracle and the RRF hybrid
+    fusion oracle (queries_llm)."""
     lo, hi = _BM25_RANKS
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, source, tok FROM (
         SELECT doc_id, source,
                unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
@@ -2293,7 +2295,12 @@ def _bm25_oracle() -> str:
              CAST(sum(w) AS BIGINT) AS score_s,
              CAST(count(*) AS BIGINT) AS n_terms
       FROM contrib GROUP BY 1, 2
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_ctes()}
     SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_s, n_terms
     FROM (
       SELECT query_id, doc_id, score_s, n_terms,
@@ -2328,6 +2335,24 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregations every retrieval index build pays once. At
     100 TB the tf/df tables ARE the inverted index — persist them and
     per-query cost is a broadcast join against df-pruned postings."""
+    from pyspark.sql.window import Window as W
+
+    scored = bm25_scored(spark, sf_dir)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+        "query_id", "rank", "doc_id", "score_s", "n_terms"
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 ``scored`` relation (query_id, doc_id, score_s,
+    n_terms) — the full scoring chain minus the top-k cut; shared by
+    bm25_topk_docs and the RRF hybrid fusion (queries_llm)."""
     from pyspark.sql.window import Window as W
 
     from stonkwhisperer_spark.functions.hashing import tokens_of
@@ -2386,16 +2411,7 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("w").cast("bigint").alias("score_s"),
         F.count("*").cast("bigint").alias("n_terms"),
-    )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number()
-        .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
-        .cast("int"),
-    )
-    return ranked.filter(F.col("rank") <= _BM25_TOPK).select(
-        "query_id", "rank", "doc_id", "score_s", "n_terms"
     )

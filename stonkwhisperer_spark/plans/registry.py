@@ -142,12 +142,13 @@ _GATE_ORDER: list[str] = [
     "user_event_runs",
     # (after this rotation every oracle-bearing query's newest green
     #  row is r6+; round 11's window leads with the round-10 late
-    #  debut pagerank_part_supplier (registered after the r10 window
-    #  froze — full oracle, parity-green at sf0.001/0.01),
-    #  txlog_cdc_replay (seed build shared with txlog_stream_cdc from
-    #  round 10 on), curation_e2e (displaced here for the bm25 debut),
-    #  then the r6-stale cohort — txlog family, tpch cubes, ohlcv,
-    #  span_dedup, sq8, dsir)
+    #  debuts pagerank_part_supplier and rrf_hybrid_retrieval
+    #  (registered after the r10 window froze — full oracles,
+    #  parity-green at sf0.001/0.01/0.1 locally), txlog_cdc_replay
+    #  (seed build shared with txlog_stream_cdc from round 10 on),
+    #  curation_e2e (displaced here for the bm25 debut), then the
+    #  r6-stale cohort — txlog family, tpch cubes, ohlcv, span_dedup,
+    #  sq8, dsir)
 ]
 
 

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
                                   # row (every side ≤ K=64 sketch rows)
     "bm25_topk_docs": 2,          # 1-row corpus stats (N, Σdl) into the
                                   # idf table and the scoring join
+    "rrf_hybrid_retrieval": 3,    # bm25's two 1-row stats broadcasts +
+                                  # the ≤#sources-row centroid broadcast
 }
 
 
