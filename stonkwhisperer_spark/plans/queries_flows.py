@@ -3702,7 +3702,15 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
             sess = batch_df.sparkSession
-            bbl = bloom_build(batch_df, "tok", d=_SBLM_D, m_bits=_SBLM_M)
+            # Distinct BEFORE the d-way bit explode: bloom bits are
+            # OR'd, so duplicate tokens are pure hash overhead — the
+            # batch's dedup shuffle is far cheaper than 4 md5s per
+            # repeated occurrence (the dominant map cost of this
+            # query; its siblings' costs halved under the shared
+            # fixture while bloom's did not move until this).
+            bbl = bloom_build(
+                batch_df.select("tok").distinct(), "tok", d=_SBLM_D, m_bits=_SBLM_M
+            )
             if state["v"] > 0:
                 prev = sess.read.parquet(f"{state_dir}/v{state['v']}")
                 merged = bloom_merge(prev.unionByName(bbl))

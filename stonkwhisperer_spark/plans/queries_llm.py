@@ -1939,3 +1939,84 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= _RRF_TOPK).select(
         "query_id", "rank", "doc_id", "rrf_s", "n_systems"
     )
+
+
+# --------------------------------------------------------------------------
+# leakage_safe_split — train/val/test assignment that cannot leak
+# near-duplicates across splits: the split key is the near-dup CLUSTER,
+# not the document, so paraphrase families land in one split together.
+# --------------------------------------------------------------------------
+def _leakage_split_oracle() -> str:
+    split_hash = portable_hash64_sql("'split|' || cast(group_key AS varchar)")
+    return f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.8),
+    cc_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cc_nodes AS (SELECT a AS n FROM cc_edges UNION SELECT b FROM cc_edges),
+    reach(s, d) AS (
+      SELECT n, n FROM cc_nodes
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN cc_edges e ON r.d = e.a
+    ),
+    clusters AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+    grp AS (
+      SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS group_key
+      FROM documents dd LEFT JOIN clusters c USING (doc_id)
+    ),
+    hashed AS (
+      SELECT doc_id, group_key, {split_hash} % 10 AS hb FROM grp
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN hb < 8 THEN 'train'
+                WHEN hb = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """
+
+
+@register("leakage_safe_split", oracle=_leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 dataset split: near-dup pairs → connected
+    components → every document keyed by its CLUSTER (singletons by
+    themselves) → split = keyed hash of the GROUP, so a paraphrase
+    family can never straddle train and test (the eval-contamination
+    failure mode of naive per-doc splits — doc_split_assign is that
+    baseline). Deterministic and re-ingestion-stable: the assignment
+    is a pure function of the group key, not of load order or corpus
+    growth elsewhere. The DuckDB twin replays clustering AND
+    assignment, so the hash gates the no-straddle property itself
+    (same group ⇒ same hash ⇒ same split, on both engines).
+
+    Scale: the dedup graph machinery is the shared jaccard/CC chain
+    (one corpus pass, clustered-subset shuffles); grouping is a
+    left join against the (tiny) cluster frame; assignment is
+    map-only keyed hashing."""
+    from stonkwhisperer_spark.operators.dedup import connected_components
+
+    clusters = connected_components(
+        jaccard_pairs(_postings(spark, sf_dir), threshold=0.8),
+        "doc_a",
+        "doc_b",
+        dedup_edges=False,
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grp = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_key")
+    )
+    hb = (
+        portable_hash64(
+            F.concat(F.lit("split|"), F.col("group_key").cast("string"))
+        )
+        % 10
+    )
+    return grp.select(
+        "doc_id",
+        "group_key",
+        F.when(hb < 8, F.lit("train"))
+        .when(hb == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -104,3 +104,36 @@ def test_salted_join_matches_plain(spark):
     plain = {(r.rid, r.dim) for r in skewed.join(small, "k").collect()}
     salted = {(r.rid, r.dim) for r in salted_join(skewed, small, "k", n_salts=8).collect()}
     assert plain == salted
+
+
+def test_stream_fixtures_build_once_and_shard_layout(spark):
+    """The shared stream landings (plans/stream_fixtures.py) build once
+    per (process, sf_dir) and lay out exactly N_BATCHES one-file shards
+    — the property that makes maxFilesPerTrigger=1 drains see exactly
+    N_BATCHES micro-batches across every consumer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.plans import stream_fixtures as sfx
+
+    sf = "/root/testdata/sf0.001"
+    p1 = sfx.docs_landing(spark, sf)
+    assert sfx.docs_landing(spark, sf) == p1  # cached, not rebuilt
+    parts = [f for f in os.listdir(p1) if f.startswith("part-")]
+    assert len(parts) == sfx.N_BATCHES
+
+    t1 = sfx.token_landing(spark, sf)
+    assert sfx.token_landing(spark, sf) == t1
+    tparts = [f for f in os.listdir(t1) if f.startswith("part-")]
+    assert len(tparts) == sfx.N_BATCHES
+    # shard i holds exactly the doc_id % N_BATCHES == i rows
+    bad = (
+        spark.read.parquet(t1)
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.count_distinct(F.col("doc_id") % sfx.N_BATCHES).alias("k"))
+        .filter(F.col("k") != 1)
+        .count()
+    )
+    assert bad == 0
