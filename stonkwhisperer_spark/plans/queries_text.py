@@ -1145,9 +1145,12 @@ def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of a doc's bigrams with corpus count >= 2) separates
     template/boilerplate-heavy docs (high) from noise/unique text
     (low) the same way a perplexity threshold does, while keeping every
-    aggregate an integer sum — a true log-prob sum is
+    aggregate an integer sum — a DOUBLE log-prob sum is
     summation-order-dependent, so two engines can't hash-match it; the
-    counts can, and the one ratio divides two exact integers.
+    counts can, and the one ratio divides two exact integers. (The
+    fixed-point recipe of lm_perplexity_scores later made the true
+    log-prob sum hash-gateable too; this query remains the count-only
+    baseline.)
 
     Scale: two bounded shuffles — posexplode + lead() keyed on doc_id
     (the sequence stays inside its partition group) and the bigram
@@ -2414,4 +2417,140 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("w").cast("bigint").alias("score_s"),
         F.count("*").cast("bigint").alias("n_terms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lm_perplexity_scores — the REAL CCNet-style perplexity quality filter:
+# an add-V-smoothed bigram LM trained on the corpus scores every
+# document's average negative log-likelihood, in fixed point so the
+# log-prob SUM is exact and hash-gateable (bigram_familiarity is the
+# count-only proxy that predates this recipe).
+# --------------------------------------------------------------------------
+_LM_SCALE = 65536  # nll fixed point = 2^16 (same recipe as bm25 idf)
+
+
+def _lm_perplexity_oracle() -> str:
+    toks_arr = f"regexp_split_to_array({_CLEAN_TEXT}, ' ')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(d.arr) AS tok,
+             generate_subscripts(d.arr, 1) AS i
+      FROM (SELECT doc_id, {toks_arr} AS arr FROM documents) d
+    ),
+    bg AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.tok <> '' AND b.tok <> ''
+    ),
+    stats AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM toks WHERE tok <> ''
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    costed AS (
+      SELECT bg.doc_id,
+             CAST(floor({_LM_SCALE} * ln(
+               CAST(c1.c1 + st.v AS DOUBLE) / CAST(c12.c12 + 1 AS DOUBLE)
+             ) + 0.5) AS BIGINT) AS nll
+      FROM bg
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN stats st
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_scaled
+      FROM costed GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, nll_scaled,
+           CAST(nll_scaled // n_bigrams AS BIGINT) AS avg_nll_scaled,
+           (nll_scaled // n_bigrams)
+             < CAST(floor({_LM_SCALE} * ln(CAST(st.v AS DOUBLE)) + 0.5)
+                    AS BIGINT) AS keep
+    FROM per_doc CROSS JOIN stats st
+    """
+
+
+@register("lm_perplexity_scores", oracle=_lm_perplexity_oracle())
+def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality filtering (the CCNet recipe: score text by a
+    reference LM, keep the low-perplexity head): an add-V-smoothed
+    bigram LM is trained on the corpus itself (c(w1,w2) / c(w1) count
+    tables — the 'training' of a count LM IS two aggregations), then
+    every document is scored by its total and average negative
+    log-likelihood. Fixed-point discipline (the bm25 recipe): each
+    bigram's nll = floor(2^16 · ln((c1+V)/(c12+1)) + 0.5) — one ln per
+    DISTINCT realized (c1, c12) pair over an exactly-computed double
+    ratio — and the per-doc score is an exact INTEGER sum, immune to
+    partial-agg order, so the entire LM scoring pipeline hash-matches
+    the DuckDB twin (bigram_familiarity's docstring predates this
+    recipe; a double log-prob sum indeed cannot hash-match, a
+    fixed-point one can). ``keep`` applies the principled threshold
+    avg-nll < ln(V): keep documents the corpus LM finds more
+    predictable than uniform-over-vocabulary noise.
+
+    Scale: the count tables are vocabulary²-bounded aggregations of
+    the bigram stream (two hash-uniform shuffles); scoring joins the
+    doc bigram stream against them (vocab-sized build sides) with the
+    1-row V stats broadcast; per-doc reduction is one exact integer
+    partial-agg. No collect, no UDF, codegen end to end."""
+    from pyspark.sql.window import Window
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok_rows = docs.select(
+        "doc_id",
+        F.posexplode(tokens_of(clean_text_for_nlp("text"))).alias("i", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        tok_rows.withColumn("w2", F.lead("tok").over(w))
+        .filter(
+            F.col("w2").isNotNull() & (F.col("tok") != "") & (F.col("w2") != "")
+        )
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    stats = (
+        tok_rows.filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    costed = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                _LM_SCALE
+                * F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c12") + 1).cast("double")
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll"),
+        )
+    )
+    per_doc = costed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("nll").cast("bigint").alias("nll_scaled"),
+    )
+    thr = F.floor(
+        _LM_SCALE * F.log(F.col("v").cast("double")) + F.lit(0.5)
+    ).cast("bigint")
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll_scaled",
+        F.expr("CAST(nll_scaled DIV n_bigrams AS BIGINT)").alias("avg_nll_scaled"),
+        (F.expr("nll_scaled DIV n_bigrams") < thr).alias("keep"),
     )

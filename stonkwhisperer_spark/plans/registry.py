@@ -142,7 +142,8 @@ _GATE_ORDER: list[str] = [
     "user_event_runs",
     # (after this rotation every oracle-bearing query's newest green
     #  row is r6+; round 11's window leads with the round-10 late
-    #  debuts pagerank_part_supplier and rrf_hybrid_retrieval
+    #  debuts pagerank_part_supplier, rrf_hybrid_retrieval,
+    #  leakage_safe_split and lm_perplexity_scores
     #  (registered after the r10 window froze — full oracles,
     #  parity-green at sf0.001/0.01/0.1 locally), txlog_cdc_replay
     #  (seed build shared with txlog_stream_cdc from round 10 on),

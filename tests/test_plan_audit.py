@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
                                   # idf table and the scoring join
     "rrf_hybrid_retrieval": 3,    # bm25's two 1-row stats broadcasts +
                                   # the ≤#sources-row centroid broadcast
+    "lm_perplexity_scores": 2,    # 1-row vocab-size stats into the
+                                  # per-bigram cost and the keep gate
 }
 
 
