@@ -102,6 +102,7 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     threshold_num: int = 4,
     threshold_den: int = 5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
     Xiao et al., WWW'08): identical output to :func:`jaccard_pairs`
@@ -134,12 +135,26 @@ def jaccard_pairs_prefix(
     consumed raw ``postings`` from each branch, and per-branch column
     pruning made the subtrees non-identical — no exchange reuse, six
     regex corpus passes in one query (BENCH_r09 1.36×; the committed
-    plan evidence shows the repeated scans). No UDFs."""
+    plan evidence shows the repeated scans). No UDFs.
+
+    Skew bound: the grouped index buffers one sorted id list per
+    shingle, so the largest per-task aggregation state is the hottest
+    shingle's document frequency — the prefix filter excludes hot
+    shingles from CANDIDATE GENERATION but their lists still
+    materialize for df/size/verify. For corpora with pathological
+    stop-shingles, ``max_doc_freq`` drops shingles above that df
+    before anything else runs — the same (LOSSY: capped shingles also
+    leave the verify intersection, so jaccard is computed over the
+    surviving shingle space) escape hatch as :func:`jaccard_pairs` —
+    or use the MinHash path, whose state is constant-size
+    signatures."""
     from pyspark.sql.window import Window
 
     grouped = postings.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.col(id_col))).alias("_ds")
     )
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("_ds") <= max_doc_freq)
     # The one shared subtree: exploded grouped index with df attached.
     # Every downstream branch reads exactly this (same columns, same
     # lineage), so the expensive Exchange under `grouped` is reused.

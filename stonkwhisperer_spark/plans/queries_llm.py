@@ -1445,6 +1445,26 @@ def _km_dist(a: str, b: str) -> F.Column:
     return sqdist_unrolled_int(a, b, _KM_DIM)
 
 
+def _int_mean_vectors(df: DataFrame, key_col: str, out_key: str = "cid") -> DataFrame:
+    """Element-wise integer mean (sum DIV count per dimension) of the
+    quantized vectors in ``qv``, grouped by ``key_col`` → (out_key,
+    cv). THE integer-centroid recipe — the k-means update step
+    (_km_frames) and the RRF per-source centroid builder share this
+    one implementation so a change to the rounding/quantization
+    contract can never apply to one and silently miss the other."""
+    dims = (
+        df.select(key_col, F.posexplode("qv").alias("i", "val"))
+        .groupBy(key_col, "i")
+        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
+    )
+    return dims.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cv")
+    ).select(F.col(key_col).alias(out_key), "cv")
+
+
 def _km_assign(q: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
     """(vec_id, key) with key = min over centroids of dist*K + cid —
     the integer argmin encoding (cid < K), deterministic under ties.
@@ -1491,18 +1511,7 @@ def _km_frames(
     a1 = _km_assign(q, c0, k).select(
         "vec_id", (F.col("key") % k).alias("cluster")
     )
-    dims = (
-        a1.join(q, "vec_id")
-        .select("cluster", F.posexplode("qv").alias("i", "val"))
-        .groupBy("cluster", "i")
-        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
-    )
-    c1 = dims.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cval"))),
-            lambda s: s.getField("cval"),
-        ).alias("cv")
-    ).select(F.col("cluster").alias("cid"), "cv")
+    c1 = _int_mean_vectors(a1.join(q, "vec_id"), "cluster", out_key="cid")
     return q, _km_assign(q, c1, k), k
 
 
@@ -1884,20 +1893,9 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_unrolled_int("qv", "qv", _KM_DIM).alias("na"),
         )
     )
-    cdims = (
-        docvec.select("source", F.posexplode("qv").alias("i", "val"))
-        .groupBy("source", "i")
-        .agg(F.expr("sum(val) DIV count(1)").alias("cval"))
-    )
-    cent = cdims.groupBy("source").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "cval"))),
-            lambda s: s.getField("cval"),
-        ).alias("cv")
-    )
+    cent = _int_mean_vectors(docvec, "source", out_key="qsrc")
     centn = cent.select(
-        F.col("source").alias("qsrc"), "cv",
-        dot_unrolled_int("cv", "cv", _KM_DIM).alias("nb"),
+        "qsrc", "cv", dot_unrolled_int("cv", "cv", _KM_DIM).alias("nb")
     )
     sim = docvec.crossJoin(F.broadcast(centn)).select(
         F.col("qsrc").alias("query_id"),

@@ -2450,15 +2450,15 @@ def _lm_perplexity_oracle() -> str:
     ),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
     c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-    costed AS (
-      SELECT bg.doc_id,
+    nll_tab AS (
+      SELECT w1, w2,
              CAST(floor({_LM_SCALE} * ln(
                CAST(c1.c1 + st.v AS DOUBLE) / CAST(c12.c12 + 1 AS DOUBLE)
              ) + 0.5) AS BIGINT) AS nll
-      FROM bg
-      JOIN c12 USING (w1, w2)
-      JOIN c1 USING (w1)
-      CROSS JOIN stats st
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN stats st
+    ),
+    costed AS (
+      SELECT bg.doc_id, nll FROM bg JOIN nll_tab USING (w1, w2)
     ),
     per_doc AS (
       SELECT doc_id,
@@ -2522,12 +2522,15 @@ def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    costed = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    # The transcendental runs on the vocab²-bounded COUNT table (one ln
+    # per distinct (w1, w2)); the corpus-sized bigram stream then joins
+    # the precomputed integer — never the double expression.
+    nll_tab = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(stats))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor(
                 _LM_SCALE
                 * F.log(
@@ -2540,6 +2543,7 @@ def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll"),
         )
     )
+    costed = bg.join(nll_tab, ["w1", "w2"]).select("doc_id", "nll")
     per_doc = costed.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.sum("nll").cast("bigint").alias("nll_scaled"),

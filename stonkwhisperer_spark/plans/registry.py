@@ -147,9 +147,12 @@ _GATE_ORDER: list[str] = [
     #  (registered after the r10 window froze — full oracles,
     #  parity-green at sf0.001/0.01/0.1 locally), txlog_cdc_replay
     #  (seed build shared with txlog_stream_cdc from round 10 on),
-    #  curation_e2e (displaced here for the bm25 debut), then the
-    #  r6-stale cohort — txlog family, tpch cubes, ohlcv, span_dedup,
-    #  sq8, dsir)
+    #  curation_e2e (displaced here for the bm25 debut),
+    #  semantic_clusters + semantic_dedup (r10 review refactor: the
+    #  integer-centroid recipe extracted to _int_mean_vectors, shared
+    #  with the RRF semantic side — behavior-identical, parity-green,
+    #  but the family's code changed), then the r6-stale cohort —
+    #  txlog family, tpch cubes, ohlcv, span_dedup, sq8, dsir)
 ]
 
 

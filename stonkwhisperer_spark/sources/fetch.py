@@ -108,7 +108,20 @@ def _fetch_batch_urllib(
                 if e.code < 500:  # 4xx: deterministic, never retried
                     return (u, None, str(e.code))
                 last = str(e.code)
-            except (URLError, OSError, ValueError) as e:
+            except ValueError as e:
+                # Malformed URL (no scheme): deterministic — fails
+                # identically on every attempt, so retrying only burns
+                # the backoff budget. Return immediately, like 4xx.
+                return (u, None, f"error:{type(e).__name__}")
+            except URLError as e:
+                # URLError is two populations: a STRING reason is a
+                # structural rejection ("unknown url type: htp") —
+                # deterministic, return immediately; an exception
+                # reason (DNS, refused connection, TLS) is transient.
+                if isinstance(getattr(e, "reason", None), str):
+                    return (u, None, f"error:{type(e).__name__}")
+                last = f"error:{type(e).__name__}"
+            except OSError as e:
                 last = f"error:{type(e).__name__}"
             if attempt + 1 < max(1, retries) and backoff_sec > 0:
                 _time.sleep(backoff_sec)
@@ -120,16 +133,36 @@ def _fetch_batch_urllib(
         return list(pool.map(one, urls))
 
 
-async def _fetch_batch_httpx(urls: list[str], timeout: float):  # pragma: no cover
+async def _fetch_batch_httpx(  # pragma: no cover
+    urls: list[str],
+    timeout: float,
+    retries: int = 3,
+    backoff_sec: float = 30.0,
+):
+    """httpx twin of _fetch_batch_urllib — the SAME retry contract
+    (transient = connection/timeout/5xx retried with backoff; 4xx and
+    other deterministic rejections returned immediately), so results
+    do not depend on which backend a machine happens to have."""
     import asyncio
 
     async with httpx.AsyncClient(follow_redirects=True, timeout=timeout) as client:
         async def one(u: str):
-            try:
-                r = await client.get(u)
-                return (u, r.text if r.status_code == 200 else None, str(r.status_code))
-            except Exception as e:  # noqa: BLE001 — per-URL failure isolation (ref :343-346)
-                return (u, None, f"error:{type(e).__name__}")
+            last = "error:unreachable"
+            for attempt in range(max(1, retries)):
+                try:
+                    r = await client.get(u)
+                    if r.status_code == 200:
+                        return (u, r.text, "200")
+                    if r.status_code < 500:  # 4xx: deterministic
+                        return (u, None, str(r.status_code))
+                    last = str(r.status_code)
+                except (httpx.TransportError,) as e:  # conn/timeout: transient
+                    last = f"error:{type(e).__name__}"
+                except Exception as e:  # noqa: BLE001 — deterministic (bad URL etc.)
+                    return (u, None, f"error:{type(e).__name__}")
+                if attempt + 1 < max(1, retries) and backoff_sec > 0:
+                    await asyncio.sleep(backoff_sec)
+            return (u, None, last)
 
         return await asyncio.gather(*(one(u) for u in urls))
 
@@ -168,7 +201,11 @@ def fetch_url_content(
             if backend == "httpx":  # pragma: no cover
                 import asyncio
 
-                rows = asyncio.run(_fetch_batch_httpx(urls, timeout))
+                rows = asyncio.run(
+                    _fetch_batch_httpx(
+                        urls, timeout, retries=retries, backoff_sec=backoff_sec
+                    )
+                )
             elif backend == "urllib":
                 rows = _fetch_batch_urllib(
                     urls, timeout, retries=retries, backoff_sec=backoff_sec

@@ -285,6 +285,25 @@ def test_fetch_retry_and_timeout_semantics():
         slow_content, slow_status = rows[f"{base}/slow"]
         assert slow_content is None and slow_status.startswith("error:")
         assert rows[f"{base}/ok"] == ("fine", "200")
+
+        # malformed URLs = deterministic rejections: both the
+        # unknown-scheme URLError (string reason) and the scheme-less
+        # ValueError return immediately even with a punishing backoff
+        # configured (no sleep burned).
+        t0 = time.monotonic()
+        rows = dict(
+            (u, (c, s))
+            for u, c, s in _fetch_batch_urllib(
+                ["htp://nowhere.invalid/x", "no-scheme-at-all"],
+                timeout=5.0,
+                retries=3,
+                backoff_sec=30.0,
+            )
+        )
+        assert time.monotonic() - t0 < 5.0
+        for u in ("htp://nowhere.invalid/x", "no-scheme-at-all"):
+            bad_content, bad_status = rows[u]
+            assert bad_content is None and bad_status.startswith("error:")
     finally:
         server.shutdown()
         server.server_close()
