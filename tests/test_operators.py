@@ -1345,3 +1345,52 @@ def test_pagerank_fixed_point_structure(spark):
     # 2<->3 also oscillates with period 2; the parity-free claim is
     # that both hold far more than the never-fed source.
     assert c[2] > c[1] and c[3] > c[1]
+
+
+def test_prefix_filter_is_lossless_vs_plain_jaccard(spark):
+    """The PPJoin prefix-filter theorem claim pinned empirically:
+    jaccard_pairs_prefix (threshold 4/5) returns EXACTLY the pair set
+    of the plain inverted-index jaccard_pairs (threshold 0.8) — same
+    pairs, same scores — on a corpus engineered with hot shingles,
+    exact duplicates, barely-over and barely-under pairs, and docs
+    with no near-dups. A prefix length rounded wrong (the float-ceil
+    trap) or a candidate wrongly excluded shows up as a set diff."""
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    # Postings built directly: doc -> distinct shingle set.
+    sets = {
+        1: list(range(10)),                 # base
+        2: list(range(10)),                 # exact dup of 1 (J=1.0)
+        3: list(range(9)) + [99],           # J(1,3)=9/11 >= 0.8 (barely over)
+        4: list(range(10)) + [100, 101],    # J(1,4)=10/12 > 0.8
+        5: [0, 1, 2, 200, 201, 202],        # shares the hot head only
+        6: [300 + i for i in range(5)],     # disjoint singleton
+        7: list(range(8)) + [400, 401],     # J(1,7)=8/12 < 0.8
+        8: list(range(10)) + [100],         # J(1,8)=10/11 >= 0.8; J(4,8)=11/12
+    }
+    rows = [(d, f"s{s}") for d, ss in sets.items() for s in ss]
+    postings = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(postings, threshold=0.8).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_prefix(
+            postings, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert set(plain) == set(pref)
+    for k in plain:
+        assert abs(plain[k] - pref[k]) < 1e-12, k
+    # sanity: the engineered edges are actually in the answer
+    assert (1, 2) in plain and (1, 4) in plain and (1, 8) in plain
+    assert (1, 3) in plain          # 9/11 = 0.818, barely over
+    assert (1, 7) not in plain      # 8/12 = 0.667, under
+    assert not any(5 in k or 6 in k for k in plain)  # hot-head-only / disjoint
