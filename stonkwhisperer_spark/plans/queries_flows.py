@@ -1391,6 +1391,49 @@ def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
 
 
 _CDC_SEED: dict[str, tuple[str, int]] = {}
+_REPL_SEED: dict[str, str] = {}
+
+
+def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-process cached replication SOURCE table for
+    txlog_stream_upsert: insert [0,40) → upsert [20,60) ``_u1`` →
+    upsert [40,80) new image + insert [60,80) ``_u2`` → DELETE
+    doc_id<10. The consumer only subscribes to the change feed (reads),
+    so one build per (process, sf_dir) serves every run — same
+    discipline as _cdc_seed_table, same atexit cleanup."""
+    if sf_dir not in _REPL_SEED:
+        from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
+        from stonkwhisperer_spark.sinks.writers import (
+            delete_where,
+            merge_append,
+            merge_upsert,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        root = scratch_dir("stonkw_fixture_repl_")
+        _ROOTS.append(root)
+        source = f"{root}/src"
+        # One parquet scan for the <=80-row working set; the commit
+        # sources slice the checkpointed frame (same relations).
+        seed = docs.filter(F.col("doc_id") < 80).localCheckpoint(eager=True)
+        merge_append(spark, source, seed.filter(F.col("doc_id") < 40), ["doc_id"])
+        merge_upsert(
+            spark,
+            source,
+            seed.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u1"))),
+            ["doc_id"],
+        )
+        merge_upsert(
+            spark,
+            source,
+            seed.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+            .withColumn("source", F.concat(F.col("source"), F.lit("_u2"))),
+            ["doc_id"],
+        )
+        delete_where(spark, source, F.col("doc_id") < 10)
+        _REPL_SEED[sf_dir] = source
+    return _REPL_SEED[sf_dir]
 
 
 def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
@@ -2364,11 +2407,7 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF consumer pattern Delta documents for 100 TB tables."""
     import shutil
 
-    from stonkwhisperer_spark.sinks.writers import (
-        merge_append,
-        merge_upsert,
-        read_committed,
-    )
+    from stonkwhisperer_spark.sinks.writers import read_committed
     from stonkwhisperer_spark.sources.txlog_stream import TxlogChangeFeedDataSource
     from stonkwhisperer_spark.streaming.jobs import start_cdc_apply_stream
 
@@ -2376,31 +2415,12 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(TxlogChangeFeedDataSource)
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     scratch = scratch_dir("stonkw_txlog_repl_")
     try:
-        source = f"{scratch}/src"
-        # One parquet scan for the <=80-row working set; the commit
-        # sources slice the checkpointed frame (same relations).
-        seed = docs.filter(F.col("doc_id") < 80).localCheckpoint(eager=True)
-        merge_append(spark, source, seed.filter(F.col("doc_id") < 40), ["doc_id"])
-        merge_upsert(
-            spark,
-            source,
-            seed.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 60))
-            .withColumn("source", F.concat(F.col("source"), F.lit("_u1"))),
-            ["doc_id"],
-        )
-        merge_upsert(
-            spark,
-            source,
-            seed.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
-            .withColumn("source", F.concat(F.col("source"), F.lit("_u2"))),
-            ["doc_id"],
-        )
-        from stonkwhisperer_spark.sinks.writers import delete_where
-
-        delete_where(spark, source, F.col("doc_id") < 10)
+        # Shared read-only source seed (the _cdc_seed_table discipline):
+        # the stream only SUBSCRIBES to this table; the replica,
+        # checkpoints and txn ledger below stay per-query scratch.
+        source = _repl_seed_table(spark, sf_dir)
         replica = f"{scratch}/replica"
 
         from stonkwhisperer_spark.streaming.jobs import (

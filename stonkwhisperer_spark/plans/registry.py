@@ -151,8 +151,10 @@ _GATE_ORDER: list[str] = [
     #  semantic_clusters + semantic_dedup (r10 review refactor: the
     #  integer-centroid recipe extracted to _int_mean_vectors, shared
     #  with the RRF semantic side — behavior-identical, parity-green,
-    #  but the family's code changed), then the r6-stale cohort —
-    #  txlog family, tpch cubes, ohlcv, span_dedup, sq8, dsir)
+    #  but the family's code changed), txlog_stream_upsert (source
+    #  seed moved to the shared fixture — 7.2→4.5 s quarantined),
+    #  then the r6-stale cohort — txlog family, tpch cubes, ohlcv,
+    #  span_dedup, sq8, dsir)
 ]
 
 
