@@ -234,18 +234,20 @@ def q_flows_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         companies = spark.createDataFrame(
             [(f"c{i}", f"S{i}") for i in range(15)], "id string, ticker string"
         )
-        _news_raw(docs).coalesce(1).write.parquet(news_landing)
-        _posts_raw(docs).coalesce(1).write.parquet(posts_landing)
-        (
-            _bars_raw(ev)
-            .withColumn(
-                "timestamp",
-                F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-            )
-            .withColumnRenamed("event_id", "_arrival_id")
-            .coalesce(1)
-            .write.parquet(bars_landing)
-        )
+        landings = [
+            lambda: _news_raw(docs).coalesce(1).write.parquet(news_landing),
+            lambda: _posts_raw(docs).coalesce(1).write.parquet(posts_landing),
+            lambda: (
+                _bars_raw(ev)
+                .withColumn(
+                    "timestamp",
+                    F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                )
+                .withColumnRenamed("event_id", "_arrival_id")
+                .coalesce(1)
+                .write.parquet(bars_landing)
+            ),
+        ]
 
         flows = [
             ("news", lambda t: news_flow(spark, news_landing, t, arrival_in_data=True)),
@@ -262,17 +264,28 @@ def q_flows_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ]
-        audit_rows = []
-        targets = {}
-        with _stream_shuffle_width(spark, 8):
-            for flow, run in flows:
-                target = f"{scratch}/target_{flow}"
-                first, rerun = run(target), run(target)
-                targets[flow] = target
-                audit_rows.append(
-                    (flow, "audit", "inserted", None, None, None, None,
-                     float(first), float(rerun), None)
-                )
+
+        # Same concurrency shape as flows_e2e: the landing drops and
+        # the three flows are independent DAGs on disjoint targets —
+        # Spark's scheduler interleaves the jobs; each flow's rerun
+        # stays serial after its first run (idempotence is per-target).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_twice(flow_and_fn):
+            flow, run = flow_and_fn
+            target = f"{scratch}/target_{flow}"
+            return (flow, target, run(target), run(target))
+
+        with _stream_shuffle_width(spark, 8), ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda w: w(), landings):
+                pass
+            results = list(pool.map(run_twice, flows))
+        targets = {flow: target for flow, target, _, _ in results}
+        audit_rows = [
+            (flow, "audit", "inserted", None, None, None, None,
+             float(first), float(rerun), None)
+            for flow, _, first, rerun in results
+        ]
 
         dnull = F.lit(None).cast("double")
         ntz = lambda c: F.col(c).cast("timestamp_ntz")  # noqa: E731
