@@ -103,6 +103,7 @@ def jaccard_pairs_prefix(
     threshold_num: int = 4,
     threshold_den: int = 5,
     max_doc_freq: int | None = None,
+    guard_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
     Xiao et al., WWW'08): identical output to :func:`jaccard_pairs`
@@ -146,8 +147,13 @@ def jaccard_pairs_prefix(
     before anything else runs — the same (LOSSY: capped shingles also
     leave the verify intersection, so jaccard is computed over the
     surviving shingle space) escape hatch as :func:`jaccard_pairs` —
-    or use the MinHash path, whose state is constant-size
-    signatures."""
+    or use the MinHash path, whose state is constant-size signatures.
+    ``guard_doc_freq`` is the LOSSLESS middle ground: results are
+    byte-identical to the unguarded run, but any shingle whose df
+    exceeds the bound raises a diagnostic error in-plan (naming the
+    shingle and its df) instead of letting one task's aggregation
+    state grow silently toward an opaque executor OOM — the fail-loud
+    contract for corpora whose stop-shingle profile is unknown."""
     from pyspark.sql.window import Window
 
     grouped = postings.groupBy("shingle").agg(
@@ -155,6 +161,31 @@ def jaccard_pairs_prefix(
     )
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("_ds") <= max_doc_freq)
+    if guard_doc_freq is not None:
+        # Applied once in the SHARED grouped subtree (all downstream
+        # branches consume `exploded` below, so exchange reuse holds).
+        grouped = grouped.select(
+            "shingle",
+            F.when(F.size("_ds") <= F.lit(guard_doc_freq), F.col("_ds"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "jaccard_pairs_prefix: shingle doc-frequency "
+                            f"guard ({guard_doc_freq}) exceeded by '"
+                        ),
+                        F.col("shingle"),
+                        F.lit("' (df="),
+                        F.size("_ds").cast("string"),
+                        F.lit(
+                            "); cap it with max_doc_freq or switch to the "
+                            "MinHash path"
+                        ),
+                    )
+                )
+            )
+            .alias("_ds"),
+        )
     # The one shared subtree: exploded grouped index with df attached.
     # Every downstream branch reads exactly this (same columns, same
     # lineage), so the expensive Exchange under `grouped` is reused.

@@ -12,6 +12,7 @@ rows-only (LR training is iterative, not SQL).
 from __future__ import annotations
 
 import shutil
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1405,6 +1406,10 @@ def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
 
 _CDC_SEED: dict[str, tuple[str, int]] = {}
 _REPL_SEED: dict[str, str] = {}
+# Same build-once-under-concurrency contract as stream_fixtures._BUILD_LOCK
+# (ADVICE r10): flows run in thread pools, and a check-then-build race
+# would double-commit seed history into one txlog path.
+_SEED_LOCK = _threading.Lock()
 
 
 def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1414,7 +1419,11 @@ def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
     doc_id<10. The consumer only subscribes to the change feed (reads),
     so one build per (process, sf_dir) serves every run — same
     discipline as _cdc_seed_table, same atexit cleanup."""
-    if sf_dir not in _REPL_SEED:
+    if sf_dir in _REPL_SEED:
+        return _REPL_SEED[sf_dir]
+    with _SEED_LOCK:
+        if sf_dir in _REPL_SEED:  # double-checked: a racer built it
+            return _REPL_SEED[sf_dir]
         from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
         from stonkwhisperer_spark.sinks.writers import (
             delete_where,
@@ -1456,7 +1465,11 @@ def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     both — the same shared-ingest-fixture discipline as
     plans/stream_fixtures.py, whose atexit cleanup this reuses.
     Returns (target_path, v1 subscription point)."""
-    if sf_dir not in _CDC_SEED:
+    if sf_dir in _CDC_SEED:
+        return _CDC_SEED[sf_dir]
+    with _SEED_LOCK:
+        if sf_dir in _CDC_SEED:  # double-checked: a racer built it
+            return _CDC_SEED[sf_dir]
         from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")

@@ -1751,11 +1751,19 @@ def q_near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally excluded because a frequent shingle is in almost no
     one's rarest-20%; verification is O(candidates), and every shuffle
     key is hash-uniform. The exact-dedup scale path when MinHash's
-    approximation is not acceptable."""
+    approximation is not acceptable. The grouped index still buffers
+    one sorted id list per shingle for df/size/verify, so the run
+    carries a LOSSLESS fail-loud guard (ADVICE r10): a shingle whose
+    df exceeds 1M raises a diagnostic naming it instead of growing one
+    task's aggregation state toward an opaque OOM — results are
+    byte-identical whenever the guard passes (pinned in pytest)."""
     from stonkwhisperer_spark.operators.dedup import jaccard_pairs_prefix
 
     return jaccard_pairs_prefix(
-        _postings(spark, sf_dir), threshold_num=4, threshold_den=5
+        _postings(spark, sf_dir),
+        threshold_num=4,
+        threshold_den=5,
+        guard_doc_freq=1_000_000,
     )
 
 

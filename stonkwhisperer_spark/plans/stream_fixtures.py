@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import atexit
 import shutil
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +40,13 @@ N_BATCHES = 3  # >= 3 keeps real merge coverage (first fold + 2 refolds)
 
 _LANDINGS: dict[tuple[str, str], str] = {}
 _ROOTS: list[str] = []
+# Build-once contract under CONCURRENT callers (ADVICE r10):
+# flows_e2e_state already runs flow work in thread pools, and two
+# threads racing the check-then-build below would both append shard
+# files into one landing path, breaking the exactly-N_BATCHES part-file
+# layout the maxFilesPerTrigger=1 drains depend on. One lock serializes
+# builds; reads after publication are lock-free dict hits.
+_BUILD_LOCK = threading.Lock()
 
 
 def _cleanup() -> None:
@@ -52,7 +60,11 @@ atexit.register(_cleanup)
 def docs_landing(spark: SparkSession, sf_dir: str) -> str:
     """N_BATCHES-file landing of (doc_id, source, text, n_chars)."""
     key = ("docs", sf_dir)
-    if key not in _LANDINGS:
+    if key in _LANDINGS:
+        return _LANDINGS[key]
+    with _BUILD_LOCK:
+        if key in _LANDINGS:  # double-checked: a racer built it
+            return _LANDINGS[key]
         root = scratch_dir("stonkw_fixture_docs_")
         _ROOTS.append(root)
         path = f"{root}/landing"
@@ -75,7 +87,11 @@ def token_landing(spark: SparkSession, sf_dir: str) -> str:
     bloom vocabulary probes) read this landing directly instead of
     re-tokenizing the corpus."""
     key = ("tokens", sf_dir)
-    if key not in _LANDINGS:
+    if key in _LANDINGS:
+        return _LANDINGS[key]
+    with _BUILD_LOCK:
+        if key in _LANDINGS:  # double-checked: a racer built it
+            return _LANDINGS[key]
         from stonkwhisperer_spark.functions.hashing import tokens_of
         from stonkwhisperer_spark.functions.text import clean_text_for_nlp
 

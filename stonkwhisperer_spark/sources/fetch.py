@@ -48,6 +48,34 @@ FETCH_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# Default retry pacing. The reference's Celery ``countdown=30`` is a
+# NON-blocking requeue of the whole batch (extraction.py:229-236); a
+# literal 30 s default here would instead block a Spark task thread for
+# up to ~60 s per persistently-failing URL wave. The in-engine default
+# is therefore a small exponential schedule (1 s, 2 s, capped); pass
+# ``backoff_sec=30.0, backoff_exponential=False`` for documented
+# reference-parity pacing.
+DEFAULT_BACKOFF_SEC = 1.0
+DEFAULT_BACKOFF_CAP_SEC = 30.0
+
+
+def backoff_delay(
+    attempt: int,
+    backoff_sec: float = DEFAULT_BACKOFF_SEC,
+    backoff_cap_sec: float = DEFAULT_BACKOFF_CAP_SEC,
+    exponential: bool = True,
+) -> float:
+    """Seconds to sleep after failed attempt ``attempt`` (0-based).
+    Exponential doubling from ``backoff_sec`` capped at
+    ``backoff_cap_sec``; flat ``backoff_sec`` when ``exponential`` is
+    False (the reference-parity schedule)."""
+    if backoff_sec <= 0:
+        return 0.0
+    if not exponential:
+        return min(backoff_sec, backoff_cap_sec)
+    return min(backoff_sec * (2.0**attempt), backoff_cap_sec)
+
+
 _DROP_BLOCKS = re.compile(
     r"<(script|style|head|noscript)\b[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
 )
@@ -79,7 +107,8 @@ def _fetch_batch_urllib(
     timeout: float,
     max_workers: int = 16,
     retries: int = 3,
-    backoff_sec: float = 30.0,
+    backoff_sec: float = DEFAULT_BACKOFF_SEC,
+    backoff_exponential: bool = True,
 ) -> list[tuple[str, str | None, str]]:
     """Stdlib network client: thread-pooled GETs (urllib blocks, so
     threads supply the concurrency asyncio gives httpx), per-URL
@@ -88,10 +117,13 @@ def _fetch_batch_urllib(
     Retry contract (reference extraction.py:229-236 — Celery
     ``max_retries=3`` with a 30 s countdown): TRANSIENT failures —
     connection errors, per-URL timeouts, HTTP 5xx — are retried up to
-    ``retries`` total attempts with ``backoff_sec`` between attempts;
-    a DETERMINISTIC rejection (HTTP 4xx) is returned immediately, and
-    after exhaustion the row defaults to (content=None, last error
-    status) without affecting any other URL in the batch."""
+    ``retries`` total attempts, pacing each wait with
+    :func:`backoff_delay` (small exponential default; Celery's flat
+    30 s requeue is non-blocking there but would pin a task thread
+    here, so the flat schedule is opt-in); a DETERMINISTIC rejection
+    (HTTP 4xx) is returned immediately, and after exhaustion the row
+    defaults to (content=None, last error status) without affecting
+    any other URL in the batch."""
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
     from urllib.error import HTTPError, URLError
@@ -124,7 +156,9 @@ def _fetch_batch_urllib(
             except OSError as e:
                 last = f"error:{type(e).__name__}"
             if attempt + 1 < max(1, retries) and backoff_sec > 0:
-                _time.sleep(backoff_sec)
+                _time.sleep(
+                    backoff_delay(attempt, backoff_sec, exponential=backoff_exponential)
+                )
         return (u, None, last)
 
     if not urls:
@@ -137,12 +171,18 @@ async def _fetch_batch_httpx(  # pragma: no cover
     urls: list[str],
     timeout: float,
     retries: int = 3,
-    backoff_sec: float = 30.0,
+    backoff_sec: float = DEFAULT_BACKOFF_SEC,
+    backoff_exponential: bool = True,
 ):
-    """httpx twin of _fetch_batch_urllib — the SAME retry contract
-    (transient = connection/timeout/5xx retried with backoff; 4xx and
-    other deterministic rejections returned immediately), so results
-    do not depend on which backend a machine happens to have."""
+    """httpx twin of _fetch_batch_urllib — the SAME retry SCHEDULE and
+    status classification (success = any final 2xx body; transient =
+    connection/timeout/socket errors and 5xx, retried with
+    :func:`backoff_delay`; 4xx and other deterministic rejections
+    returned immediately). Exception TYPE STRINGS in failure statuses
+    still differ per backend (httpx.ConnectError vs URLError) — the
+    parity claim covers the retry schedule and the
+    success/transient/deterministic classification, not the error
+    labels."""
     import asyncio
 
     async with httpx.AsyncClient(follow_redirects=True, timeout=timeout) as client:
@@ -151,17 +191,27 @@ async def _fetch_batch_httpx(  # pragma: no cover
             for attempt in range(max(1, retries)):
                 try:
                     r = await client.get(u)
-                    if r.status_code == 200:
-                        return (u, r.text, "200")
+                    # Any final 2xx returns the body — urllib's urlopen
+                    # succeeds for the whole 2xx class, so a 201/204
+                    # must not fall into the deterministic-reject arm
+                    # on this backend only.
+                    if 200 <= r.status_code < 300:
+                        return (u, r.text, str(r.status_code))
                     if r.status_code < 500:  # 4xx: deterministic
                         return (u, None, str(r.status_code))
                     last = str(r.status_code)
-                except (httpx.TransportError,) as e:  # conn/timeout: transient
+                except (httpx.TransportError, OSError) as e:
+                    # conn/timeout/socket: transient — OSError included
+                    # to match the urllib arm's transient set.
                     last = f"error:{type(e).__name__}"
                 except Exception as e:  # noqa: BLE001 — deterministic (bad URL etc.)
                     return (u, None, f"error:{type(e).__name__}")
                 if attempt + 1 < max(1, retries) and backoff_sec > 0:
-                    await asyncio.sleep(backoff_sec)
+                    await asyncio.sleep(
+                        backoff_delay(
+                            attempt, backoff_sec, exponential=backoff_exponential
+                        )
+                    )
             return (u, None, last)
 
         return await asyncio.gather(*(one(u) for u in urls))
@@ -174,7 +224,8 @@ def fetch_url_content(
     backend: str | None = None,
     extract: bool = False,
     retries: int = 3,
-    backoff_sec: float = 30.0,
+    backoff_sec: float = DEFAULT_BACKOFF_SEC,
+    backoff_exponential: bool = True,
 ) -> DataFrame:
     """S4/S5: enrich each row's url with fetched content. One concurrent
     batch per partition (the reference's Celery batch = our partition);
@@ -183,10 +234,14 @@ def fetch_url_content(
     ``backend``: None → httpx if installed else urllib; or force
     'httpx' / 'urllib' / 'stub'. ``extract=True`` applies the HTML→text
     extractor to successful fetches (S5's fetch+extract contract).
-    ``timeout``/``retries``/``backoff_sec`` default to the reference's
-    15 s per-URL timeout and 3-attempt/30 s retry policy
-    (extraction.py:229-236, 339); transient failures retry, 4xx
-    returns immediately, exhaustion defaults the row to null content.
+    ``timeout``/``retries`` default to the reference's 15 s per-URL
+    timeout and 3-attempt retry policy (extraction.py:229-236, 339);
+    transient failures retry, 4xx returns immediately, exhaustion
+    defaults the row to null content. Retry pacing defaults to a small
+    exponential schedule (:func:`backoff_delay`) because a flat 30 s
+    sleep would block executor task threads where Celery's countdown
+    only requeues; ``backoff_sec=30.0, backoff_exponential=False`` is
+    the documented reference-parity opt-in.
 
     Returns (url, content, fetch_status); join back on url for the
     metadata-preserving variant (J1's url-equi respec)."""
@@ -203,12 +258,20 @@ def fetch_url_content(
 
                 rows = asyncio.run(
                     _fetch_batch_httpx(
-                        urls, timeout, retries=retries, backoff_sec=backoff_sec
+                        urls,
+                        timeout,
+                        retries=retries,
+                        backoff_sec=backoff_sec,
+                        backoff_exponential=backoff_exponential,
                     )
                 )
             elif backend == "urllib":
                 rows = _fetch_batch_urllib(
-                    urls, timeout, retries=retries, backoff_sec=backoff_sec
+                    urls,
+                    timeout,
+                    retries=retries,
+                    backoff_sec=backoff_sec,
+                    backoff_exponential=backoff_exponential,
                 )
             else:
                 rows = _fetch_batch_stub(urls)

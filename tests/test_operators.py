@@ -1394,3 +1394,24 @@ def test_prefix_filter_is_lossless_vs_plain_jaccard(spark):
     assert (1, 3) in plain          # 9/11 = 0.818, barely over
     assert (1, 7) not in plain      # 8/12 = 0.667, under
     assert not any(5 in k or 6 in k for k in plain)  # hot-head-only / disjoint
+
+    # guard_doc_freq (ADVICE r10): a PASSING guard is a no-op — the
+    # byte-identical pair set — while an exceeded guard fails loudly
+    # with a diagnostic naming the hot shingle, instead of silently
+    # growing one task's aggregation state. Hottest shingle here is
+    # s0 (docs 1,2,3,4,5,7,8 → df=7).
+    guarded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_prefix(
+            postings, threshold_num=4, threshold_den=5, guard_doc_freq=7
+        ).collect()
+    }
+    assert guarded == pref
+    import pytest
+
+    # AQE may wrap USER_RAISED_EXCEPTION in a stage-materialization
+    # error, so match the diagnostic text, not the exception class.
+    with pytest.raises(Exception, match="doc-frequency guard"):
+        jaccard_pairs_prefix(
+            postings, threshold_num=4, threshold_den=5, guard_doc_freq=6
+        ).collect()

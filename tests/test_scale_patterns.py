@@ -137,3 +137,28 @@ def test_stream_fixtures_build_once_and_shard_layout(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_fixtures_concurrent_first_build(spark):
+    """Build-once holds under CONCURRENT first callers (ADVICE r10):
+    N threads racing the cold cache must produce ONE landing with
+    exactly N_BATCHES part files — without the _BUILD_LOCK, racers
+    each append their own shard set into the same path and the
+    maxFilesPerTrigger=1 micro-batch contract breaks."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stonkwhisperer_spark.plans import stream_fixtures as sfx
+
+    sf = "/root/testdata/sf0.001"
+    key = ("docs", sf)
+    prior = sfx._LANDINGS.pop(key, None)  # force a cold first build
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            paths = list(pool.map(lambda _: sfx.docs_landing(spark, sf), range(4)))
+        assert len(set(paths)) == 1
+        parts = [f for f in os.listdir(paths[0]) if f.startswith("part-")]
+        assert len(parts) == sfx.N_BATCHES
+    finally:
+        if prior is not None:
+            sfx._LANDINGS[key] = prior

@@ -309,6 +309,28 @@ def test_fetch_retry_and_timeout_semantics():
         server.server_close()
 
 
+def test_fetch_backoff_schedule():
+    """Retry pacing contract (ADVICE r10): the in-engine default is a
+    small exponential schedule — 1 s, 2 s, 4 s … capped at 30 s — so a
+    partition of persistently-failing URLs never blocks its task thread
+    for the reference's flat 30 s Celery countdown unless the caller
+    opts into reference-parity pacing explicitly."""
+    from stonkwhisperer_spark.sources.fetch import (
+        DEFAULT_BACKOFF_CAP_SEC,
+        DEFAULT_BACKOFF_SEC,
+        backoff_delay,
+    )
+
+    assert DEFAULT_BACKOFF_SEC == 1.0 and DEFAULT_BACKOFF_CAP_SEC == 30.0
+    assert [backoff_delay(a) for a in range(7)] == [1, 2, 4, 8, 16, 30, 30]
+    # Reference-parity opt-in: flat 30 s per wait.
+    assert [backoff_delay(a, 30.0, exponential=False) for a in range(3)] == [30, 30, 30]
+    # Zero/negative disables sleeping entirely (the test-suite path).
+    assert backoff_delay(5, 0.0) == 0.0 and backoff_delay(5, -1.0) == 0.0
+    # Cap respected for a custom base too.
+    assert backoff_delay(10, 0.5, backoff_cap_sec=8.0) == 8.0
+
+
 def test_extract_article_text_pure():
     from stonkwhisperer_spark.sources.fetch import extract_article_text
 
