@@ -701,6 +701,99 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ivf_assign_incremental — ANN-index MAINTENANCE (VERDICT r10 task 5):
+# the IVF assignment table is persisted state; new/revised embeddings
+# are assigned against the FROZEN coarse quantizer and MERGEd in,
+# never triggering a full re-assignment. The oracle replays the full
+# from-scratch assignment of the final corpus, so the hash pins
+# incremental == rebuild under a frozen quantizer.
+# --------------------------------------------------------------------------
+@register(
+    "ivf_assign_incremental",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS cn
+      FROM embeddings WHERE vec_id % 64 = 1
+    ),
+    v AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS vn
+      FROM embeddings
+    ),
+    ascore AS (
+      SELECT v.vec_id, c.cent_id,
+             {_DOT.format(a='v.embedding', b='c.cv')} / (v.vn * c.cn) AS cos
+      FROM v, cents c
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cent_id AS cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+      FROM ascore) WHERE rn = 1
+    """,
+)
+def q_ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF coarse-assignment maintenance: the base corpus
+    (vec_id % 4 != 0) commits its (vec_id, cell) assignments — under a
+    quantizer FROZEN at base-resident seeds (vec_id % 64 == 1, so no
+    centroid sits in the incoming batch) — plus STALE placeholder
+    assignments (cell = 1, an older quantizer's output) for half the
+    batch (vec_id % 8 == 0, since-revised embeddings); the incoming
+    batch (vec_id % 4 == 0) is then assigned against the same frozen
+    centroids and MERGEd keyed on vec_id — stale rows take the update
+    arm, unseen vectors (vec_id % 8 == 4) the insert arm, both
+    asserted non-empty. The final table must hash-equal the oracle's
+    from-scratch assignment of the whole corpus.
+
+    Scale: this is the FAISS deployment contract — the coarse
+    quantizer trains once (here: deterministic seeds; production:
+    MLlib KMeans on a sample) and then ingest cost is O(batch) — each
+    vector scores k broadcast centroids map-side, one partial-agg
+    argmax, one keyed MERGE into the assignment table — while search
+    (ivf_topk_embeddings) reads the maintained table. Re-clustering is
+    a deliberate offline event (the replace path), never an ingest
+    side effect."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.similarity import ivf_assign
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = emb.filter(F.col("vec_id") % 64 == 1).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    base_assign = ivf_assign(
+        emb.filter(F.col("vec_id") % 4 != 0), cents, dim=_DIM
+    ).select("vec_id", "cell")
+    stale = (
+        emb.filter(F.col("vec_id") % 8 == 0)
+        .select("vec_id", F.lit(1).cast("bigint").alias("cell"))
+    )
+    batch_assign = ivf_assign(
+        emb.filter(F.col("vec_id") % 4 == 0), cents, dim=_DIM
+    ).select("vec_id", "cell")
+    scratch = scratch_dir("stonkw_ivf_assign_")
+    try:
+        target = f"{scratch}/assign"
+        merge_append(spark, target, base_assign.unionByName(stale), ["vec_id"])
+        inserted, updated = merge_upsert(spark, target, batch_assign, ["vec_id"])
+        if inserted == 0 or updated == 0:
+            raise AssertionError(
+                f"MERGE arms not both exercised: inserted={inserted}, "
+                f"updated={updated}"
+            )
+        rows = read_committed(spark, target).select("vec_id", "cell").collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id bigint, cell bigint")
+
+
+# --------------------------------------------------------------------------
 # IVF×PQ — the composed FAISS IVF-PQ configuration (VERDICT r7 task 3):
 # coarse cells prune candidates, PQ codes score the survivors.
 # --------------------------------------------------------------------------

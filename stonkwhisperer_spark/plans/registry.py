@@ -71,90 +71,91 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 10: the three-flow pipeline's hash companion,
-    #    and BM25 top-k retrieval (integer-exact fixed-point scoring) --
-    "flows_e2e_state",
+    # -- new in round 11: retrieval-index MAINTENANCE twins (VERDICT
+    #    r10 task 5) — persisted inverted-index / IVF-assignment tables
+    #    maintained through the txlog MERGE path, hash-gated against
+    #    from-scratch rebuilds --
+    "bm25_index_upsert",
+    "ivf_assign_incremental",
+    # -- the four round-10 debuts that registered after the r10 window
+    #    froze (VERDICT r10 task 1): first driver-recorded rows --
+    "pagerank_part_supplier",
+    "rrf_hybrid_retrieval",
+    "leakage_safe_split",
+    "lm_perplexity_scores",
+    # -- changed in round 11: bm25_scored factored into bm25_tf_index +
+    #    bm25_score_index (one token-stream shuffle instead of three;
+    #    shared with bm25_index_upsert and the RRF lexical side), and
+    #    near_dup_jaccard_prefix now runs under the lossless
+    #    guard_doc_freq fail-loud bound (ADVICE r10) --
     "bm25_topk_docs",
-    # -- never gated: displaced from the r9 window (its chain was
-    #    gated through streaming_hll, but the query deserves its own
-    #    recorded row — VERDICT r9 task 1) --
-    "hll_vocab_cardinality",
-    # -- changed in round 10 (shared stream fixture + 3-batch drains
-    #    for the five stream-maintained sketches; shared CDC seed for
-    #    the stream source; jaccard_pairs_prefix rebuilt on the grouped
-    #    inverted index — probed real 1.49x regression, now 0.82x of
-    #    ref): re-confirm. curation_e2e's CODE is unchanged since its
-    #    r9 green row (the r9 5.30 s was suite contention from the
-    #    now-trimmed streaming drains — probe table in
-    #    docs/BENCH_METHOD.md), so its precautionary slot went to the
-    #    bm25 debut; its ≤5 s target is graded from BENCH_r10. --
-    "streaming_sketch",
-    "streaming_cms",
-    "streaming_hll",
-    "streaming_quantiles",
-    "streaming_bloom",
-    "txlog_stream_cdc",
     "near_dup_jaccard_prefix",
-    # -- the full r5-stale cohort (VERDICT r9 task 1: newest green row
-    #    round 5 for all 39; api_ingest_e2e / asof_next_sentiment /
-    #    ivf_topk_embeddings are also the displaced r8-window
-    #    re-entries) plus pq_topk_embeddings (changed r8, gated only
-    #    through the ivfpq/ivfsq8 composites since) --
-    "api_ingest_e2e",
-    "asof_next_sentiment",
-    "pq_topk_embeddings",
-    "ivf_topk_embeddings",
-    "asof_sentiment_bars",
-    "bars_clean",
-    "bars_enrich",
-    "clean_documents",
-    "click_buy_reconcile",
-    "clickers_minus_buyers",
-    "dedup_keep_first",
-    "dedup_low_card",
-    "distinct_event_types",
-    "doc_fingerprints",
-    "doc_repetition",
-    "doc_shingles",
-    "embedding_lsh_buckets",
-    "embedding_near_dup",
-    "event_type_stats_salted",
-    "event_weighted_stats_udaf",
-    "events_in_promo_windows",
-    "events_in_promo_windows_grid",
-    "events_props_parsed",
-    "events_schema_evolution_union",
-    "fuzzy_near_dups",
-    "knn_embeddings",
-    "minhash_band_candidates",
-    "nation_market_share",
-    "new_urls_anti",
-    "news_clean",
-    "pack_documents",
-    "part_supplier_counts",
-    "posts_clean",
-    "posts_link_articles",
-    "product_profit_by_nation",
-    "profile_documents",
-    "returned_item_customers",
-    "shipping_delay_priority",
-    "temperature_mixture",
-    "user_event_runs",
-    # (after this rotation every oracle-bearing query's newest green
-    #  row is r6+; round 11's window leads with the round-10 late
-    #  debuts pagerank_part_supplier, rrf_hybrid_retrieval,
-    #  leakage_safe_split and lm_perplexity_scores
-    #  (registered after the r10 window froze — full oracles,
-    #  parity-green at sf0.001/0.01/0.1 locally), txlog_cdc_replay
-    #  (seed build shared with txlog_stream_cdc from round 10 on),
-    #  curation_e2e (displaced here for the bm25 debut),
-    #  semantic_clusters + semantic_dedup (r10 review refactor: the
-    #  integer-centroid recipe extracted to _int_mean_vectors, shared
-    #  with the RRF semantic side — behavior-identical, parity-green,
-    #  but the family's code changed), txlog_stream_upsert (source
-    #  seed moved to the shared fixture — 7.2→4.5 s quarantined),
-    #  then the r6-stale cohort — txlog family, tpch cubes, ohlcv,
-    #  span_dedup, sq8, dsir)
+    # -- changed in round 10, displaced from its frozen window
+    #    (VERDICT r10 task 1): curation_e2e gave its slot to the bm25
+    #    debut; semantic pair shares the _int_mean_vectors extract;
+    #    txlog_stream_upsert / txlog_stream_cdc seeds moved to shared
+    #    fixtures (and round 11 put those fixture caches behind
+    #    double-checked build locks); streaming_sketch re-confirms the
+    #    locked stream_fixtures family for the five sketch drains
+    #    (identical build path, representative row) --
+    "curation_e2e",
+    "semantic_clusters",
+    "semantic_dedup",
+    "txlog_stream_upsert",
+    "txlog_stream_cdc",
+    "streaming_sketch",
+    # -- the full r6-stale cohort (newest recorded green row round 6
+    #    for all 35; txlog_cdc_replay additionally owed a re-gate since
+    #    its seed build became the shared fixture in round 10) --
+    "txlog_cdc_replay",
+    "txlog_cdc_delete_replay",
+    "txlog_cdc_update_replay",
+    "txlog_checkpoint_replay",
+    "txlog_constraints",
+    "txlog_dv_replay",
+    "txlog_generated",
+    "txlog_history",
+    "txlog_incremental_agg",
+    "txlog_rename_replay",
+    "txlog_replace_where",
+    "txlog_restore_replay",
+    "txlog_schema_evolution",
+    "txlog_skipping",
+    "txlog_skipping_2d",
+    "txlog_stream_sink",
+    "txlog_type_widening",
+    "txlog_update_replay",
+    "txlog_vacuum_replay",
+    "bigram_familiarity",
+    "bucketed_order_lineitem_join",
+    "corpus_shuffle",
+    "doc_chunks",
+    "doc_keywords",
+    "dsir_sample",
+    "histogram_quantiles",
+    "lineitem_status_cube",
+    "ohlcv_1min",
+    "pricing_summary",
+    "revenue_rollup",
+    "sentiment_closed_form",
+    "span_dedup",
+    "sq8_topk_embeddings",
+    "topk_newest_events",
+    "user_event_pivot",
+    # -- one r7 fill: the J1 parity baseline (oldest r7 row; its
+    #    distributed twin zip_docs_embeddings_dist is r9-green) --
+    "zip_docs_embeddings",
+    # (after this window closes, every oracle-bearing query's newest
+    #  green row is r7+ and the never-recorded set is exactly the
+    #  three no-oracle side-effecting surfaces, each with a hash-gated
+    #  companion: flows_e2e -> flows_e2e_state r10, txlog_e2e ->
+    #  txlog_e2e_state r9, sentiment_scores -> sentiment_closed_form
+    #  r11. Round 12's window should rotate the remaining r7 cohort
+    #  (~42: tpch quantile/rank family, streaming_{dedup,join,ohlcv,
+    #  sessions}, txlog_{bloom_lookup,clone_replay,merge_evolve,
+    #  merge_sync_replay}, media_manifest, gapfill_events, vwap_1min,
+    #  kmv_distinct_estimate, simhash_signatures, ...) plus whatever
+    #  round 11 changed.)
 ]
 
 
