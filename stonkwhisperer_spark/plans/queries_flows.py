@@ -12,7 +12,6 @@ rows-only (LR training is iterative, not SQL).
 from __future__ import annotations
 
 import shutil
-import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1406,10 +1405,6 @@ def _build_cdc_table(spark: SparkSession, docs: DataFrame, target: str) -> int:
 
 _CDC_SEED: dict[str, tuple[str, int]] = {}
 _REPL_SEED: dict[str, str] = {}
-# Same build-once-under-concurrency contract as stream_fixtures._BUILD_LOCK
-# (ADVICE r10): flows run in thread pools, and a check-then-build race
-# would double-commit seed history into one txlog path.
-_SEED_LOCK = _threading.Lock()
 
 
 def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1418,12 +1413,11 @@ def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
     upsert [40,80) new image + insert [60,80) ``_u2`` → DELETE
     doc_id<10. The consumer only subscribes to the change feed (reads),
     so one build per (process, sf_dir) serves every run — same
-    discipline as _cdc_seed_table, same atexit cleanup."""
-    if sf_dir in _REPL_SEED:
-        return _REPL_SEED[sf_dir]
-    with _SEED_LOCK:
-        if sf_dir in _REPL_SEED:  # double-checked: a racer built it
-            return _REPL_SEED[sf_dir]
+    discipline as _cdc_seed_table, same atexit cleanup and build-once
+    lock (stream_fixtures.build_once, ADVICE r10)."""
+    from stonkwhisperer_spark.plans.stream_fixtures import build_once
+
+    def _build() -> str:
         from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
         from stonkwhisperer_spark.sinks.writers import (
             delete_where,
@@ -1454,8 +1448,9 @@ def _repl_seed_table(spark: SparkSession, sf_dir: str) -> str:
             ["doc_id"],
         )
         delete_where(spark, source, F.col("doc_id") < 10)
-        _REPL_SEED[sf_dir] = source
-    return _REPL_SEED[sf_dir]
+        return source
+
+    return build_once(_REPL_SEED, sf_dir, _build)
 
 
 def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
@@ -1463,13 +1458,11 @@ def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     (batch ``table_changes`` replay and the streaming source) only
     READ the seed table, so one build per (process, sf_dir) serves
     both — the same shared-ingest-fixture discipline as
-    plans/stream_fixtures.py, whose atexit cleanup this reuses.
-    Returns (target_path, v1 subscription point)."""
-    if sf_dir in _CDC_SEED:
-        return _CDC_SEED[sf_dir]
-    with _SEED_LOCK:
-        if sf_dir in _CDC_SEED:  # double-checked: a racer built it
-            return _CDC_SEED[sf_dir]
+    plans/stream_fixtures.py, whose atexit cleanup and build-once lock
+    this reuses. Returns (target_path, v1 subscription point)."""
+    from stonkwhisperer_spark.plans.stream_fixtures import build_once
+
+    def _build() -> tuple[str, int]:
         from stonkwhisperer_spark.plans.stream_fixtures import _ROOTS
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1477,8 +1470,9 @@ def _cdc_seed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         _ROOTS.append(root)
         target = f"{root}/t"
         v1 = _build_cdc_table(spark, docs, target)
-        _CDC_SEED[sf_dir] = (target, v1)
-    return _CDC_SEED[sf_dir]
+        return (target, v1)
+
+    return build_once(_CDC_SEED, sf_dir, _build)
 
 
 @register("txlog_cdc_replay", oracle=_TXLOG_CDC_ORACLE)

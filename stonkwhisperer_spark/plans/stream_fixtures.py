@@ -42,11 +42,28 @@ _LANDINGS: dict[tuple[str, str], str] = {}
 _ROOTS: list[str] = []
 # Build-once contract under CONCURRENT callers (ADVICE r10):
 # flows_e2e_state already runs flow work in thread pools, and two
-# threads racing the check-then-build below would both append shard
-# files into one landing path, breaking the exactly-N_BATCHES part-file
-# layout the maxFilesPerTrigger=1 drains depend on. One lock serializes
-# builds; reads after publication are lock-free dict hits.
+# threads racing a check-then-build would both append shard files into
+# one landing path, breaking the exactly-N_BATCHES part-file layout the
+# maxFilesPerTrigger=1 drains depend on. One lock serializes builds;
+# reads after publication are lock-free dict hits.
 _BUILD_LOCK = threading.Lock()
+
+
+def build_once(cache, key, build):
+    """Double-checked build-once: return ``cache[key]``, constructing
+    it with ``build()`` under the shared fixture lock if absent. Every
+    per-process fixture cache (the stream landings here, the CDC /
+    replication seeds in queries_flows) routes through this so the
+    build-once-under-concurrency contract lives in ONE place. ``build``
+    must not itself call build_once — the lock is not reentrant, and
+    fixture builds are deliberately flat."""
+    if key in cache:
+        return cache[key]
+    with _BUILD_LOCK:
+        if key in cache:  # double-checked: a racer built it
+            return cache[key]
+        cache[key] = build()
+    return cache[key]
 
 
 def _cleanup() -> None:
@@ -59,12 +76,8 @@ atexit.register(_cleanup)
 
 def docs_landing(spark: SparkSession, sf_dir: str) -> str:
     """N_BATCHES-file landing of (doc_id, source, text, n_chars)."""
-    key = ("docs", sf_dir)
-    if key in _LANDINGS:
-        return _LANDINGS[key]
-    with _BUILD_LOCK:
-        if key in _LANDINGS:  # double-checked: a racer built it
-            return _LANDINGS[key]
+
+    def _build() -> str:
         root = scratch_dir("stonkw_fixture_docs_")
         _ROOTS.append(root)
         path = f"{root}/landing"
@@ -75,8 +88,9 @@ def docs_landing(spark: SparkSession, sf_dir: str) -> str:
             docs.filter(F.col("doc_id") % N_BATCHES == i).coalesce(1).write.mode(
                 "append"
             ).parquet(path)
-        _LANDINGS[key] = path
-    return _LANDINGS[key]
+        return path
+
+    return build_once(_LANDINGS, ("docs", sf_dir), _build)
 
 
 def token_landing(spark: SparkSession, sf_dir: str) -> str:
@@ -86,12 +100,8 @@ def token_landing(spark: SparkSession, sf_dir: str) -> str:
     the regex chain again. Batch-side consumers (CMS true counts,
     bloom vocabulary probes) read this landing directly instead of
     re-tokenizing the corpus."""
-    key = ("tokens", sf_dir)
-    if key in _LANDINGS:
-        return _LANDINGS[key]
-    with _BUILD_LOCK:
-        if key in _LANDINGS:  # double-checked: a racer built it
-            return _LANDINGS[key]
+
+    def _build() -> str:
         from stonkwhisperer_spark.functions.hashing import tokens_of
         from stonkwhisperer_spark.functions.text import clean_text_for_nlp
 
@@ -114,5 +124,6 @@ def token_landing(spark: SparkSession, sf_dir: str) -> str:
                 "append"
             ).parquet(path)
         shutil.rmtree(staging, ignore_errors=True)
-        _LANDINGS[key] = path
-    return _LANDINGS[key]
+        return path
+
+    return build_once(_LANDINGS, ("tokens", sf_dir), _build)

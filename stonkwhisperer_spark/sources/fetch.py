@@ -68,11 +68,12 @@ def backoff_delay(
     """Seconds to sleep after failed attempt ``attempt`` (0-based).
     Exponential doubling from ``backoff_sec`` capped at
     ``backoff_cap_sec``; flat ``backoff_sec`` when ``exponential`` is
-    False (the reference-parity schedule)."""
+    False (the reference-parity schedule — the caller chose that exact
+    wait, so the cap does not apply to it)."""
     if backoff_sec <= 0:
         return 0.0
     if not exponential:
-        return min(backoff_sec, backoff_cap_sec)
+        return backoff_sec
     return min(backoff_sec * (2.0**attempt), backoff_cap_sec)
 
 
@@ -200,6 +201,12 @@ async def _fetch_batch_httpx(  # pragma: no cover
                     if r.status_code < 500:  # 4xx: deterministic
                         return (u, None, str(r.status_code))
                     last = str(r.status_code)
+                except (httpx.UnsupportedProtocol, httpx.InvalidURL) as e:
+                    # Structurally-invalid URL: DETERMINISTIC even though
+                    # UnsupportedProtocol subclasses TransportError — the
+                    # urllib arm rejects these immediately, and a retry
+                    # can never fix a malformed URL.
+                    return (u, None, f"error:{type(e).__name__}")
                 except (httpx.TransportError, OSError) as e:
                     # conn/timeout/socket: transient — OSError included
                     # to match the urllib arm's transient set.

@@ -323,8 +323,11 @@ def test_fetch_backoff_schedule():
 
     assert DEFAULT_BACKOFF_SEC == 1.0 and DEFAULT_BACKOFF_CAP_SEC == 30.0
     assert [backoff_delay(a) for a in range(7)] == [1, 2, 4, 8, 16, 30, 30]
-    # Reference-parity opt-in: flat 30 s per wait.
+    # Reference-parity opt-in: flat 30 s per wait. The flat schedule is
+    # the caller's EXPLICIT wait — the exponential cap never shortens it
+    # (a flat 60 s must stay 60 s, not silently become the 30 s cap).
     assert [backoff_delay(a, 30.0, exponential=False) for a in range(3)] == [30, 30, 30]
+    assert backoff_delay(0, 60.0, exponential=False) == 60.0
     # Zero/negative disables sleeping entirely (the test-suite path).
     assert backoff_delay(5, 0.0) == 0.0 and backoff_delay(5, -1.0) == 0.0
     # Cap respected for a custom base too.
