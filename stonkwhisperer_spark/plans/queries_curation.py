@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 from stonkwhisperer_spark.functions.hashing import portable_hash64_sql
 from stonkwhisperer_spark.functions.text import bpe_token_count_sql
 from stonkwhisperer_spark.plans.queries_llm import _POSTINGS_SQL, _postings
+from stonkwhisperer_spark.plans.queries_text import _CLEAN_TEXT
 from stonkwhisperer_spark.plans.registry import register
-from stonkwhisperer_spark.sources.tables import load_table
+from stonkwhisperer_spark.sources.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # Benchmark contamination: which training documents share enough 3-token
@@ -340,4 +341,166 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_PSAMP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_drift — distribution-shift monitoring between corpus snapshots:
+# the check a training pipeline runs BEFORE retraining on a grown corpus
+# ("did this ingest wave change what the model will see?"). Exact
+# total-variation distance over the token distribution, integer-exact so
+# the value hash is engine- and partition-order-independent.
+# --------------------------------------------------------------------------
+_DRIFT_TOP = 3  # most-shifted tokens reported per source
+_DRIFT_SCALE = 1_000_000_000  # TVD fixed-point scale (1e9)
+
+
+@register(
+    "corpus_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, tok FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    counts AS (
+      SELECT source, tok,
+             CAST(count(*) AS BIGINT) AS c2,
+             CAST(count(*) FILTER (WHERE doc_id % 4 != 0) AS BIGINT) AS c1
+      FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE c1 > 0) AS BIGINT) AS vocab_v1,
+             CAST(count(*) AS BIGINT) AS vocab_v2
+      FROM counts GROUP BY 1
+    ),
+    dev AS (
+      SELECT c.source, c.tok,
+             abs(CAST(c.c1 AS HUGEINT) * t.n2
+                 - CAST(c.c2 AS HUGEINT) * t.n1) AS dev
+      FROM counts c JOIN totals t USING (source)
+    ),
+    drift AS (
+      SELECT source, sum(dev) AS tvd_num FROM dev GROUP BY 1
+    ),
+    top_shift AS (
+      SELECT source, string_agg(tok, ',' ORDER BY dev DESC, tok) AS toks
+      FROM (
+        SELECT source, tok, dev,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY dev DESC, tok) AS rk
+        FROM dev
+      ) WHERE rk <= {_DRIFT_TOP}
+      GROUP BY source
+    )
+    SELECT t.source,
+           t.n1 AS n_tokens_v1,
+           t.n2 AS n_tokens_v2,
+           t.vocab_v1, t.vocab_v2,
+           CASE WHEN t.n1 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT)
+                ELSE CAST((CAST({_DRIFT_SCALE} AS HUGEINT) * d.tvd_num)
+                     // (2 * CAST(t.n1 AS HUGEINT) * t.n2)
+                     AS BIGINT) END AS tvd_e9,
+           s.toks AS top_shift_toks
+    FROM totals t
+    JOIN drift d USING (source)
+    JOIN top_shift s USING (source)
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot corpus drift: v1 = the curated corpus
+    before an ingest wave (doc_id % 4 != 0 — the same base/batch split
+    convention as incremental_dedup / bm25_index_upsert /
+    ivf_assign_incremental), v2 = the corpus after it. Per source:
+    token totals, vocabulary sizes, the EXACT total-variation distance
+    between the two token distributions (fixed-pointed at 1e9:
+    TVD = Σ|c1/N1 − c2/N2|/2 cross-multiplied to
+    Σ|c1·N2 − c2·N1| DIV (2·N1·N2) — pure DECIMAL(38,0) integer
+    arithmetic, no floats, so partial-agg order cannot drift the
+    hash), and the {_DRIFT_TOP} most-shifted tokens (ties on token).
+    A pipeline gates retraining or flags a poisoned/skewed ingest
+    batch when tvd_e9 jumps. A source with NO v1 mass (every doc of
+    that source arrived in the batch) reports tvd_e9 = 1e9 — total
+    shift by convention, since p1 is undefined there.
+
+    Scale: ONE tokenize pass; the only full-volume shuffle is the
+    (source, tok) count — everything after is vocabulary-sized
+    (per-source totals broadcast back; the top-k window partitions by
+    source over vocab-sized input, never the corpus stream). Decimal
+    headroom: N ≈ 1e14 tokens (100 TB) gives 1e9·2·N² ≈ 1e38 — at the
+    DECIMAL(38,0) edge; shard the TVD sum per (source, tok-hash bucket)
+    and divide per-bucket before summing if corpora outgrow it."""
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.functions.hashing import tokens_of
+    from stonkwhisperer_spark.functions.text import clean_text_for_nlp
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("decimal(38,0)").alias("c2"),
+        F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("c1"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c1").cast("decimal(38,0)").alias("n1"),
+        F.sum("c2").cast("decimal(38,0)").alias("n2"),
+        F.sum(F.when(F.col("c1") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_v1"),
+        F.count("*").cast("bigint").alias("vocab_v2"),
+    )
+    dev = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "tok",
+        F.expr("abs(c1 * n2 - c2 * n1)").alias("dev"),
+    )
+    drift = dev.groupBy("source").agg(
+        F.sum("dev").cast("decimal(38,0)").alias("tvd_num")
+    )
+    top_shift = (
+        dev.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("dev"), "tok")
+            ),
+        )
+        .filter(F.col("rk") <= _DRIFT_TOP)
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                ",",
+            ).alias("top_shift_toks")
+        )
+    )
+    return (
+        totals.join(drift, "source")
+        .join(top_shift, "source")
+        .select(
+            "source",
+            F.col("n1").cast("bigint").alias("n_tokens_v1"),
+            F.col("n2").cast("bigint").alias("n_tokens_v2"),
+            "vocab_v1",
+            "vocab_v2",
+            F.expr(
+                f"CASE WHEN n1 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT) "
+                f"ELSE CAST((CAST({_DRIFT_SCALE} AS DECIMAL(38,0)) * tvd_num) "
+                "DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT) END"
+            ).alias("tvd_e9"),
+            "top_shift_toks",
+        )
     )

@@ -150,9 +150,11 @@ _GATE_ORDER: list[str] = [
     #  three no-oracle side-effecting surfaces, each with a hash-gated
     #  companion: flows_e2e -> flows_e2e_state r10, txlog_e2e ->
     #  txlog_e2e_state r9, sentiment_scores -> sentiment_closed_form
-    #  r11. Round 12's window should rotate the remaining r7 cohort
-    #  (~42: tpch quantile/rank family, streaming_{dedup,join,ohlcv,
-    #  sessions}, txlog_{bloom_lookup,clone_replay,merge_evolve,
+    #  r11. Round 12's window should LEAD with corpus_drift (the one
+    #  round-11 debut registered after this window froze; parity-green
+    #  sf0.001/0.01/0.1 locally) and then rotate the remaining r7
+    #  cohort (~42: tpch quantile/rank family, streaming_{dedup,join,
+    #  ohlcv,sessions}, txlog_{bloom_lookup,clone_replay,merge_evolve,
     #  merge_sync_replay}, media_manifest, gapfill_events, vwap_1min,
     #  kmv_distinct_estimate, simhash_signatures, ...) plus whatever
     #  round 11 changed.)
