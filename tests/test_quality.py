@@ -59,3 +59,29 @@ def test_partition_pruning_on_written_layout(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "ingestion_date" in pf
+
+
+def test_corpus_drift_invariants(spark):
+    """corpus_drift contract pins beyond the oracle hash: tvd_e9 is a
+    valid fixed-point probability distance (0..1e9), v1 is a subset of
+    v2 (token totals and vocabulary are monotone), the no-v1-mass
+    convention reports full shift, and exactly top-3 shifted tokens are
+    reported per source."""
+    from stonkwhisperer_spark.plans.queries_curation import (
+        _DRIFT_SCALE,
+        _DRIFT_TOP,
+        q_corpus_drift,
+    )
+
+    rows = q_corpus_drift(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "drift frame empty"
+    for r in rows:
+        assert 0 <= r.tvd_e9 <= _DRIFT_SCALE
+        assert r.n_tokens_v1 <= r.n_tokens_v2
+        assert r.vocab_v1 <= r.vocab_v2
+        if r.n_tokens_v1 == 0:
+            assert r.tvd_e9 == _DRIFT_SCALE  # full shift by convention
+        # top shift list: exactly min(TOP, vocab) non-empty tokens
+        toks = r.top_shift_toks.split(",")
+        assert len(toks) == min(_DRIFT_TOP, r.vocab_v2)
+        assert all(toks)
