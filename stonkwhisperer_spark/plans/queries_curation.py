@@ -428,10 +428,12 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     that source arrived in the batch) reports tvd_e9 = 1e9 — total
     shift by convention, since p1 is undefined there.
 
-    Scale: ONE tokenize pass; the only full-volume shuffle is the
-    (source, tok) count — everything after is vocabulary-sized
-    (per-source totals broadcast back; the top-k window partitions by
-    source over vocab-sized input, never the corpus stream). Decimal
+    Scale: ONE tokenize pass — the (source, tok) count table is
+    localCheckpointed (vocab-sized) so its four consumers never re-run
+    the corpus scan — and the only full-volume shuffle is that count;
+    everything after is vocabulary-sized (per-source totals broadcast
+    back; the top-k window partitions by source over vocab-sized
+    input, never the corpus stream). Decimal
     headroom: N ≈ 1e14 tokens (100 TB) gives 1e9·2·N² ≈ 1e38 — at the
     DECIMAL(38,0) edge; shard the TVD sum per (source, tok-hash bucket)
     and divide per-bucket before summing if corpora outgrow it."""
@@ -446,11 +448,20 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(tokens_of(clean_text_for_nlp("text"))).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("source", "tok").agg(
-        F.count("*").cast("decimal(38,0)").alias("c2"),
-        F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
-        .cast("decimal(38,0)")
-        .alias("c1"),
+    # localCheckpoint: four consumers (totals, dev, drift, top_shift)
+    # with different column/aggregate shapes would each re-run the
+    # full-volume tokenize+count (per-branch pruning kills exchange
+    # reuse — the near_dup_jaccard_prefix r10 lesson); the checkpoint
+    # pins the ONE corpus pass and is only vocab-sized.
+    counts = (
+        toks.groupBy("source", "tok")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("c2"),
+            F.sum(F.when(F.col("doc_id") % 4 != 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("c1"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("source").agg(
         F.sum("c1").cast("decimal(38,0)").alias("n1"),
