@@ -240,18 +240,24 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (portable_hash64("tok", seed=_DSIR_SEED) % _DSIR_BUCKETS).alias("bucket"),
     )
-    tgt = (
-        bucketed.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    raw = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    aff = raw.join(tgt, "bucket", "left").select(
-        "bucket",
-        F.expr(
-            f"((coalesce(c_t, 0) + 1) * {_DSIR_SCALE}) "
-            f"DIV (coalesce(c_t, 0) + c_r + 2)"
-        ).alias("a_q"),
+    # Target and raw bucket counts in ONE conditional aggregation —
+    # separate tgt/raw frames each re-ran the tokenize (per-branch
+    # pruning splits the scans: docs/audit_scans.py), tripling the
+    # documented two corpus passes. The conditional sum is exactly the
+    # left-join-coalesce: every raw bucket is present, c_t = 0 where
+    # no English tokens hashed into it.
+    aff = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"((c_t + 1) * {_DSIR_SCALE}) DIV (c_t + c_r + 2)"
+            ).alias("a_q"),
+        )
     )
     return (
         bucketed.join(F.broadcast(aff), "bucket")

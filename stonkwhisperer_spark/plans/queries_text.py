@@ -2439,8 +2439,21 @@ def bm25_score_index(tf: DataFrame) -> DataFrame:
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 ``scored`` relation (query_id, doc_id, score_s,
     n_terms) from a from-scratch index build — shared by
-    bm25_topk_docs and the RRF hybrid fusion (queries_llm)."""
-    return bm25_score_index(bm25_tf_index(spark, sf_dir))
+    bm25_topk_docs and the RRF hybrid fusion (queries_llm).
+
+    The tf index is eagerly localCheckpointed before scoring: Catalyst
+    legally collapses the ``dl`` agg-of-agg (sum of tf per doc ==
+    row count per doc) into a direct count over the tokenize, which
+    prunes ``source`` out of that branch's scan — a non-identical
+    subtree that re-tokenizes the corpus instead of reusing the tf
+    exchange (docs/audit_scans.py catches exactly this). Checkpointing
+    pins ONE tokenize pass for all five statistics, which is also the
+    honest local stand-in for the deployment shape: at 100 TB the tf
+    table is persisted state (bm25_index_upsert), never recomputed
+    per query."""
+    return bm25_score_index(
+        bm25_tf_index(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 # --------------------------------------------------------------------------
