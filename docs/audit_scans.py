@@ -50,11 +50,18 @@ def audit(plan: str) -> dict[str, Counter]:
 
 
 def main() -> None:
+    registered = query_map()
+    unknown = [n for n in sys.argv[1:] if n not in registered]
+    if unknown:
+        # A typo'd name would otherwise match nothing, audit zero
+        # queries, and print "all clean" — a false negative for
+        # exactly the user who asked about a specific query.
+        sys.exit(f"unknown query name(s): {unknown} — not in query_map()")
     spark = get_spark(app_name="scan-audit", cpus="8")
-    names = sys.argv[1:] or list(query_map())
+    names = sys.argv[1:] or list(registered)
     explicit = bool(sys.argv[1:])
     flagged = []
-    for name, fn in query_map().items():
+    for name, fn in registered.items():
         if name not in names:
             continue
         try:

@@ -442,7 +442,11 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, never the corpus stream). Decimal
     headroom: N ≈ 1e14 tokens (100 TB) gives 1e9·2·N² ≈ 1e38 — at the
     DECIMAL(38,0) edge; shard the TVD sum per (source, tok-hash bucket)
-    and divide per-bucket before summing if corpora outgrow it."""
+    and divide per-bucket before summing if corpora outgrow it. With
+    ANSI mode off a decimal overflow yields NULL, not an error, so the
+    tvd_e9 expression wraps the DIV in ifnull(..., raise_error(...)) —
+    outgrowing the headroom fails loud instead of hashing a NULL row
+    (ADVICE r11)."""
     from pyspark.sql.window import Window as W
 
     from stonkwhisperer_spark.functions.hashing import tokens_of
@@ -515,8 +519,11 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_v2",
             F.expr(
                 f"CASE WHEN n1 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT) "
-                f"ELSE CAST((CAST({_DRIFT_SCALE} AS DECIMAL(38,0)) * tvd_num) "
-                "DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT) END"
+                f"ELSE ifnull(CAST((CAST({_DRIFT_SCALE} AS DECIMAL(38,0)) * tvd_num) "
+                "DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT), "
+                "raise_error('corpus_drift: tvd_e9 overflowed DECIMAL(38,0) — "
+                "shard the TVD sum per (source, tok-hash bucket) and divide "
+                "per-bucket before summing, per the docstring')) END"
             ).alias("tvd_e9"),
             "top_shift_toks",
         )
