@@ -173,6 +173,112 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# minhash_index_upsert — the third retrieval/dedup-index MAINTENANCE
+# twin (VERDICT r11 task 2, completing the trilogy with
+# bm25_index_upsert and ivf_assign_incremental): the LSH band table is
+# persisted state, MERGE-maintained per ingest batch, hash-gated
+# against a from-scratch re-banding of the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "minhash_index_upsert",
+    oracle=_MINHASH_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band_idx, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH band-index maintenance: the base corpus
+    (doc_id % 4 != 0) commits its (doc_id, band_idx, band_key) rows to
+    a txlog table, together with STALE band keys for half the incoming
+    batch (doc_id % 8 == 0 — an older shingling's output for
+    since-revised docs); the incoming batch (doc_id % 4 == 0) then
+    MERGEs its true band rows keyed on (doc_id, band_idx) — stale rows
+    take the update arm, unseen docs (doc_id % 8 == 4) the insert arm,
+    both asserted non-empty. Every doc owns exactly n_bands rows under
+    that key, so a revision can never strand a stale band row (the
+    subset-key argument bm25_index_upsert needs is vacuous here).
+    Candidate pairs generated from the MAINTAINED table must hash-equal
+    minhash_band_candidates' from-scratch banding of the full corpus —
+    incremental == rebuild, the incremental_dedup discipline applied to
+    the dedup index itself.
+
+    Scale: this is the 100 TB incremental-dedup contract — the band
+    index persists; an ingest batch computes signatures for ITS docs
+    only (O(batch) map-side codegen hashes + one partial-min agg),
+    MERGEs n_bands rows per doc (file-level copy-on-write keyed
+    rewrite), and probes the maintained index for cross-corpus
+    candidates in one bucketed equi-join; the corpus is never
+    re-shingled. The full self-join candidate regeneration here exists
+    to hash the maintained state against the from-scratch oracle — a
+    production batch joins batch-bands × index-bands instead
+    (incremental_lsh_dedup's asymmetric shape). The banded table is
+    localCheckpointed because three consumers (base, drafts, batch)
+    would otherwise re-run the corpus shingle pass."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.dedup import band_keys
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        merge_append,
+        merge_upsert,
+        read_committed,
+    )
+
+    sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+    ).localCheckpoint(eager=True)
+    base = banded.filter(F.col("doc_id") % 4 != 0)
+    batch = banded.filter(F.col("doc_id") % 4 == 0)
+    drafts = batch.filter(F.col("doc_id") % 8 == 0).withColumn(
+        "band_key",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("stale-shingling"),
+                F.col("doc_id").cast("string"),
+                F.col("band_idx").cast("string"),
+            )
+        ),
+    )
+    scratch = scratch_dir("stonkw_minhash_idx_")
+    try:
+        target = f"{scratch}/bands"
+        merge_append(
+            spark, target, base.unionByName(drafts), ["doc_id", "band_idx"]
+        )
+        inserted, updated = merge_upsert(
+            spark, target, batch, ["doc_id", "band_idx"]
+        )
+        if inserted == 0 or updated == 0:
+            raise AssertionError(
+                f"MERGE arms not both exercised: inserted={inserted}, "
+                f"updated={updated}"
+            )
+        index = read_committed(spark, target).select(
+            "doc_id", "band_idx", "band_key"
+        )
+        a = index.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        b = index.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+        cand = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # Bounded glue collect: near-dup candidate pairs (the same
+        # relation minhash_band_candidates gates on), not the
+        # corpus-sized band table.
+        rows = cand.collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+
+# --------------------------------------------------------------------------
 # Incremental dedup: incoming batch vs existing corpus (MinHash LSH
 # proposes, exact Jaccard disposes).
 # --------------------------------------------------------------------------
