@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 from stonkwhisperer_spark.flows import bars_flow, news_flow, posts_flow
 from stonkwhisperer_spark.functions.text import clean_text_for_nlp, clean_text_for_nlp_sql
 from stonkwhisperer_spark.operators.asof import zip_join
+from stonkwhisperer_spark.plans.glue import bounded_collect
 from stonkwhisperer_spark.plans.queries_pipelines import _bars_raw, _news_raw, _posts_raw
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.session import scratch_dir
@@ -320,9 +321,11 @@ def q_flows_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit = spark.createDataFrame(audit_rows, _FLOWS_STATE_SCHEMA)
         # Materialize before the scratch targets vanish (bounded: ~5.5k
         # rows under the event cap).
-        rows = news_t.unionByName(posts_t).unionByName(bars_t).unionByName(
-            audit
-        ).collect()
+        rows = bounded_collect(
+            news_t.unionByName(posts_t).unionByName(bars_t).unionByName(audit),
+            20_000,
+            "event-capped landing end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, _FLOWS_STATE_SCHEMA)
@@ -1096,7 +1099,7 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = kmv_estimate(final, "source", k=_KMV_K)
         # The scratch state is deleted on return — materialize the
         # K·sources-row result (bounded) before the cleanup.
-        rows = est.collect()
+        rows = bounded_collect(est, 20_000, "KMV estimate (K rows per source)")
         return spark.createDataFrame(rows, est.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -1213,11 +1216,12 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_toks = spark.read.parquet(landing).select("tok")
         tc = corpus_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
         est = cms_point_estimates(tc, "tok", final, d=_CMS_D, width=_CMS_W)
-        rows = (
+        rows = bounded_collect(
             est.orderBy(F.desc("est_cnt"), "tok")
             .limit(20)
-            .select("tok", "est_cnt", "true_cnt")
-            .collect()
+            .select("tok", "est_cnt", "true_cnt"),
+            20,
+            "CMS top-20 point estimates",
         )
         # Scratch state dies on return — the 20-row result is collected
         # first, same pattern as streaming_sketch.
@@ -1352,10 +1356,11 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("true_rank"))
         )
         n_total = corpus.groupBy().agg(F.count("*").alias("n_total"))
-        rows = (
+        rows = bounded_collect(
             truth.crossJoin(F.broadcast(n_total))
-            .select("pct", "est_value", "true_rank", "n_total")
-            .collect()
+            .select("pct", "est_value", "true_rank", "n_total"),
+            100,
+            "quantile-sketch percentile rows",
         )
         return spark.createDataFrame(
             rows, "pct int, est_value bigint, true_rank bigint, n_total bigint"
@@ -1499,7 +1504,11 @@ def q_txlog_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize: the shared seed is process-lived, but the returned
     # plan must not depend on fixture files (same pattern as the
     # scratch-table queries).
-    rows = cdc.select("doc_id", "source", "_commit_version").collect()
+    rows = bounded_collect(
+        cdc.select("doc_id", "source", "_commit_version"),
+        2_000,
+        "txlog seed-bounded CDC feed",
+    )
     return spark.createDataFrame(
         rows, "doc_id bigint, source string, _commit_version bigint"
     )
@@ -1573,9 +1582,11 @@ def q_txlog_cdc_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = table_changes(spark, target, from_version=v1, with_version=True)
         if feed is None:
             raise AssertionError("CDC feed empty after upsert commit")
-        rows = feed.select(
-            "doc_id", "source", "_change_type", "_commit_version"
-        ).collect()
+        rows = bounded_collect(
+            feed.select("doc_id", "source", "_change_type", "_commit_version"),
+            2_000,
+            "txlog seed-bounded CDC feed",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -1638,9 +1649,11 @@ def q_txlog_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = table_changes(spark, target, from_version=v1, with_version=True)
         if feed is None:
             raise AssertionError("CDC feed empty after delete commit")
-        rows = feed.select(
-            "doc_id", "source", "_change_type", "_commit_version"
-        ).collect()
+        rows = bounded_collect(
+            feed.select("doc_id", "source", "_change_type", "_commit_version"),
+            2_000,
+            "txlog seed-bounded CDC feed",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -1736,7 +1749,11 @@ def q_txlog_dv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"masked keys must re-insert: inserted={inserted} updated={updated}"
             )
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -1833,7 +1850,11 @@ def q_txlog_update_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         post = feed.filter(F.col("_change_type") == "update_postimage").count()
         if (pre, post) != (40, 40):
             raise AssertionError(f"CDC pairs wrong: pre={pre} post={post}")
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -1908,7 +1929,11 @@ def q_txlog_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("incompatible re-type must fail the writer")
         except ValueError:
             pass
-        rows = read_committed(spark, target).select("doc_id", "n_chars").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "n_chars"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
@@ -2001,7 +2026,11 @@ def q_txlog_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if _committed_version(target) != v + 1:
             raise AssertionError("post-checkpoint commit broke the version chain")
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -2074,7 +2103,11 @@ def q_txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise AssertionError(
                     f"bloom lookup for {v} opened {n_read}/{n_total} files"
                 )
-            rows.extend(hit.select("doc_id", "source").collect())
+            rows.extend(
+                bounded_collect(
+                    hit.select("doc_id", "source"), 100, "bloom point lookup hit"
+                )
+            )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -2146,11 +2179,12 @@ def q_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("wrong generated value must be rejected")
         except ValueError:
             pass
-        rows = (
+        rows = bounded_collect(
             read_committed(spark, target)
             .groupBy("event_date")
-            .agg(F.count(F.lit(1)).alias("n_events"))
-            .collect()
+            .agg(F.count(F.lit(1)).alias("n_events")),
+            2_000,
+            "per-date rollup of the seed-bounded table",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -2235,7 +2269,11 @@ def q_txlog_rename_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             names = _pq.ParquetFile(_os.path.join(target, f)).schema_arrow.names
             if "origin" in names or "source" not in names:
                 raise AssertionError(f"file {f} does not store the physical name")
-        rows = read_committed(spark, target).select("doc_id", "origin").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "origin"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, origin string")
@@ -2302,7 +2340,11 @@ def q_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("out-of-region batch row must be rejected")
         except ValueError:
             pass
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -2377,7 +2419,11 @@ def q_txlog_merge_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count():
             raise AssertionError("synced table does not equal the source snapshot")
         feed = table_changes(spark, target, from_version=v1)
-        rows = feed.select("doc_id", "source", "_change_type").collect()
+        rows = bounded_collect(
+            feed.select("doc_id", "source", "_change_type"),
+            2_000,
+            "txlog seed-bounded CDC feed",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -2473,7 +2519,11 @@ def q_txlog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         after = read_committed(spark, replica)
         if after.count() != 70:
             raise AssertionError("replayed stream changed the replica")
-        rows = after.select("doc_id", "source").collect()
+        rows = bounded_collect(
+            after.select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded replica state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -2551,7 +2601,11 @@ def q_txlog_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # subscription → the single captured-target batch covers the
             # whole backlog); run_available_now asserts full coverage.
             run_available_now(q, target, timeout_sec=300)
-        rows = spark.table(name).select("doc_id", "source", "_commit_version").collect()
+        rows = bounded_collect(
+            spark.table(name).select("doc_id", "source", "_commit_version"),
+            2_000,
+            "txlog seed-bounded CDC drain",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -2761,10 +2815,12 @@ def q_txlog_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Time travel must be OBSERVED (collected) pre-vacuum: vacuum
         # reclaims the compaction-replaced files v1 still references.
-        rows = cdc.unionByName(tt).collect()
+        rows = bounded_collect(
+            cdc.unionByName(tt), 2_000, "txlog seed-bounded CDC + time travel"
+        )
         vacuum_orphans(target)
         snap = staged(read_committed(spark, target), "snapshot", F.lit(None))
-        rows += snap.collect()
+        rows += bounded_collect(snap, 2_000, "txlog seed-bounded snapshot")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -2820,7 +2876,11 @@ def q_txlog_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"zone maps pruned nothing: read {n_read} of {n_total} files"
             )
-        rows = pruned.select("doc_id", "source").collect()
+        rows = bounded_collect(
+            pruned.select("doc_id", "source"),
+            2_000,
+            "zone-map pruned range read",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -2872,7 +2932,9 @@ def q_txlog_skipping_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    me, mu = events.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    me, mu = bounded_collect(
+        events.agg(F.max("event_id"), F.max("user_id")), 1, "global max scalars"
+    )[0]
     scratch = scratch_dir("stonkw_txlog_z_")
     try:
         target = f"{scratch}/t"
@@ -2911,7 +2973,12 @@ def q_txlog_skipping_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"user_id predicate pruned nothing after zorder: "
                 f"{u_read}/{u_total} files"
             )
-        rows = by_user.select("event_id", "user_id").collect()
+        rows = bounded_collect(
+            by_user.select("event_id", "user_id"),
+            50_000,
+            "z-order range-read gate relation (sf-proportional ~15% "
+            "slice of events; gate-sized by design, see docs/SCALE.md)",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "event_id bigint, user_id bigint")
@@ -2969,7 +3036,11 @@ def q_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = read_committed(spark, target)
         if set(snap.columns) != {"doc_id", "source", "lang"}:
             raise AssertionError(f"union schema not resolved: {snap.columns}")
-        rows = snap.select("doc_id", "source", "lang").collect()
+        rows = bounded_collect(
+            snap.select("doc_id", "source", "lang"),
+            2_000,
+            "txlog seed-bounded evolved snapshot",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -3040,7 +3111,11 @@ def q_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         if (ins, upd) != (30, 30):
             raise AssertionError(f"expected (30, 30), got {(ins, upd)}")
         snap = read_committed(spark, target)
-        rows = snap.select("doc_id", "source", "lang").collect()
+        rows = bounded_collect(
+            snap.select("doc_id", "source", "lang"),
+            2_000,
+            "txlog seed-bounded evolved snapshot",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -3114,7 +3189,11 @@ def q_txlog_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # history preserved: the pre-restore state is still reachable
         if read_committed(spark, target, version=v3).count() != 80:
             raise AssertionError("pre-restore version no longer time-travelable")
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -3188,7 +3267,11 @@ def q_txlog_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         run(f"{scratch}/ckpt2")  # full replay, fresh checkpoint
         if read_committed(spark, target).count() != first:
             raise AssertionError("replayed stream duplicated rows")
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -3263,7 +3346,11 @@ def q_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)),
             ["doc_id"],
         )
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -3336,7 +3423,11 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError as e:
             if "retention horizon" not in str(e):
                 raise
-        rows = read_committed(spark, target).select("doc_id", "source").collect()
+        rows = bounded_collect(
+            read_committed(spark, target).select("doc_id", "source"),
+            2_000,
+            "txlog seed-bounded end state",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_id bigint, source string")
@@ -3414,10 +3505,12 @@ def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where(spark, target, F.col("doc_id") < 5)
         restore(spark, target, version=1)
         vacuum(target, retain_versions=0)
-        rows = (
-            table_history(spark, target)
-            .select("version", "operation", "num_rows")
-            .collect()
+        rows = bounded_collect(
+            table_history(spark, target).select(
+                "version", "operation", "num_rows"
+            ),
+            1_000,
+            "commit-count-bounded history",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -3495,15 +3588,19 @@ def q_txlog_clone_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["doc_id"],
         )
-        clone_rows = (
-            read_committed(spark, dst).select("doc_id", "origin").collect()
+        clone_rows = bounded_collect(
+            read_committed(spark, dst).select("doc_id", "origin"),
+            2_000,
+            "txlog seed-bounded clone state",
         )
         if len(clone_rows) != 48:  # 60 seeded - 12 masked
             raise AssertionError(
                 f"clone drifted after source append: {len(clone_rows)} rows"
             )
-        src_rows = (
-            read_committed(spark, src).select("doc_id", "origin").collect()
+        src_rows = bounded_collect(
+            read_committed(spark, src).select("doc_id", "origin"),
+            2_000,
+            "txlog seed-bounded end state",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -3639,7 +3736,7 @@ def q_txlog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"incremental view drifted from recompute by {drift} rows"
             )
-        rows = view.collect()
+        rows = bounded_collect(view, 2_000, "per-source incremental view")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(
@@ -3787,7 +3884,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("is_member", F.col("might_contain").alias("bloom_pass"))
             .agg(F.count("*").alias("n_keys"))
         )
-        rows = cells.collect()
+        rows = bounded_collect(cells, 100, "bloom confusion cells")
         # Scratch state dies on return — the <=4-row result is
         # collected first, same pattern as the sibling stream sketches.
         return spark.createDataFrame(rows, cells.schema)
@@ -3904,7 +4001,7 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert state["v"] >= 1 and os.path.isdir(f"{state_dir}/v{state['v']}")
         final = spark.read.parquet(f"{state_dir}/v{state['v']}")
         est = hll_estimate(final, "source")
-        rows = est.collect()
+        rows = bounded_collect(est, 1_000, "per-source HLL estimates")
         # Scratch state dies on return — the sources-row result is
         # collected first, same pattern as the sibling stream sketches.
         return spark.createDataFrame(rows, est.schema)

@@ -15,6 +15,7 @@ from stonkwhisperer_spark.operators.joins import (
     lookup_or_create,
     new_rows_anti,
 )
+from stonkwhisperer_spark.plans.glue import bounded_collect
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.sources.tables import load_table
 
@@ -371,15 +372,15 @@ def q_bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFram
                 + plan
             )
         # Materialize before dropping the tables the plan reads from.
-        rows = (
-            joined.groupBy("o_orderpriority")
-            .agg(
+        rows = bounded_collect(
+            joined.groupBy("o_orderpriority").agg(
                 F.count("*").alias("n_items"),
                 F.sum(F.col("l_extendedprice").cast(_D122))
                 .cast("double")
                 .alias("gross"),
-            )
-            .collect()
+            ),
+            100,
+            "per-priority rollup",
         )
     finally:
         for t in (t_orders, t_li):

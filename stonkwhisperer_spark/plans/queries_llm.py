@@ -31,6 +31,7 @@ from stonkwhisperer_spark.operators.similarity import (
     knn_bruteforce,
     plane_component,
 )
+from stonkwhisperer_spark.plans.glue import bounded_collect
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.sources.tables import load_table, no_pushdown, spread
 
@@ -272,7 +273,7 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded glue collect: near-dup candidate pairs (the same
         # relation minhash_band_candidates gates on), not the
         # corpus-sized band table.
-        rows = cand.collect()
+        rows = bounded_collect(cand, 1_000_000, "near-dup candidate pairs")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
@@ -939,7 +940,7 @@ def q_ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Bounded glue collect: K rows (one per coarse cell), never the
         # corpus-sized assignment table.
-        rows = digest.collect()
+        rows = bounded_collect(digest, 100_000, "per-cell assignment digest")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(

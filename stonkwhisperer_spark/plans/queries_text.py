@@ -22,6 +22,7 @@ from stonkwhisperer_spark.functions.text import (
     token_count_sql,
 )
 from stonkwhisperer_spark.operators.profile import profile
+from stonkwhisperer_spark.plans.glue import bounded_collect
 from stonkwhisperer_spark.plans.registry import register
 from stonkwhisperer_spark.sources.tables import load_table, no_pushdown, spread
 
@@ -2526,10 +2527,11 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
             .cast("int"),
         )
-        rows = (
+        rows = bounded_collect(
             ranked.filter(F.col("rank") <= _BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_s", "n_terms")
-            .collect()
+            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
+            1_000,
+            "top-k scored postings",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

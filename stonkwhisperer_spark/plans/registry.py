@@ -71,93 +71,84 @@ def oracle_map() -> dict[str, str]:
 # green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # -- new in round 11: retrieval-index MAINTENANCE twins (VERDICT
-    #    r10 task 5) — persisted inverted-index / IVF-assignment tables
-    #    maintained through the txlog MERGE path, hash-gated against
-    #    from-scratch rebuilds --
-    "bm25_index_upsert",
+    # ======================= ROUND-12 WINDOW =======================
+    # -- the one oracle-bearing query with NO recorded driver row
+    #    (registered after the r11 window froze; VERDICT r11 task 1
+    #    says lead with it) --
+    "corpus_drift",
+    # -- new in round 12: the third retrieval/dedup index-MAINTENANCE
+    #    twin (VERDICT r11 task 2) — the LSH band table MERGE-maintained
+    #    through the txlog, candidate pairs hash-gated against a
+    #    from-scratch re-banding --
+    "minhash_index_upsert",
+    # -- changed in round 12 (VERDICT r11 task 3): the gate relation is
+    #    now a per-cell digest (count + modular checksums + min/max)
+    #    instead of the O(corpus) assignment table --
     "ivf_assign_incremental",
-    # -- the four round-10 debuts that registered after the r10 window
-    #    froze (VERDICT r10 task 1): first driver-recorded rows --
-    "pagerank_part_supplier",
-    "rrf_hybrid_retrieval",
-    "leakage_safe_split",
-    "lm_perplexity_scores",
-    # -- changed in round 11: bm25_scored factored into bm25_tf_index +
-    #    bm25_score_index (one token-stream shuffle instead of three;
-    #    shared with bm25_index_upsert and the RRF lexical side), and
-    #    near_dup_jaccard_prefix now runs under the lossless
-    #    guard_doc_freq fail-loud bound (ADVICE r10) --
-    "bm25_topk_docs",
-    "near_dup_jaccard_prefix",
-    # -- changed in round 10, displaced from its frozen window
-    #    (VERDICT r10 task 1): curation_e2e gave its slot to the bm25
-    #    debut; semantic pair shares the _int_mean_vectors extract;
-    #    txlog_stream_upsert / txlog_stream_cdc seeds moved to shared
-    #    fixtures (and round 11 put those fixture caches behind
-    #    double-checked build locks); streaming_sketch re-confirms the
-    #    locked stream_fixtures family for the five sketch drains
-    #    (identical build path, representative row) --
-    "curation_e2e",
-    "semantic_clusters",
-    "semantic_dedup",
-    "txlog_stream_upsert",
-    "txlog_stream_cdc",
+    # -- changed in round 12: every harness-glue materialization in
+    #    plans/ now routes through glue.bounded_collect (VERDICT r11
+    #    task 5). The conversion is one shared helper across ~40 sites;
+    #    these seven re-gate a representative of every converted family
+    #    not already covered by the stale cohort below (bm25 upsert
+    #    trilogy, flows state, two stream-sketch drains, txlog e2e +
+    #    history, the bucketed-join rollup) --
+    "bm25_index_upsert",
+    "flows_e2e_state",
     "streaming_sketch",
-    # -- the full r6-stale cohort (newest recorded green row round 6
-    #    for all 35; txlog_cdc_replay additionally owed a re-gate since
-    #    its seed build became the shared fixture in round 10) --
-    "txlog_cdc_replay",
-    "txlog_cdc_delete_replay",
-    "txlog_cdc_update_replay",
-    "txlog_checkpoint_replay",
-    "txlog_constraints",
-    "txlog_dv_replay",
-    "txlog_generated",
+    "streaming_cms",
+    "txlog_e2e_state",
     "txlog_history",
-    "txlog_incremental_agg",
-    "txlog_rename_replay",
-    "txlog_replace_where",
-    "txlog_restore_replay",
-    "txlog_schema_evolution",
-    "txlog_skipping",
-    "txlog_skipping_2d",
-    "txlog_stream_sink",
-    "txlog_type_widening",
-    "txlog_update_replay",
-    "txlog_vacuum_replay",
-    "bigram_familiarity",
     "bucketed_order_lineitem_join",
-    "corpus_shuffle",
-    "doc_chunks",
-    "doc_keywords",
-    "dsir_sample",
-    "histogram_quantiles",
-    "lineitem_status_cube",
-    "ohlcv_1min",
-    "pricing_summary",
-    "revenue_rollup",
-    "sentiment_closed_form",
-    "span_dedup",
-    "sq8_topk_embeddings",
-    "topk_newest_events",
-    "user_event_pivot",
-    # -- one r7 fill: the J1 parity baseline (oldest r7 row; its
-    #    distributed twin zip_docs_embeddings_dist is r9-green) --
-    "zip_docs_embeddings",
+    # -- the full r7-stale cohort (40 queries; newest recorded green
+    #    row round 7 for all — VERDICT r11 task 1). After this window
+    #    closes the newest-green floor moves to r9. --
+    "benchmark_contamination",
+    "big_order_customers",
+    "click_surplus_multiset",
+    "clickers_and_buyers",
+    "cust_order_dist",
+    "customer_order_ranks",
+    "disjunctive_promo_revenue",
+    "doc_constraints",
+    "doc_split_assign",
+    "doc_token_positions_udtf",
+    "event_prop_keys",
+    "event_sessions",
+    "gapfill_events",
+    "kmv_distinct_estimate",
+    "media_manifest",
+    "mixture_sample",
+    "order_deciles",
+    "order_price_quantiles",
+    "order_relative_ranks",
+    "orders_monthly",
+    "pii_scrub",
+    "price_qty_correlation",
+    "purchase_funnel",
+    "quality_filter",
+    "region_revenue",
+    "simhash_signatures",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_ohlcv",
+    "streaming_sessions",
+    "text_quality",
+    "token_stats",
+    "trailing_30d_spend",
+    "txlog_bloom_lookup",
+    "txlog_clone_replay",
+    "txlog_merge_evolve",
+    "txlog_merge_sync_replay",
+    "value_outliers",
+    "vwap_1min",
+    "weekly_cohort_retention",
     # (after this window closes, every oracle-bearing query's newest
-    #  green row is r7+ and the never-recorded set is exactly the
-    #  three no-oracle side-effecting surfaces, each with a hash-gated
-    #  companion: flows_e2e -> flows_e2e_state r10, txlog_e2e ->
-    #  txlog_e2e_state r9, sentiment_scores -> sentiment_closed_form
-    #  r11. Round 12's window should LEAD with corpus_drift (the one
-    #  round-11 debut registered after this window froze; parity-green
-    #  sf0.001/0.01/0.1 locally) and then rotate the remaining r7
-    #  cohort (~42: tpch quantile/rank family, streaming_{dedup,join,
-    #  ohlcv,sessions}, txlog_{bloom_lookup,clone_replay,merge_evolve,
-    #  merge_sync_replay}, media_manifest, gapfill_events, vwap_1min,
-    #  kmv_distinct_estimate, simhash_signatures, ...) plus whatever
-    #  round 11 changed.)
+    #  green row is r9+ and the never-recorded set is exactly the three
+    #  no-oracle side-effecting surfaces, each with a hash-gated
+    #  companion: flows_e2e -> flows_e2e_state, txlog_e2e ->
+    #  txlog_e2e_state, sentiment_scores -> sentiment_closed_form.
+    #  Round 13's window should rotate the r9-stale cohort (~42) plus
+    #  whatever round 12 changed.)
 ]
 
 

@@ -82,3 +82,35 @@ def test_nested_loop_joins_only_where_documented(plans):
         if count > BNLJ_ALLOWED.get(n, 0):
             bad[n] = count
     assert not bad, f"undocumented BroadcastNestedLoopJoin: {bad}"
+
+
+def test_no_bare_collect_in_plans():
+    """Harness-glue collect discipline (VERDICT r11 task 5): every
+    driver-side materialization in plans/ must route through
+    glue.bounded_collect, which enforces the site's documented row
+    bound (inventoried in docs/SCALE.md). A bare .collect() is either
+    an undocumented driver materialization or a new site that skipped
+    the inventory — both fail here."""
+    import ast
+    from pathlib import Path
+
+    plans_dir = Path(__file__).resolve().parent.parent / (
+        "stonkwhisperer_spark/plans"
+    )
+    bad = []
+    for path in sorted(plans_dir.glob("*.py")):
+        if path.name == "glue.py":  # the one sanctioned .collect()
+            continue
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+            ):
+                bad.append(f"{path.name}:{node.lineno}")
+    assert not bad, (
+        f"bare .collect() outside glue.bounded_collect: {bad} — route "
+        "through bounded_collect(df, cap, what) and add the bound to "
+        "docs/SCALE.md's harness-glue inventory"
+    )
