@@ -304,6 +304,23 @@ def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
+def candidates_from_banded(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from an exploded
+    (id, band_idx, band_key) band table — the shared tail of the
+    from-scratch path (:func:`lsh_candidates`) and the maintained-index
+    path (minhash_index_upsert reads the same shape off its txlog
+    table), so the two stay provably identical under the
+    incremental == rebuild hash gate."""
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidates(
     docs: DataFrame, id_col: str, sig_col: Column, n_bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -315,14 +332,7 @@ def lsh_candidates(
         F.col(id_col),
         F.posexplode(band_keys(sig_col, n_bands, rows_per_band)).alias("band_idx", "band_key"),
     )
-    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
-    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return candidates_from_banded(banded, id_col)
 
 
 def incremental_lsh_dedup(

@@ -1098,8 +1098,8 @@ def q_streaming_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = spark.read.parquet(f"{state_dir}/v{state['v']}")
         est = kmv_estimate(final, "source", k=_KMV_K)
         # The scratch state is deleted on return — materialize the
-        # K·sources-row result (bounded) before the cleanup.
-        rows = bounded_collect(est, 20_000, "KMV estimate (K rows per source)")
+        # one-row-per-source estimate (bounded) before the cleanup.
+        rows = bounded_collect(est, 20_000, "per-source KMV estimates")
         return spark.createDataFrame(rows, est.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

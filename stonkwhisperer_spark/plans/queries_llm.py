@@ -219,7 +219,7 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     would otherwise re-run the corpus shingle pass."""
     import shutil
 
-    from stonkwhisperer_spark.operators.dedup import band_keys
+    from stonkwhisperer_spark.operators.dedup import band_keys, candidates_from_banded
     from stonkwhisperer_spark.session import scratch_dir
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -262,14 +262,7 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = read_committed(spark, target).select(
             "doc_id", "band_idx", "band_key"
         )
-        a = index.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-        b = index.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-        cand = (
-            a.join(b, ["band_idx", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
+        cand = candidates_from_banded(index, "doc_id")
         # Bounded glue collect: near-dup candidate pairs (the same
         # relation minhash_band_candidates gates on), not the
         # corpus-sized band table.

@@ -66,9 +66,11 @@ def oracle_map() -> dict[str, str]:
 # reordered after module import: queries that have never had a recorded
 # correctness row, were added or changed this round, or re-confirm an
 # archived-green family representative go first; everything after position
-# 50 is archived-green from rounds 2-3 with unchanged code. Rotate this
-# list each round so every oracle-bearing query accumulates a recorded
-# green row.
+# 50 is archived-green with code either unchanged since its recorded row
+# or changed only through a mechanically-shared edit (e.g. the r12
+# bounded_collect helper) whose family representative IS gated inside the
+# window. Rotate this list each round so every oracle-bearing query
+# accumulates a recorded green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
     # ======================= ROUND-12 WINDOW =======================

@@ -97,8 +97,9 @@ def test_no_bare_collect_in_plans():
     plans_dir = Path(__file__).resolve().parent.parent / (
         "stonkwhisperer_spark/plans"
     )
+    driver_mat = {"collect", "toPandas", "take", "head", "first"}
     bad = []
-    for path in sorted(plans_dir.glob("*.py")):
+    for path in sorted(plans_dir.rglob("*.py")):
         if path.name == "glue.py":  # the one sanctioned .collect()
             continue
         tree = ast.parse(path.read_text())
@@ -106,9 +107,9 @@ def test_no_bare_collect_in_plans():
             if (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "collect"
+                and node.func.attr in driver_mat
             ):
-                bad.append(f"{path.name}:{node.lineno}")
+                bad.append(f"{path.name}:{node.lineno} ({node.func.attr})")
     assert not bad, (
         f"bare .collect() outside glue.bounded_collect: {bad} — route "
         "through bounded_collect(df, cap, what) and add the bound to "
