@@ -137,8 +137,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash (16 hashes) + LSH banding (4 bands × 4 rows) candidate pairs.
 # --------------------------------------------------------------------------
-_MINHASH_SQL = f"""
-    WITH postings AS ({_POSTINGS_SQL}),
+def _minhash_sql(postings_sql: str = _POSTINGS_SQL) -> str:
+    """The WITH-body through ``bands`` (doc_id, band_idx, band_key) —
+    shared by the from-scratch banding oracles and the forget-cascade
+    oracle (``postings_sql`` swaps in the post-erasure posting list)."""
+    return f"""
+    WITH postings AS ({postings_sql}),
     hashes AS (
       SELECT doc_id, seed.s AS seed,
              {portable_hash64_sql("(seed.s || '|' || shingle)")} AS h
@@ -153,14 +157,18 @@ _MINHASH_SQL = f"""
 """
 
 
-@register(
-    "minhash_band_candidates",
-    oracle=_MINHASH_SQL
-    + """
+_MINHASH_SQL = _minhash_sql()
+_MINHASH_CAND_TAIL = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b USING (band_idx, band_key)
     WHERE a.doc_id < b.doc_id
-    """,
+    """
+
+
+@register(
+    "minhash_band_candidates",
+    oracle=_MINHASH_SQL
+    + _MINHASH_CAND_TAIL,
 )
 def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs: 16-hash signatures, 4
@@ -183,11 +191,7 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_index_upsert",
     oracle=_MINHASH_SQL
-    + """
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b USING (band_idx, band_key)
-    WHERE a.doc_id < b.doc_id
-    """,
+    + _MINHASH_CAND_TAIL,
 )
 def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH band-index maintenance: the base corpus
@@ -267,6 +271,74 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # relation minhash_band_candidates gates on), not the
         # corpus-sized band table.
         rows = bounded_collect(cand, 1_000_000, "near-dup candidate pairs")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+
+
+# --------------------------------------------------------------------------
+# minhash_index_forget — the DELETE arm of dedup-index maintenance:
+# right-to-be-forgotten erasure cascaded into the persisted LSH band
+# table via copy-on-write delete (the complement of bm25_index_forget's
+# deletion-vector path — both physical strategies are gated), candidate
+# pairs hash-gated against a from-scratch re-banding of the kept corpus.
+# --------------------------------------------------------------------------
+@register(
+    "minhash_index_forget",
+    oracle=_minhash_sql(_POSTINGS_SQL + " WHERE doc_id % 10 <> 3")
+    + _MINHASH_CAND_TAIL,
+)
+def q_minhash_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-cascade on the maintained LSH band index: the full
+    corpus's (doc_id, band_idx, band_key) rows commit to a txlog
+    table, erasure requests (doc_id % 10 == 3) are deleted
+    COPY-ON-WRITE — only files containing a forgotten doc's band rows
+    are rewritten, asserted n_bands rows per erased doc — and
+    candidate pairs from the maintained table must hash-equal a
+    from-scratch re-banding of the kept corpus (no forgotten doc may
+    survive as a candidate, and no kept pair may be lost: both follow
+    from per-doc band rows being independent, which the hash pins).
+    bm25_index_forget exercises the merge-on-read deletion-vector
+    strategy on the same contract; here the rewrite path is chosen —
+    per-statement, exactly Delta's DV-vs-rewrite trade.
+
+    Scale: erasing K docs rewrites only the files owning their
+    n_bands rows (zone-map pruned on doc_id); the corpus is never
+    re-shingled, and the erased docs stop matching future ingest
+    batches the moment the commit lands — the dedup-index half of the
+    GDPR contract."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.dedup import band_keys, candidates_from_banded
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        delete_where,
+        merge_append,
+        read_committed,
+    )
+
+    sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+    )
+    scratch = scratch_dir("stonkw_minhash_forget_")
+    try:
+        target = f"{scratch}/bands"
+        merge_append(spark, target, banded, ["doc_id", "band_idx"])
+        n_del = delete_where(spark, target, F.col("doc_id") % 10 == 3)
+        if n_del == 0 or n_del % 4 != 0:
+            raise AssertionError(
+                f"erasure must drop exactly n_bands rows per doc, got {n_del}"
+            )
+        index = read_committed(spark, target).select(
+            "doc_id", "band_idx", "band_key"
+        )
+        rows = bounded_collect(
+            candidates_from_banded(index, "doc_id"),
+            1_000_000,
+            "near-dup candidate pairs",
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
@@ -814,13 +886,16 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from-scratch assignment of the final corpus, so the hash pins
 # incremental == rebuild under a frozen quantizer.
 # --------------------------------------------------------------------------
-@register(
-    "ivf_assign_incremental",
-    oracle=f"""
+def _ivf_assign_oracle(seed_residue: int) -> str:
+    """From-scratch full-corpus coarse assignment under the frozen
+    quantizer seeded at ``vec_id % 64 == seed_residue``, reduced to the
+    per-cell digest — shared by ivf_assign_incremental (residue 1,
+    quantizer A) and ivf_recluster_replace (residue 33, quantizer B)."""
+    return f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS cv,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS cn
-      FROM embeddings WHERE vec_id % 64 = 1
+      FROM embeddings WHERE vec_id % 64 = {seed_residue}
     ),
     v AS (
       SELECT vec_id, embedding,
@@ -846,8 +921,37 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(vec_id) AS min_vec,
            max(vec_id) AS max_vec
     FROM assign GROUP BY cell
-    """,
+    """
+
+
+_ASSIGN_DIGEST_SCHEMA = (
+    "cell bigint, n_vecs bigint, sum_vec_mod bigint, sumsq_mod bigint, "
+    "min_vec bigint, max_vec bigint"
 )
+
+
+def _assign_digest(assign: DataFrame) -> DataFrame:
+    """Per-cell digest of a (vec_id, cell) assignment relation: one
+    partial-aggregable shuffle producing K rows whose hash pins the
+    whole table (any misassigned vector moves two cells' counts and
+    checksums). Checksums are exact mod 1e9+7; pre-mod sums ride in
+    DECIMAL so no intermediate overflows before the mod."""
+    m = _DIGEST_MOD
+    return assign.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.expr(
+            f"CAST(sum(CAST(vec_id AS DECIMAL(28,0))) % {m} AS BIGINT)"
+        ).alias("sum_vec_mod"),
+        F.expr(
+            f"CAST(sum(CAST((vec_id % {m}) * (vec_id % {m}) % {m} "
+            f"AS DECIMAL(28,0))) % {m} AS BIGINT)"
+        ).alias("sumsq_mod"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+@register("ivf_assign_incremental", oracle=_ivf_assign_oracle(1))
 def q_ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF coarse-assignment maintenance: the base corpus
     (vec_id % 4 != 0) commits its (vec_id, cell) assignments — under a
@@ -913,34 +1017,88 @@ def q_ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"MERGE arms not both exercised: inserted={inserted}, "
                 f"updated={updated}"
             )
-        m = _DIGEST_MOD
-        digest = (
-            read_committed(spark, target)
-            .select("vec_id", "cell")
-            .groupBy("cell")
-            .agg(
-                F.count("*").cast("bigint").alias("n_vecs"),
-                F.expr(
-                    f"CAST(sum(CAST(vec_id AS DECIMAL(28,0))) % {m} AS BIGINT)"
-                ).alias("sum_vec_mod"),
-                F.expr(
-                    f"CAST(sum(CAST((vec_id % {m}) * (vec_id % {m}) % {m} "
-                    f"AS DECIMAL(28,0))) % {m} AS BIGINT)"
-                ).alias("sumsq_mod"),
-                F.min("vec_id").alias("min_vec"),
-                F.max("vec_id").alias("max_vec"),
-            )
+        digest = _assign_digest(
+            read_committed(spark, target).select("vec_id", "cell")
         )
         # Bounded glue collect: K rows (one per coarse cell), never the
         # corpus-sized assignment table.
         rows = bounded_collect(digest, 100_000, "per-cell assignment digest")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "cell bigint, n_vecs bigint, sum_vec_mod bigint, sumsq_mod bigint, "
-        "min_vec bigint, max_vec bigint",
+    return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ivf_recluster_replace — the REPLACE path the maintenance docstrings
+# promise: re-clustering is a deliberate offline event that atomically
+# swaps the whole assignment table for the new quantizer's output,
+# never an ingest side effect. Completes the lifecycle the trilogy
+# opened: insert/update (merge), delete (forget cascade), replace
+# (re-cluster).
+# --------------------------------------------------------------------------
+@register("ivf_recluster_replace", oracle=_ivf_assign_oracle(33))
+def q_ivf_recluster_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline re-clustering of the IVF assignment table: the corpus is
+    first assigned and committed under quantizer A (seeds vec_id % 64
+    == 1 — the same quantizer ivf_assign_incremental maintains), then a
+    re-trained quantizer B (seeds vec_id % 64 == 33) re-assigns the
+    WHOLE corpus and the table contents are swapped in ONE atomic
+    ``overwrite_where`` commit — no reader can observe a half-replaced
+    index (the gap a delete-then-append pair exposes). Asserted
+    in-query: the swap is total (deleted == corpus == inserted), and
+    the pre-replace version still time-travels to quantizer A's digest
+    (re-clustering preserves history; search jobs pinned to the old
+    version keep working until vacuum). The gate digest must hash-equal
+    a from-scratch assignment under quantizer B.
+
+    Scale: the replace is O(corpus) by design — the documented
+    deliberate offline event (FAISS retrain + re-add), paid rarely and
+    scheduled, vs the O(batch) ingest path ivf_assign_incremental
+    gates. The atomic-swap commit costs one file-set exchange in the
+    log; assignment itself is the same broadcast-centroid map-side
+    argmax + one partial-agg shuffle as every other wave."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.similarity import ivf_assign
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        overwrite_where,
+        read_committed,
     )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+
+    def assign_under(residue: int) -> DataFrame:
+        cents = emb.filter(F.col("vec_id") % 64 == residue).select(
+            F.col("vec_id").alias("cent_id"), "embedding"
+        )
+        return ivf_assign(emb, cents, dim=_DIM).select("vec_id", "cell")
+
+    scratch = scratch_dir("stonkw_ivf_recluster_")
+    try:
+        target = f"{scratch}/assign"
+        merge_append(spark, target, assign_under(1), ["vec_id"])
+        v_a = _committed_version(target)
+        n = read_committed(spark, target).count()
+        inserted, deleted = overwrite_where(
+            spark, target, assign_under(33), F.lit(True)
+        )
+        if inserted != n or deleted != n:
+            raise AssertionError(
+                f"replace must swap the whole table: n={n}, "
+                f"inserted={inserted}, deleted={deleted}"
+            )
+        if read_committed(spark, target, version=v_a).count() != n:
+            raise AssertionError("pre-replace version lost to the swap")
+        digest = _assign_digest(
+            read_committed(spark, target).select("vec_id", "cell")
+        )
+        rows = bounded_collect(digest, 100_000, "per-cell assignment digest")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -2247,16 +2247,17 @@ _BM25_RANKS = (10, 14)  # query terms: per-source count-ranks 10..14
 _BM25_TOPK = 10
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(docs_rel: str = "documents") -> str:
     """The WITH-body through ``scored`` (query_id, doc_id, score_s,
-    n_terms) — shared by the bm25_topk_docs oracle and the RRF hybrid
-    fusion oracle (queries_llm)."""
+    n_terms) — shared by the bm25_topk_docs oracle, the RRF hybrid
+    fusion oracle (queries_llm), and the forget-cascade oracle
+    (``docs_rel`` swaps in the post-erasure corpus)."""
     lo, hi = _BM25_RANKS
     return f"""toks AS (
       SELECT doc_id, source, tok FROM (
         SELECT doc_id, source,
                unnest(regexp_split_to_array({_CLEAN_TEXT}, ' ')) AS tok
-        FROM documents
+        FROM {docs_rel}
       ) WHERE tok <> ''
     ),
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2533,6 +2534,102 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             1_000,
             "top-k scored postings",
         )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# bm25_index_forget — the DELETE arm of retrieval-index maintenance
+# (rounds 11-12 covered insert + update): right-to-be-forgotten erasure
+# cascaded into the persisted inverted index, first as a merge-on-read
+# deletion-vector mask (rows vanish at commit, no data file touched),
+# then physically purged by compaction — with scoring hash-gated
+# against a from-scratch build over the post-erasure corpus at BOTH
+# stages.
+# --------------------------------------------------------------------------
+@register(
+    "bm25_index_forget",
+    oracle=f"""
+    WITH kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+    {_bm25_ctes("kept")}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_s, n_terms
+    FROM (
+      SELECT query_id, doc_id, score_s, n_terms,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_s DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-cascade on the maintained BM25 index: the full corpus tf
+    index commits to a txlog table, then erasure requests (doc_id % 10
+    == 3) are deleted with a merge-on-read DELETION VECTOR — O(matched
+    rows), no data file rewritten — and scoring through the identical
+    bm25_score_index chain must already hash-equal a from-scratch
+    build over the post-erasure corpus (every derived statistic — dl,
+    df, corpus totals, per-source query terms — must forget the docs
+    too, which falls out of deriving them all from the tf relation).
+    A compaction then physically purges the masked rows (rewrites read
+    the DV-filtered view and drop the file's DV entries — the GDPR
+    erasure contract: mask at commit, purge at the next rewrite), and
+    the re-scored top-k is asserted identical to the masked-read
+    scores.
+
+    Scale: erasing K docs from a 100 TB index costs O(K·tokens) DV
+    writes at request time plus the file-local purge amortized into
+    routine compaction; the corpus is never re-tokenized and unrelated
+    index files are never touched. The oracle replays the full
+    from-scratch rebuild on the kept corpus, so the hash pins
+    post-delete-maintained == rebuilt-without-the-docs."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        compact,
+        delete_where_dv,
+        merge_append,
+        read_committed,
+    )
+
+    scratch = scratch_dir("stonkw_bm25_forget_")
+    try:
+        target = f"{scratch}/tf"
+        merge_append(spark, target, bm25_tf_index(spark, sf_dir), ["doc_id", "tok"])
+        n_del = delete_where_dv(spark, target, F.col("doc_id") % 10 == 3)
+        if n_del == 0:
+            raise AssertionError("forget set empty — nothing erased")
+
+        def topk(index: DataFrame) -> list:
+            ranked = bm25_score_index(index).withColumn(
+                "rank",
+                F.row_number()
+                .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+                .cast("int"),
+            )
+            return bounded_collect(
+                ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+                    "query_id", "rank", "doc_id", "score_s", "n_terms"
+                ),
+                1_000,
+                "top-k scored postings",
+            )
+
+        sel = ("doc_id", "source", "tok", "tf")
+        rows = topk(read_committed(spark, target).select(*sel))
+        # Physical purge: compaction reads the DV-filtered view and
+        # drops the masked files' DV entries with the files.
+        if compact(spark, target) == 0:
+            raise AssertionError("purge compaction rewrote nothing")
+        purged = topk(read_committed(spark, target).select(*sel))
+        if sorted(map(tuple, rows)) != sorted(map(tuple, purged)):
+            raise AssertionError("physical purge changed the scored result")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(

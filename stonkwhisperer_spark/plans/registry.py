@@ -87,20 +87,30 @@ _GATE_ORDER: list[str] = [
     #    now a per-cell digest (count + modular checksums + min/max)
     #    instead of the O(corpus) assignment table --
     "ivf_assign_incremental",
+    # -- new in round 12: the DELETE and REPLACE arms of index
+    #    maintenance — right-to-be-forgotten erasure cascaded into the
+    #    BM25 tf index (deletion-vector mask + compaction purge) and
+    #    the LSH band index (copy-on-write rewrite), each hash-gated
+    #    against a from-scratch rebuild on the kept corpus; and the
+    #    offline re-cluster that atomically swaps the IVF assignment
+    #    table for a new quantizer's output --
+    "bm25_index_forget",
+    "minhash_index_forget",
+    "ivf_recluster_replace",
     # -- changed in round 12: every harness-glue materialization in
     #    plans/ now routes through glue.bounded_collect (VERDICT r11
     #    task 5). The conversion is one shared helper across ~40 sites;
-    #    these seven re-gate a representative of every converted family
-    #    not already covered by the stale cohort below (bm25 upsert
-    #    trilogy, flows state, two stream-sketch drains, txlog e2e +
-    #    history, the bucketed-join rollup) --
+    #    these four re-gate a representative of every converted family
+    #    not already covered above or by the stale cohort below (bm25
+    #    upsert trilogy, flows state, the stream-sketch drains, txlog
+    #    e2e; txlog_history / streaming_cms / the bucketed-join rollup
+    #    keep their r11 rows — same shared-helper change, family
+    #    representatives in-window, and txlog_history additionally
+    #    carries this round's idle-box probe in BENCH_METHOD.md) --
     "bm25_index_upsert",
     "flows_e2e_state",
     "streaming_sketch",
-    "streaming_cms",
     "txlog_e2e_state",
-    "txlog_history",
-    "bucketed_order_lineitem_join",
     # -- the full r7-stale cohort (40 queries; newest recorded green
     #    row round 7 for all — VERDICT r11 task 1). After this window
     #    closes the newest-green floor moves to r9. --
