@@ -1415,3 +1415,33 @@ def test_prefix_filter_is_lossless_vs_plain_jaccard(spark):
         jaccard_pairs_prefix(
             postings, threshold_num=4, threshold_den=5, guard_doc_freq=6
         ).collect()
+
+
+def test_assign_digest_sensitivity(spark):
+    """The r12 digest gate (ivf_assign_incremental / ivf_recluster_
+    replace) replaces the O(corpus) assignment collect, so its
+    discriminating power IS the correctness guarantee: a single
+    misassigned vector must change the digest (count moves between two
+    cells), and — the subtler case — a count-preserving SWAP of two
+    vectors between cells must change it too (counts identical; the
+    modular id sums catch it)."""
+    from stonkwhisperer_spark.plans.queries_llm import _assign_digest
+
+    def digest(rows):
+        df = spark.createDataFrame(rows, "vec_id bigint, cell bigint")
+        return sorted(map(tuple, _assign_digest(df).collect()))
+
+    base = [(i, i % 5) for i in range(100)]
+    # Single misassignment: vec 37 moves cell 2 -> 3.
+    mis = [(i, 3 if i == 37 else i % 5) for i in range(100)]
+    # Count-preserving swap: vec 12 (cell 2) and vec 13 (cell 3)
+    # trade cells — every cell keeps its count.
+    swap = [
+        (i, {12: 3, 13: 2}.get(i, i % 5)) for i in range(100)
+    ]
+    d0, d1, d2 = digest(base), digest(mis), digest(swap)
+    assert d0 != d1, "digest missed a single misassignment"
+    assert d0 != d2, "digest missed a count-preserving swap"
+    # And the swap really is count-preserving (the hard case).
+    counts = lambda d: sorted((r[0], r[1]) for r in d)  # noqa: E731
+    assert counts(d0) == counts(d2)
