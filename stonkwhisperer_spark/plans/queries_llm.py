@@ -158,6 +158,9 @@ def _minhash_sql(postings_sql: str = _POSTINGS_SQL) -> str:
 
 
 _MINHASH_SQL = _minhash_sql()
+# Python-side banding geometry; the SQL mirror hardcodes the same
+# 16 = _N_BANDS * _ROWS_PER_BAND seeds and the seed // 4 band split.
+_N_BANDS, _ROWS_PER_BAND = 4, 4
 _MINHASH_CAND_TAIL = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b USING (band_idx, band_key)
@@ -178,7 +181,9 @@ def q_minhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     array lambdas), one shuffle on (band_idx, band_key), bucket-local
     pair generation; verify candidates with exact Jaccard afterwards."""
     sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
-    return lsh_candidates(sigs, "doc_id", F.col("sig"), n_bands=4, rows_per_band=4)
+    return lsh_candidates(
+        sigs, "doc_id", F.col("sig"), n_bands=_N_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +239,9 @@ def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
     banded = sigs.select(
         "doc_id",
-        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+        F.posexplode(
+            band_keys(F.col("sig"), _N_BANDS, _ROWS_PER_BAND)
+        ).alias("band_idx", "band_key"),
     ).localCheckpoint(eager=True)
     base = banded.filter(F.col("doc_id") % 4 != 0)
     batch = banded.filter(F.col("doc_id") % 4 == 0)
@@ -320,16 +327,27 @@ def q_minhash_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
     banded = sigs.select(
         "doc_id",
-        F.posexplode(band_keys(F.col("sig"), 4, 4)).alias("band_idx", "band_key"),
+        F.posexplode(
+            band_keys(F.col("sig"), _N_BANDS, _ROWS_PER_BAND)
+        ).alias("band_idx", "band_key"),
     )
     scratch = scratch_dir("stonkw_minhash_forget_")
     try:
         target = f"{scratch}/bands"
         merge_append(spark, target, banded, ["doc_id", "band_idx"])
-        n_del = delete_where(spark, target, F.col("doc_id") % 10 == 3)
-        if n_del == 0 or n_del % 4 != 0:
+        forget = F.col("doc_id") % 10 == 3
+        n_forget = (
+            read_committed(spark, target)
+            .filter(forget)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        n_del = delete_where(spark, target, forget)
+        if n_forget == 0 or n_del != n_forget * _N_BANDS:
             raise AssertionError(
-                f"erasure must drop exactly n_bands rows per doc, got {n_del}"
+                f"erasure must drop exactly n_bands rows per erased doc: "
+                f"{n_forget} docs, {n_del} rows deleted"
             )
         index = read_committed(spark, target).select(
             "doc_id", "band_idx", "band_key"
@@ -1076,26 +1094,47 @@ def q_ivf_recluster_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ivf_assign(emb, cents, dim=_DIM).select("vec_id", "cell")
 
+    def digest_rows(assign: DataFrame) -> list:
+        return sorted(
+            map(
+                tuple,
+                bounded_collect(
+                    _assign_digest(assign), 100_000, "per-cell assignment digest"
+                ),
+            )
+        )
+
     scratch = scratch_dir("stonkw_ivf_recluster_")
     try:
         target = f"{scratch}/assign"
-        merge_append(spark, target, assign_under(1), ["vec_id"])
+        n = merge_append(spark, target, assign_under(1), ["vec_id"])
         v_a = _committed_version(target)
-        n = read_committed(spark, target).count()
-        inserted, deleted = overwrite_where(
-            spark, target, assign_under(33), F.lit(True)
+        digest_a = digest_rows(
+            read_committed(spark, target).select("vec_id", "cell")
         )
+        # localCheckpoint: overwrite_where executes its batch plan twice
+        # (data staging + typed-CDC staging); pin quantizer B's corpus
+        # wave so it runs once.
+        batch_b = assign_under(33).localCheckpoint(eager=True)
+        inserted, deleted = overwrite_where(spark, target, batch_b, F.lit(True))
         if inserted != n or deleted != n:
             raise AssertionError(
                 f"replace must swap the whole table: n={n}, "
                 f"inserted={inserted}, deleted={deleted}"
             )
-        if read_committed(spark, target, version=v_a).count() != n:
-            raise AssertionError("pre-replace version lost to the swap")
-        digest = _assign_digest(
-            read_committed(spark, target).select("vec_id", "cell")
+        # History contract: the pre-replace version must still read as
+        # quantizer A's exact digest, not merely the right row count.
+        if digest_rows(
+            read_committed(spark, target, version=v_a).select("vec_id", "cell")
+        ) != digest_a:
+            raise AssertionError("pre-replace version no longer reads as quantizer A")
+        rows = bounded_collect(
+            _assign_digest(read_committed(spark, target).select("vec_id", "cell")),
+            100_000,
+            "per-cell assignment digest",
         )
-        rows = bounded_collect(digest, 100_000, "per-cell assignment digest")
+        if sorted(map(tuple, rows)) == digest_a:
+            raise AssertionError("re-cluster produced quantizer A's digest — swap was a no-op")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)

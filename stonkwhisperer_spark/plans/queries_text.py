@@ -2625,7 +2625,10 @@ def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = topk(read_committed(spark, target).select(*sel))
         # Physical purge: compaction reads the DV-filtered view and
         # drops the masked files' DV entries with the files.
-        if compact(spark, target) == 0:
+        # min_files=1: a purge-motivated compaction must rewrite even a
+        # single-file table (the default 2 targets small-file merging
+        # and would skip it, silently leaving the DVs in place).
+        if compact(spark, target, min_files=1) == 0:
             raise AssertionError("purge compaction rewrote nothing")
         purged = topk(read_committed(spark, target).select(*sel))
         if sorted(map(tuple, rows)) != sorted(map(tuple, purged)):

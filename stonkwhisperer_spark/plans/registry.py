@@ -101,13 +101,15 @@ _GATE_ORDER: list[str] = [
     #    plans/ now routes through glue.bounded_collect (VERDICT r11
     #    task 5). The conversion is one shared helper across ~40 sites;
     #    these four re-gate a representative of every converted family
-    #    not already covered above or by the stale cohort below (bm25
-    #    upsert trilogy, flows state, the stream-sketch drains, txlog
-    #    e2e; txlog_history / streaming_cms / the bucketed-join rollup
-    #    keep their r11 rows — same shared-helper change, family
-    #    representatives in-window, and txlog_history additionally
-    #    carries this round's idle-box probe in BENCH_METHOD.md) --
-    "bm25_index_upsert",
+    #    not already covered above or by the stale cohort below (flows
+    #    state, the stream-sketch drains, txlog e2e, the bucketed-join
+    #    rollup; txlog_history / streaming_cms / bm25_index_upsert keep
+    #    their r11 rows — bm25_index_upsert's converted site is the
+    #    byte-identical "top-k scored postings" collect that
+    #    bm25_index_forget gates above, txlog_history additionally
+    #    carries this round's idle-box probe in BENCH_METHOD.md, and
+    #    streaming_cms shares streaming_sketch's drain shape) --
+    "bucketed_order_lineitem_join",
     "flows_e2e_state",
     "streaming_sketch",
     "txlog_e2e_state",
