@@ -115,3 +115,19 @@ def test_no_bare_collect_in_plans():
         "through bounded_collect(df, cap, what) and add the bound to "
         "docs/SCALE.md's harness-glue inventory"
     )
+
+
+def test_bounded_collect_semantics(spark):
+    """bounded_collect is the sanctioned driver-materialization path
+    for every plans/ glue site: under the cap it must return the full
+    relation; over the cap it must raise (naming the site) while
+    having fetched at most cap+1 rows."""
+    import pytest as _pytest
+
+    from stonkwhisperer_spark.plans.glue import bounded_collect
+
+    df = spark.range(10)
+    assert len(bounded_collect(df, 10, "exact-cap")) == 10
+    assert len(bounded_collect(df, 50, "under-cap")) == 10
+    with _pytest.raises(AssertionError, match=r"over-cap.*documented"):
+        bounded_collect(df, 9, "over-cap")
