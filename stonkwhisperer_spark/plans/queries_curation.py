@@ -408,7 +408,7 @@ _DRIFT_SCALE = 1_000_000_000  # TVD fixed-point scale (1e9)
            t.n1 AS n_tokens_v1,
            t.n2 AS n_tokens_v2,
            t.vocab_v1, t.vocab_v2,
-           CASE WHEN t.n1 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT)
+           CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT)
                 ELSE CAST((CAST({_DRIFT_SCALE} AS HUGEINT) * d.tvd_num)
                      // (2 * CAST(t.n1 AS HUGEINT) * t.n2)
                      AS BIGINT) END AS tvd_e9,
@@ -432,7 +432,10 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pipeline gates retraining or flags a poisoned/skewed ingest
     batch when tvd_e9 jumps. A source with NO v1 mass (every doc of
     that source arrived in the batch) reports tvd_e9 = 1e9 — total
-    shift by convention, since p1 is undefined there.
+    shift by convention, since p1 is undefined there; a source with no
+    v2 mass takes the same 1e9 arm (p2 undefined — can't arise under
+    v1 ⊆ v2 here, but the guard keeps a zero denominator from reading
+    as a spurious 'overflow' via the ifnull below; ADVICE r12).
 
     Scale: ONE tokenize pass — the (source, tok) count table is
     localCheckpointed (vocab-sized) so its four consumers never re-run
@@ -518,7 +521,7 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_v1",
             "vocab_v2",
             F.expr(
-                f"CASE WHEN n1 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT) "
+                f"CASE WHEN n1 = 0 OR n2 = 0 THEN CAST({_DRIFT_SCALE} AS BIGINT) "
                 f"ELSE ifnull(CAST((CAST({_DRIFT_SCALE} AS DECIMAL(38,0)) * tvd_num) "
                 "DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT), "
                 "raise_error('corpus_drift: tvd_e9 overflowed DECIMAL(38,0) — "

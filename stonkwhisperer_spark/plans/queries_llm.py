@@ -936,6 +936,8 @@ def _ivf_assign_oracle(seed_residue: int) -> str:
            CAST(sum(vec_id) % {_DIGEST_MOD} AS BIGINT) AS sum_vec_mod,
            CAST(sum((vec_id % {_DIGEST_MOD}) * (vec_id % {_DIGEST_MOD})
                     % {_DIGEST_MOD}) % {_DIGEST_MOD} AS BIGINT) AS sumsq_mod,
+           CAST(sum({portable_hash64_sql("CAST(vec_id AS VARCHAR)")}
+                    % {_DIGEST_MOD}) % {_DIGEST_MOD} AS BIGINT) AS hsum_mod,
            min(vec_id) AS min_vec,
            max(vec_id) AS max_vec
     FROM assign GROUP BY cell
@@ -944,7 +946,7 @@ def _ivf_assign_oracle(seed_residue: int) -> str:
 
 _ASSIGN_DIGEST_SCHEMA = (
     "cell bigint, n_vecs bigint, sum_vec_mod bigint, sumsq_mod bigint, "
-    "min_vec bigint, max_vec bigint"
+    "hsum_mod bigint, min_vec bigint, max_vec bigint"
 )
 
 
@@ -953,8 +955,17 @@ def _assign_digest(assign: DataFrame) -> DataFrame:
     partial-aggregable shuffle producing K rows whose hash pins the
     whole table (any misassigned vector moves two cells' counts and
     checksums). Checksums are exact mod 1e9+7; pre-mod sums ride in
-    DECIMAL so no intermediate overflows before the mod."""
+    DECIMAL so no intermediate overflows before the mod. Beside the
+    algebraic (sum, sum-of-squares) pair — which has constructible
+    collisions: two multisets with equal count/sum/sumsq swapped
+    between cells away from either cell's min/max — the digest carries
+    an order-insensitive modular sum of a KEYED hash (portable md5
+    hash of vec_id), so defeating it requires colliding an md5-derived
+    sum, not solving a small integer system (ADVICE r12)."""
     m = _DIGEST_MOD
+    hmod = (
+        portable_hash64(F.col("vec_id").cast("string")) % m
+    ).cast("decimal(28,0)")
     return assign.groupBy("cell").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.expr(
@@ -964,6 +975,7 @@ def _assign_digest(assign: DataFrame) -> DataFrame:
             f"CAST(sum(CAST((vec_id % {m}) * (vec_id % {m}) % {m} "
             f"AS DECIMAL(28,0))) % {m} AS BIGINT)"
         ).alias("sumsq_mod"),
+        (F.sum(hmod) % m).cast("bigint").alias("hsum_mod"),
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
     )
@@ -982,7 +994,8 @@ def q_ivf_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm, unseen vectors (vec_id % 8 == 4) the insert arm, both
     asserted non-empty. The gate relation is a per-cell DIGEST of the
     maintained table — (n_vecs, modular id sum, modular id-square sum,
-    min, max) per cell — which must hash-equal the same digest over the
+    modular keyed-hash sum, min, max) per cell — which must hash-equal
+    the same digest over the
     oracle's from-scratch assignment of the whole corpus: any vector in
     the wrong cell moves two cells' counts and checksums, so the digest
     pins incremental == rebuild without materializing the O(corpus)

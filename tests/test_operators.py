@@ -1445,3 +1445,21 @@ def test_assign_digest_sensitivity(spark):
     # And the swap really is count-preserving (the hard case).
     counts = lambda d: sorted((r[0], r[1]) for r in d)  # noqa: E731
     assert counts(d0) == counts(d2)
+
+    # ADVICE r12: the algebraic (count, sum, sumsq, min, max) columns
+    # have constructible collisions — {10,60,80} and {20,40,90} share
+    # count/sum/sum-of-squares, so trading them between two cells whose
+    # min/max anchors sit outside both ranges is invisible to every
+    # column EXCEPT the keyed-hash sum. Pin that hsum_mod is what
+    # catches it: all other columns must be identical across the trade.
+    parts_a, parts_b = [10, 60, 80], [20, 40, 90]
+    anchors = [(5, 0), (95, 0), (6, 1), (96, 1)]
+    alg_base = anchors + [(v, 0) for v in parts_a] + [(v, 1) for v in parts_b]
+    alg_swap = anchors + [(v, 1) for v in parts_a] + [(v, 0) for v in parts_b]
+    b, s = digest(alg_base), digest(alg_swap)
+    assert b != s, "digest missed an equal-count/sum/sumsq cell trade"
+    drop_hsum = lambda d: [r[:4] + r[5:] for r in d]  # noqa: E731
+    assert drop_hsum(b) == drop_hsum(s), (
+        "expected the algebraic columns to collide on this construction "
+        "(the case exists to prove hsum_mod adds independent power)"
+    )
