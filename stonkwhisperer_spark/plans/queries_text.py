@@ -2543,6 +2543,170 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bm25_index_stream_upsert — the STREAMING arm of retrieval-index
+# maintenance (VERDICT r12 task 3): at 100 TB the inverted index is
+# maintained from a continuous document stream, not nightly batches.
+# Same gate as bm25_index_upsert — the drained index must hash-equal a
+# from-scratch rebuild — with the ingest leg replaced by a real
+# Structured Streaming drain: file-source micro-batches through a
+# foreachBatch exactly-once MERGE (merge_upsert_txn keyed on the
+# checkpoint epoch), then the whole stream replayed over a fresh
+# checkpoint to prove the txn ledger makes it a structural no-op.
+# --------------------------------------------------------------------------
+@register("bm25_index_stream_upsert", oracle=_bm25_oracle())
+def q_bm25_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BM25 inverted-index maintenance: the base corpus
+    (doc_id % 4 != 0) plus stale single-occurrence drafts for half the
+    incoming docs (doc_id % 8 == 0) commit to a txlog table exactly as
+    in bm25_index_upsert; the incoming batch's true postings
+    (doc_id % 4 == 0) then arrive as a rate-limited landing-zone STREAM
+    (file source, ``maxFilesPerTrigger=1`` over a 4-file drop, drained
+    under ``Trigger.AvailableNow``) and MERGE into the index per
+    micro-batch via ``merge_upsert_txn`` — the Delta ``foreachBatch +
+    txnVersion`` streaming-upsert pattern, (app, epoch) keyed so a
+    micro-batch replayed after checkpoint recovery cannot double-apply.
+    The drain is asserted to have split the ingest across ≥2
+    micro-batches (so the streaming path is genuinely exercised, not a
+    single batch in disguise) with both MERGE arms non-empty
+    cumulatively; then the WHOLE stream re-runs over a fresh checkpoint
+    and must be a structural no-op — zero rows inserted or updated and
+    the committed version unmoved — because the deterministic file
+    order realigns the epoch numbering with the ledger's markers
+    (key-level idempotence alone could not guarantee this: a replayed
+    old batch would rewrite rows a later batch already updated).
+    Scoring runs the same bm25_score_index chain over the maintained
+    table; the oracle is the from-scratch full-corpus rebuild, so the
+    hash pins streamed-ingest == rebuild (reference contract being
+    generalized: loading.py:150-161's incremental-vs-all-history merge
+    under continuous arrival, SURVEY §2.9).
+
+    Scale: per-micro-batch cost is O(batch postings) — the same keyed
+    copy-on-write MERGE as the batch path, now priced per poll
+    interval; checkpoint + ledger give exactly-once table contents
+    end-to-end. The derived statistics need no streaming state because
+    they are tf-sized aggregations AT READ TIME of the maintained
+    relation — maintaining them would be premature; the index is the
+    state."""
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_append,
+        merge_upsert_txn,
+        read_committed,
+    )
+    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+
+    tf_all = bm25_tf_index(spark, sf_dir).localCheckpoint(eager=True)
+    base_tf = tf_all.filter(F.col("doc_id") % 4 != 0)
+    batch_tf = tf_all.filter(F.col("doc_id") % 4 == 0)
+    drafts = batch_tf.filter(F.col("doc_id") % 8 == 0).withColumn(
+        "tf", F.lit(1).cast("bigint")
+    )
+    scratch = scratch_dir("stonkw_bm25_stream_idx_")
+    try:
+        target = f"{scratch}/tf"
+        merge_append(
+            spark, target, base_tf.unionByName(drafts), ["doc_id", "tok"]
+        )
+        # The ingest stream's landing drop: 4 round-robin files, each a
+        # disjoint slice of the batch postings (every (doc_id, tok) key
+        # appears in exactly one file, so any file-to-micro-batch
+        # assignment yields the same final MERGE state).
+        landing = f"{scratch}/landing"
+        batch_tf.repartition(4).write.parquet(landing)
+
+        arms: list[tuple[int, int]] = []
+
+        def sink(mb: DataFrame, epoch_id: int) -> None:
+            arms.append(
+                merge_upsert_txn(
+                    mb.sparkSession,
+                    target,
+                    mb,
+                    ["doc_id", "tok"],
+                    "bm25_stream_ingest",
+                    epoch_id,
+                )
+            )
+
+        def drain(ckpt: str) -> None:
+            q = (
+                read_landing_stream(
+                    spark,
+                    landing,
+                    spark.read.parquet(landing).schema,
+                    max_files_per_trigger=1,
+                )
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "bm25 ingest stream did not drain within 300s"
+                    )
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+            finally:
+                q.stop()
+
+        drain(f"{scratch}/ckpt1")
+        if len(arms) < 2:
+            raise AssertionError(
+                f"ingest drained in {len(arms)} micro-batch(es) — the "
+                "rate limit did not split the backlog; not a stream"
+            )
+        inserted = sum(a[0] for a in arms)
+        updated = sum(a[1] for a in arms)
+        if inserted == 0 or updated == 0:
+            raise AssertionError(
+                f"MERGE arms not both exercised across the drain: "
+                f"inserted={inserted}, updated={updated}"
+            )
+        # Exactly-once under full replay: fresh checkpoint, same app —
+        # every realigned epoch finds its ledger marker and no-ops.
+        v_before, n_before = _committed_version(target), len(arms)
+        drain(f"{scratch}/ckpt2")
+        replayed = arms[n_before:]
+        if sum(i + u for i, u in replayed) != 0:
+            raise AssertionError(
+                f"replayed stream applied rows: {replayed}"
+            )
+        if _committed_version(target) != v_before:
+            raise AssertionError("replayed stream moved the committed version")
+
+        index = read_committed(spark, target).select(
+            "doc_id", "source", "tok", "tf"
+        )
+        ranked = bm25_score_index(index).withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+            .cast("int"),
+        )
+        rows = bounded_collect(
+            ranked.filter(F.col("rank") <= _BM25_TOPK)
+            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
+            1_000,
+            "top-k scored postings",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # bm25_index_forget — the DELETE arm of retrieval-index maintenance
 # (rounds 11-12 covered insert + update): right-to-be-forgotten erasure
 # cascaded into the persisted inverted index, first as a merge-on-read
