@@ -2806,6 +2806,131 @@ def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bm25_forget_vacuum — RETENTION completes the erasure story (VERDICT
+# r12 task 4): bm25_index_forget proves mask-then-purge; this query
+# composes the forget cascade with zero-retention VACUUM and gates the
+# part auditors actually check — after vacuum, the pre-erasure
+# snapshot is UNREADABLE and its data files are physically gone, while
+# the current read still hash-equals the kept-corpus rebuild.
+# --------------------------------------------------------------------------
+@register(
+    "bm25_forget_vacuum",
+    oracle=f"""
+    WITH kept AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+    {_bm25_ctes("kept")}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_s, n_terms
+    FROM (
+      SELECT query_id, doc_id, score_s, n_terms,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_s DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def q_bm25_forget_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten END STATE on the maintained BM25 index:
+    the full-corpus tf index commits, erasure requests (doc_id % 10 ==
+    3) are DV-masked, a ``min_files=1`` compaction physically purges
+    the masked rows, and then zero-retention VACUUM reclaims every
+    file the compaction replaced. Three invariants close the GDPR
+    cascade beyond bm25_index_forget's mask+purge:
+
+    1. every pre-erasure data file — each one potentially holding the
+       forgotten docs' postings — is in vacuum's reclaimed set and no
+       longer exists on disk (physical erasure, not just masking);
+    2. time travel to the pre-erasure version now FAILS with the
+       retention-horizon error (the old snapshot is not merely
+       expensive to read — it is contractually unreadable: the
+       ratcheted ``vacuum.cutoff`` makes readers refuse it up front
+       rather than surface a FileNotFound mid-scan);
+    3. the current read, scored through the identical bm25_score_index
+       chain, still hash-equals the from-scratch rebuild on the kept
+       corpus (the oracle) — erasure cost nothing in fidelity.
+
+    Scale: the erasure pipeline is O(matched) DV writes + a file-local
+    purge amortized into routine compaction + O(#commits + #reclaimed)
+    driver-side vacuum — no step scans the corpus; on a 100 TB table
+    the retention window (Delta's ``VACUUM RETAIN n HOURS``) trades
+    time-travel depth against how long forgotten bytes persist, and
+    the compliance deadline picks n."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        compact,
+        delete_where_dv,
+        merge_append,
+        read_committed,
+        vacuum,
+    )
+
+    scratch = scratch_dir("stonkw_bm25_vacuum_")
+    try:
+        target = f"{scratch}/tf"
+        merge_append(spark, target, bm25_tf_index(spark, sf_dir), ["doc_id", "tok"])
+        v_pre = _committed_version(target)
+        files_pre = set(committed_files(target))
+        n_del = delete_where_dv(spark, target, F.col("doc_id") % 10 == 3)
+        if n_del == 0:
+            raise AssertionError("forget set empty — nothing erased")
+        if compact(spark, target, min_files=1) == 0:
+            raise AssertionError("purge compaction rewrote nothing")
+        carried = files_pre & set(committed_files(target))
+        if carried:
+            raise AssertionError(
+                f"purge compaction carried {len(carried)} pre-erasure "
+                "file(s) into the current snapshot — they may hold "
+                "forgotten rows and would survive vacuum"
+            )
+        removed = set(vacuum(target, retain_versions=0))
+        if not files_pre <= removed:
+            raise AssertionError(
+                f"vacuum left pre-erasure files behind: "
+                f"{sorted(files_pre - removed)[:5]}"
+            )
+        still = [
+            f for f in files_pre if os.path.exists(os.path.join(target, f))
+        ]
+        if still:
+            raise AssertionError(f"reclaimed files still on disk: {still[:5]}")
+        try:
+            read_committed(spark, target, version=v_pre)
+        except ValueError as e:
+            if "retention horizon" not in str(e):
+                raise
+        else:
+            raise AssertionError(
+                "time travel to the pre-erasure version still succeeds "
+                "after zero-retention vacuum"
+            )
+        ranked = bm25_score_index(
+            read_committed(spark, target).select("doc_id", "source", "tok", "tf")
+        ).withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+            .cast("int"),
+        )
+        rows = bounded_collect(
+            ranked.filter(F.col("rank") <= _BM25_TOPK)
+            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
+            1_000,
+            "top-k scored postings",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # lm_perplexity_scores — the REAL CCNet-style perplexity quality filter:
 # an add-V-smoothed bigram LM trained on the corpus scores every
 # document's average negative log-likelihood, in fixed point so the

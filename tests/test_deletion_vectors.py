@@ -181,6 +181,36 @@ def test_vacuum_respects_then_reclaims_dv_files(spark, tmp_path):
     assert read_committed(spark, target).count() == 90
 
 
+def test_forget_purge_vacuum_makes_pre_erasure_version_unreadable(
+    spark, tmp_path
+):
+    """The full GDPR cascade (the bm25_forget_vacuum query's contract
+    at unit scale): DV-mask -> compaction purge -> zero-retention
+    vacuum must (1) reclaim every pre-erasure data file from disk,
+    (2) make time travel to the pre-erasure version fail with the
+    retention error instead of a mid-scan FileNotFound, and (3) leave
+    the current snapshot intact."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import _committed_version
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    v_pre = _committed_version(target)
+    files_pre = set(committed_files(target))
+    assert delete_where_dv(spark, target, F.col("k") < 10) == 10
+    assert compact(spark, target, min_files=1) > 0
+    assert not files_pre & set(committed_files(target))
+    removed = set(vacuum(target, retain_versions=0))
+    assert files_pre <= removed
+    assert not any(
+        os.path.exists(os.path.join(target, f)) for f in files_pre
+    )
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=v_pre)
+    assert read_committed(spark, target).count() == 90
+
+
 def test_dv_delete_concurrent_with_merge_serializes(spark, tmp_path):
     target = str(tmp_path / "t")
     _seed(spark, target, n=40, parts=2)
