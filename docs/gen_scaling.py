@@ -16,8 +16,28 @@ b = [json.load(open(p)) for p in (p001, p01, p1)]
 q001, q01, q1 = (x["queries"] for x in b)
 common = sorted(set(q001) & set(q01) & set(q1))
 ratios = {n: q1[n] / q001[n] for n in common if q001[n] > 0}
-top = sorted(ratios, key=ratios.get, reverse=True)[:15]
-bottom = sorted(ratios, key=ratios.get)[:8][::-1]
+by_ratio = sorted(ratios, key=ratios.get, reverse=True)
+top = by_ratio[:15]
+
+# Machine-readable sidecar (VERDICT r12 task 6): the complete per-query
+# numbers behind every claim in SCALING.md, so "N of M grow <=2x" and
+# the debut ratios are checkable without re-running the three sweeps.
+sidecar = {
+    "sf_dirs": ["sf0.001", "sf0.01", "sf0.1"],
+    "suite_totals_sec": [b[0]["value"], b[1]["value"], b[2]["value"]],
+    "n_queries": len(common),
+    "queries": {
+        n: {
+            "sf0.001": q001[n],
+            "sf0.01": q01[n],
+            "sf0.1": q1[n],
+            "x100_ratio": round(ratios[n], 3),
+        }
+        for n in by_ratio
+    },
+}
+with open("docs/scaling_full.json", "w") as f:
+    json.dump(sidecar, f, indent=1)
 
 out = [
     "# Measured weak scaling (local[32], 100x data range)",
@@ -39,17 +59,15 @@ out = [
     "",
     "Regenerate: see docs/gen_scaling.py.",
     "",
-    "## Per-query ratios (most data-sensitive first, then most fixed-overhead)",
+    "## Per-query ratios (complete, most data-sensitive first)",
+    "",
+    "Machine-readable twin: `docs/scaling_full.json` (same numbers,",
+    "regenerated together by this script).",
     "",
     "| query | sf0.001 s | sf0.01 s | sf0.1 s | x100 ratio |",
     "|---|---|---|---|---|",
 ]
-for n in top:
-    out.append(
-        f"| {n} | {q001[n]:.2f} | {q01[n]:.2f} | {q1[n]:.2f} | {ratios[n]:.1f}x |"
-    )
-out.append("| … | | | | |")
-for n in bottom:
+for n in by_ratio:
     out.append(
         f"| {n} | {q001[n]:.2f} | {q01[n]:.2f} | {q1[n]:.2f} | {ratios[n]:.1f}x |"
     )

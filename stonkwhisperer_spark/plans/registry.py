@@ -73,96 +73,82 @@ def oracle_map() -> dict[str, str]:
 # accumulates a recorded green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # ======================= ROUND-12 WINDOW =======================
-    # -- the one oracle-bearing query with NO recorded driver row
-    #    (registered after the r11 window froze; VERDICT r11 task 1
-    #    says lead with it) --
-    "corpus_drift",
-    # -- new in round 12: the third retrieval/dedup index-MAINTENANCE
-    #    twin (VERDICT r11 task 2) — the LSH band table MERGE-maintained
-    #    through the txlog, candidate pairs hash-gated against a
-    #    from-scratch re-banding --
-    "minhash_index_upsert",
-    # -- changed in round 12 (VERDICT r11 task 3): the gate relation is
-    #    now a per-cell digest (count + modular checksums + min/max)
-    #    instead of the O(corpus) assignment table --
+    # ======================= ROUND-13 WINDOW =======================
+    # -- new in round 13 (VERDICT r12 tasks 3 + 4): the STREAMING arm
+    #    of index maintenance (foreachBatch exactly-once MERGE ingest
+    #    into the persisted BM25 tf / LSH band tables, drained index
+    #    hash-gated against the from-scratch rebuild) and the
+    #    forget+vacuum composition (post-purge zero-retention vacuum:
+    #    pre-erasure version unreadable, files physically gone,
+    #    current read still rebuild-equal) --
+    "bm25_index_stream_upsert",
+    "minhash_index_stream_upsert",
+    "bm25_forget_vacuum",
+    # -- changed in round 13: the assignment digest gained hsum_mod
+    #    (an order-insensitive modular sum of the portable md5 hash —
+    #    closes the algebraic-collision seam, ADVICE r12) on both the
+    #    Spark and oracle sides of both consumers; corpus_drift's
+    #    zero-denominator CASE now also guards n2 = 0 on both sides --
     "ivf_assign_incremental",
-    # -- new in round 12: the DELETE and REPLACE arms of index
-    #    maintenance — right-to-be-forgotten erasure cascaded into the
-    #    BM25 tf index (deletion-vector mask + compaction purge) and
-    #    the LSH band index (copy-on-write rewrite), each hash-gated
-    #    against a from-scratch rebuild on the kept corpus; and the
-    #    offline re-cluster that atomically swaps the IVF assignment
-    #    table for a new quantizer's output --
-    "bm25_index_forget",
-    "minhash_index_forget",
     "ivf_recluster_replace",
-    # -- changed in round 12: every harness-glue materialization in
-    #    plans/ now routes through glue.bounded_collect (VERDICT r11
-    #    task 5). The conversion is one shared helper across ~40 sites;
-    #    these four re-gate a representative of every converted family
-    #    not already covered above or by the stale cohort below (flows
-    #    state, the stream-sketch drains, txlog e2e, the bucketed-join
-    #    rollup; txlog_history / streaming_cms / bm25_index_upsert keep
-    #    their r11 rows — bm25_index_upsert's converted site is the
-    #    byte-identical "top-k scored postings" collect that
-    #    bm25_index_forget gates above, txlog_history additionally
-    #    carries this round's idle-box probe in BENCH_METHOD.md, and
-    #    streaming_cms shares streaming_sketch's drain shape) --
+    "corpus_drift",
+    # -- probed this round (VERDICT r12 tasks 2 + 5, docs/BENCH_METHOD
+    #    round-13 table): the two above-band txlog rows and the
+    #    shifted bucketed join re-gate alongside their probe verdicts
+    #    so the round's perf story carries fresh correctness rows --
+    "txlog_incremental_agg",
+    "txlog_stream_upsert",
     "bucketed_order_lineitem_join",
-    "flows_e2e_state",
-    "streaming_sketch",
-    "txlog_e2e_state",
-    # -- the full r7-stale cohort (40 queries; newest recorded green
-    #    row round 7 for all — VERDICT r11 task 1). After this window
-    #    closes the newest-green floor moves to r9. --
-    "benchmark_contamination",
-    "big_order_customers",
-    "click_surplus_multiset",
-    "clickers_and_buyers",
-    "cust_order_dist",
-    "customer_order_ranks",
-    "disjunctive_promo_revenue",
-    "doc_constraints",
-    "doc_split_assign",
-    "doc_token_positions_udtf",
-    "event_prop_keys",
-    "event_sessions",
-    "gapfill_events",
-    "kmv_distinct_estimate",
-    "media_manifest",
-    "mixture_sample",
-    "order_deciles",
-    "order_price_quantiles",
-    "order_relative_ranks",
-    "orders_monthly",
-    "pii_scrub",
-    "price_qty_correlation",
-    "purchase_funnel",
-    "quality_filter",
-    "region_revenue",
-    "simhash_signatures",
-    "streaming_dedup",
-    "streaming_join",
-    "streaming_ohlcv",
-    "streaming_sessions",
-    "text_quality",
-    "token_stats",
-    "trailing_30d_spend",
-    "txlog_bloom_lookup",
-    "txlog_clone_replay",
-    "txlog_merge_evolve",
-    "txlog_merge_sync_replay",
-    "value_outliers",
-    "vwap_1min",
-    "weekly_cohort_retention",
-    # (after this window closes, every oracle-bearing query's newest
-    #  green row is r9+ and the never-recorded set is exactly the three
-    #  no-oracle side-effecting surfaces, each with a hash-gated
-    #  companion: flows_e2e -> flows_e2e_state, txlog_e2e ->
-    #  txlog_e2e_state, sentiment_scores -> sentiment_closed_form.
-    #  Round 13's window should rotate the r9-stale cohort (~42) plus
-    #  whatever round 12 changed.)
+    # -- the full r9-stale cohort (41 queries; newest recorded green
+    #    row round 9 for all — VERDICT r12 task 1). After this window
+    #    closes the newest-green floor moves to r10. --
+    "audio_pcm_stats",
+    "bloom_prune_lineitem",
+    "bpe_encode",
+    "bpe_merges",
+    "cms_token_topk",
+    "dedup_canonical",
+    "dup_clusters",
+    "event_type_enrich_salted",
+    "event_type_enrich_sketch_salted",
+    "forecast_revenue",
+    "idle_rich_customers",
+    "incremental_dedup",
+    "ivfpq_refine_embeddings",
+    "ivfpq_topk_embeddings",
+    "ivfsq8_topk_embeddings",
+    "jsonl_ingest_roundtrip",
+    "kmv_shard_overlap",
+    "kmv_vocab_cardinality",
+    "large_orders",
+    "media_headers",
+    "media_pixel_stats",
+    "media_resize_stats",
+    "nation_trade_volume",
+    "near_dup_jaccard",
+    "part_value_share",
+    "priority_order_counts",
+    "priority_sample",
+    "promo_revenue_share",
+    "quantile_sketch_prices",
+    "revenue_cube",
+    "shipping_priority",
+    "small_order_part_revenue",
+    "sole_return_suppliers",
+    "source_capped_sample",
+    "sql_top_brands_by_region",
+    "steel_part_suppliers",
+    "top_customer_per_nation",
+    "top_supplier_revenue",
+    "url_canonical_dedup",
+    "video_frame_stats",
+    "zip_docs_embeddings_dist",
+    # (after this window closes the newest-green distribution is
+    #  r13=50, r12=47, r11=44, r10=42 — floor r10; the never-recorded
+    #  set stays exactly the three no-oracle side-effecting surfaces,
+    #  each with a hash-gated companion. Round 14's window should
+    #  rotate the r10-stale cohort (~42) plus whatever round 13
+    #  changed.)
 ]
 
 
