@@ -352,9 +352,12 @@ def q_minhash_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     scratch = scratch_dir("stonkw_minhash_stream_idx_")
     try:
         target = f"{scratch}/bands"
-        merge_append(
-            spark, target, base.unionByName(drafts), ["doc_id", "band_idx"]
-        )
+        # Separate commits for base and drafts (see
+        # bm25_index_stream_upsert): the drafts' band rows live in
+        # their own files, so each micro-batch MERGE rewrites only
+        # those — never the base corpus files.
+        merge_append(spark, target, base, ["doc_id", "band_idx"])
+        merge_append(spark, target, drafts, ["doc_id", "band_idx"])
         landing = f"{scratch}/landing"
         batch.repartition(4).write.parquet(landing)
 
@@ -373,29 +376,37 @@ def q_minhash_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
         def drain(ckpt: str) -> None:
-            q = (
-                read_landing_stream(
-                    spark,
-                    landing,
-                    spark.read.parquet(landing).schema,
-                    max_files_per_trigger=1,
-                )
-                .writeStream.foreachBatch(sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
+            # Harness-scale drain discipline (see bm25_index_stream_
+            # upsert): narrow the per-micro-batch MERGE shuffles to the
+            # drain, not the session.
+            from stonkwhisperer_spark.plans.queries_flows import (
+                _stream_shuffle_width,
             )
-            try:
-                if not q.awaitTermination(300):
-                    raise TimeoutError(
-                        "band ingest stream did not drain within 300s"
+
+            with _stream_shuffle_width(spark):
+                q = (
+                    read_landing_stream(
+                        spark,
+                        landing,
+                        spark.read.parquet(landing).schema,
+                        max_files_per_trigger=1,
                     )
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
-            finally:
-                q.stop()
+                    .writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(300):
+                        raise TimeoutError(
+                            "band ingest stream did not drain within 300s"
+                        )
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
+                finally:
+                    q.stop()
 
         drain(f"{scratch}/ckpt1")
         if len(arms) < 2:

@@ -2609,9 +2609,17 @@ def q_bm25_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = scratch_dir("stonkw_bm25_stream_idx_")
     try:
         target = f"{scratch}/tf"
-        merge_append(
-            spark, target, base_tf.unionByName(drafts), ["doc_id", "tok"]
-        )
+        # Base corpus and stale drafts land as SEPARATE commits (the
+        # realistic history: the drafts were an earlier partial ingest)
+        # — so the drafts' postings live in their own files and each
+        # micro-batch's matched-file discovery rewrites only those,
+        # never the base corpus files (none of whose doc_ids can match
+        # a batch key). Fusing them into one commit would spread draft
+        # rows across every file and turn each micro-batch MERGE into a
+        # full-table rewrite — the exact amplification key-clustered
+        # layouts (Z-order on the merge key) exist to avoid.
+        merge_append(spark, target, base_tf, ["doc_id", "tok"])
+        merge_append(spark, target, drafts, ["doc_id", "tok"])
         # The ingest stream's landing drop: 4 round-robin files, each a
         # disjoint slice of the batch postings (every (doc_id, tok) key
         # appears in exactly one file, so any file-to-micro-batch
@@ -2634,29 +2642,39 @@ def q_bm25_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def drain(ckpt: str) -> None:
-            q = (
-                read_landing_stream(
-                    spark,
-                    landing,
-                    spark.read.parquet(landing).schema,
-                    max_files_per_trigger=1,
-                )
-                .writeStream.foreachBatch(sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
+            # Harness-scale drain discipline (the _stream_shuffle_width
+            # rationale): each micro-batch MERGE pays its shuffles at
+            # session width; 32 partitions over a few-MB batch is pure
+            # scheduling overhead, 4x per drain. Production sizes this
+            # to the cluster.
+            from stonkwhisperer_spark.plans.queries_flows import (
+                _stream_shuffle_width,
             )
-            try:
-                if not q.awaitTermination(300):
-                    raise TimeoutError(
-                        "bm25 ingest stream did not drain within 300s"
+
+            with _stream_shuffle_width(spark):
+                q = (
+                    read_landing_stream(
+                        spark,
+                        landing,
+                        spark.read.parquet(landing).schema,
+                        max_files_per_trigger=1,
                     )
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
-            finally:
-                q.stop()
+                    .writeStream.foreachBatch(sink)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(300):
+                        raise TimeoutError(
+                            "bm25 ingest stream did not drain within 300s"
+                        )
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
+                finally:
+                    q.stop()
 
         drain(f"{scratch}/ckpt1")
         if len(arms) < 2:
