@@ -17,7 +17,10 @@ q001, q01, q1 = (x["queries"] for x in b)
 common = sorted(set(q001) & set(q01) & set(q1))
 ratios = {n: q1[n] / q001[n] for n in common if q001[n] > 0}
 by_ratio = sorted(ratios, key=ratios.get, reverse=True)
-top = by_ratio[:15]
+assert len(by_ratio) == len(common), (
+    "a query with a 0s sf0.001 timing was dropped from the ratio table — "
+    "the sidecar would no longer be complete"
+)
 
 # Machine-readable sidecar (VERDICT r12 task 6): the complete per-query
 # numbers behind every claim in SCALING.md, so "N of M grow <=2x" and
@@ -25,7 +28,7 @@ top = by_ratio[:15]
 sidecar = {
     "sf_dirs": ["sf0.001", "sf0.01", "sf0.1"],
     "suite_totals_sec": [b[0]["value"], b[1]["value"], b[2]["value"]],
-    "n_queries": len(common),
+    "n_queries": len(by_ratio),
     "queries": {
         n: {
             "sf0.001": q001[n],
@@ -73,7 +76,7 @@ for n in by_ratio:
     )
 
 grow_le2 = sum(1 for r in ratios.values() if r <= 2.0)
-steepest = top[0]
+steepest = by_ratio[0]
 out += [
     "",
     "## Reading the numbers",

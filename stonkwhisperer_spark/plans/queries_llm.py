@@ -321,13 +321,8 @@ def q_minhash_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from stonkwhisperer_spark.operators.dedup import band_keys, candidates_from_banded
     from stonkwhisperer_spark.session import scratch_dir
-    from stonkwhisperer_spark.sinks.writers import (
-        _committed_version,
-        merge_append,
-        merge_upsert_txn,
-        read_committed,
-    )
-    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+    from stonkwhisperer_spark.streaming.jobs import run_txn_merge_ingest
 
     sigs = minhash_signatures_exploded(_postings(spark, sf_dir), "doc_id", 16)
     banded = sigs.select(
@@ -360,75 +355,15 @@ def q_minhash_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         merge_append(spark, target, drafts, ["doc_id", "band_idx"])
         landing = f"{scratch}/landing"
         batch.repartition(4).write.parquet(landing)
-
-        arms: list[tuple[int, int]] = []
-
-        def sink(mb: DataFrame, epoch_id: int) -> None:
-            arms.append(
-                merge_upsert_txn(
-                    mb.sparkSession,
-                    target,
-                    mb,
-                    ["doc_id", "band_idx"],
-                    "minhash_stream_ingest",
-                    epoch_id,
-                )
-            )
-
-        def drain(ckpt: str) -> None:
-            # Harness-scale drain discipline (see bm25_index_stream_
-            # upsert): narrow the per-micro-batch MERGE shuffles to the
-            # drain, not the session.
-            from stonkwhisperer_spark.plans.queries_flows import (
-                _stream_shuffle_width,
-            )
-
-            with _stream_shuffle_width(spark):
-                q = (
-                    read_landing_stream(
-                        spark,
-                        landing,
-                        spark.read.parquet(landing).schema,
-                        max_files_per_trigger=1,
-                    )
-                    .writeStream.foreachBatch(sink)
-                    .option("checkpointLocation", ckpt)
-                    .outputMode("update")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                try:
-                    if not q.awaitTermination(300):
-                        raise TimeoutError(
-                            "band ingest stream did not drain within 300s"
-                        )
-                    exc = q.exception()
-                    if exc is not None:
-                        raise exc
-                finally:
-                    q.stop()
-
-        drain(f"{scratch}/ckpt1")
-        if len(arms) < 2:
-            raise AssertionError(
-                f"ingest drained in {len(arms)} micro-batch(es) — the "
-                "rate limit did not split the backlog; not a stream"
-            )
-        inserted = sum(a[0] for a in arms)
-        updated = sum(a[1] for a in arms)
-        if inserted == 0 or updated == 0:
-            raise AssertionError(
-                f"MERGE arms not both exercised across the drain: "
-                f"inserted={inserted}, updated={updated}"
-            )
-        v_before, n_before = _committed_version(target), len(arms)
-        drain(f"{scratch}/ckpt2")
-        replayed = arms[n_before:]
-        if sum(i + u for i, u in replayed) != 0:
-            raise AssertionError(f"replayed stream applied rows: {replayed}")
-        if _committed_version(target) != v_before:
-            raise AssertionError("replayed stream moved the committed version")
-
+        run_txn_merge_ingest(
+            spark,
+            landing,
+            batch.schema,
+            target,
+            ["doc_id", "band_idx"],
+            "minhash_stream_ingest",
+            scratch,
+        )
         index = read_committed(spark, target).select(
             "doc_id", "band_idx", "band_key"
         )

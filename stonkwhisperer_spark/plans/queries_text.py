@@ -2438,6 +2438,37 @@ def bm25_score_index(tf: DataFrame) -> DataFrame:
     )
 
 
+_BM25_TOPK_SCHEMA = (
+    "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint"
+)
+
+
+def bm25_topk_rows(index: DataFrame) -> list:
+    """Shared scoring tail of the BM25 index-lifecycle queries
+    (upsert / forget / stream-upsert / forget-vacuum): score the
+    maintained (doc_id, source, tok, tf) relation through
+    :func:`bm25_score_index`, rank per query (ties on doc_id), cut to
+    ``_BM25_TOPK`` and bounded-collect — ONE definition so the ranking
+    tie-break, cap, and output schema (``_BM25_TOPK_SCHEMA``) cannot
+    drift between the four queries sharing the ``_bm25_oracle``
+    contract."""
+    from pyspark.sql.window import Window as W
+
+    ranked = bm25_score_index(index).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
+        .cast("int"),
+    )
+    return bounded_collect(
+        ranked.filter(F.col("rank") <= _BM25_TOPK).select(
+            "query_id", "rank", "doc_id", "score_s", "n_terms"
+        ),
+        1_000,
+        "top-k scored postings",
+    )
+
+
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BM25 ``scored`` relation (query_id, doc_id, score_s,
     n_terms) from a from-scratch index build — shared by
@@ -2494,8 +2525,6 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete+insert replace path (txlog_replace_where)."""
     import shutil
 
-    from pyspark.sql.window import Window as W
-
     from stonkwhisperer_spark.session import scratch_dir
     from stonkwhisperer_spark.sinks.writers import (
         merge_append,
@@ -2521,25 +2550,12 @@ def q_bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"MERGE arms not both exercised: inserted={inserted}, "
                 f"updated={updated}"
             )
-        index = read_committed(spark, target).select("doc_id", "source", "tok", "tf")
-        ranked = bm25_score_index(index).withColumn(
-            "rank",
-            F.row_number()
-            .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
-            .cast("int"),
-        )
-        rows = bounded_collect(
-            ranked.filter(F.col("rank") <= _BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
-            1_000,
-            "top-k scored postings",
+        rows = bm25_topk_rows(
+            read_committed(spark, target).select("doc_id", "source", "tok", "tf")
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
-    )
+    return spark.createDataFrame(rows, _BM25_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -2589,16 +2605,9 @@ def q_bm25_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state."""
     import shutil
 
-    from pyspark.sql.window import Window as W
-
     from stonkwhisperer_spark.session import scratch_dir
-    from stonkwhisperer_spark.sinks.writers import (
-        _committed_version,
-        merge_append,
-        merge_upsert_txn,
-        read_committed,
-    )
-    from stonkwhisperer_spark.streaming.jobs import read_landing_stream
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+    from stonkwhisperer_spark.streaming.jobs import run_txn_merge_ingest
 
     tf_all = bm25_tf_index(spark, sf_dir).localCheckpoint(eager=True)
     base_tf = tf_all.filter(F.col("doc_id") % 4 != 0)
@@ -2626,102 +2635,21 @@ def q_bm25_index_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assignment yields the same final MERGE state).
         landing = f"{scratch}/landing"
         batch_tf.repartition(4).write.parquet(landing)
-
-        arms: list[tuple[int, int]] = []
-
-        def sink(mb: DataFrame, epoch_id: int) -> None:
-            arms.append(
-                merge_upsert_txn(
-                    mb.sparkSession,
-                    target,
-                    mb,
-                    ["doc_id", "tok"],
-                    "bm25_stream_ingest",
-                    epoch_id,
-                )
-            )
-
-        def drain(ckpt: str) -> None:
-            # Harness-scale drain discipline (the _stream_shuffle_width
-            # rationale): each micro-batch MERGE pays its shuffles at
-            # session width; 32 partitions over a few-MB batch is pure
-            # scheduling overhead, 4x per drain. Production sizes this
-            # to the cluster.
-            from stonkwhisperer_spark.plans.queries_flows import (
-                _stream_shuffle_width,
-            )
-
-            with _stream_shuffle_width(spark):
-                q = (
-                    read_landing_stream(
-                        spark,
-                        landing,
-                        spark.read.parquet(landing).schema,
-                        max_files_per_trigger=1,
-                    )
-                    .writeStream.foreachBatch(sink)
-                    .option("checkpointLocation", ckpt)
-                    .outputMode("update")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                try:
-                    if not q.awaitTermination(300):
-                        raise TimeoutError(
-                            "bm25 ingest stream did not drain within 300s"
-                        )
-                    exc = q.exception()
-                    if exc is not None:
-                        raise exc
-                finally:
-                    q.stop()
-
-        drain(f"{scratch}/ckpt1")
-        if len(arms) < 2:
-            raise AssertionError(
-                f"ingest drained in {len(arms)} micro-batch(es) — the "
-                "rate limit did not split the backlog; not a stream"
-            )
-        inserted = sum(a[0] for a in arms)
-        updated = sum(a[1] for a in arms)
-        if inserted == 0 or updated == 0:
-            raise AssertionError(
-                f"MERGE arms not both exercised across the drain: "
-                f"inserted={inserted}, updated={updated}"
-            )
-        # Exactly-once under full replay: fresh checkpoint, same app —
-        # every realigned epoch finds its ledger marker and no-ops.
-        v_before, n_before = _committed_version(target), len(arms)
-        drain(f"{scratch}/ckpt2")
-        replayed = arms[n_before:]
-        if sum(i + u for i, u in replayed) != 0:
-            raise AssertionError(
-                f"replayed stream applied rows: {replayed}"
-            )
-        if _committed_version(target) != v_before:
-            raise AssertionError("replayed stream moved the committed version")
-
-        index = read_committed(spark, target).select(
-            "doc_id", "source", "tok", "tf"
+        run_txn_merge_ingest(
+            spark,
+            landing,
+            batch_tf.schema,
+            target,
+            ["doc_id", "tok"],
+            "bm25_stream_ingest",
+            scratch,
         )
-        ranked = bm25_score_index(index).withColumn(
-            "rank",
-            F.row_number()
-            .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
-            .cast("int"),
-        )
-        rows = bounded_collect(
-            ranked.filter(F.col("rank") <= _BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
-            1_000,
-            "top-k scored postings",
+        rows = bm25_topk_rows(
+            read_committed(spark, target).select("doc_id", "source", "tok", "tf")
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
-    )
+    return spark.createDataFrame(rows, _BM25_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -2770,8 +2698,6 @@ def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-delete-maintained == rebuilt-without-the-docs."""
     import shutil
 
-    from pyspark.sql.window import Window as W
-
     from stonkwhisperer_spark.session import scratch_dir
     from stonkwhisperer_spark.sinks.writers import (
         compact,
@@ -2788,23 +2714,8 @@ def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_del == 0:
             raise AssertionError("forget set empty — nothing erased")
 
-        def topk(index: DataFrame) -> list:
-            ranked = bm25_score_index(index).withColumn(
-                "rank",
-                F.row_number()
-                .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
-                .cast("int"),
-            )
-            return bounded_collect(
-                ranked.filter(F.col("rank") <= _BM25_TOPK).select(
-                    "query_id", "rank", "doc_id", "score_s", "n_terms"
-                ),
-                1_000,
-                "top-k scored postings",
-            )
-
         sel = ("doc_id", "source", "tok", "tf")
-        rows = topk(read_committed(spark, target).select(*sel))
+        rows = bm25_topk_rows(read_committed(spark, target).select(*sel))
         # Physical purge: compaction reads the DV-filtered view and
         # drops the masked files' DV entries with the files.
         # min_files=1: a purge-motivated compaction must rewrite even a
@@ -2812,15 +2723,12 @@ def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and would skip it, silently leaving the DVs in place).
         if compact(spark, target, min_files=1) == 0:
             raise AssertionError("purge compaction rewrote nothing")
-        purged = topk(read_committed(spark, target).select(*sel))
+        purged = bm25_topk_rows(read_committed(spark, target).select(*sel))
         if sorted(map(tuple, rows)) != sorted(map(tuple, purged)):
             raise AssertionError("physical purge changed the scored result")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
-    )
+    return spark.createDataFrame(rows, _BM25_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -2874,8 +2782,6 @@ def q_bm25_forget_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from pyspark.sql.window import Window as W
-
     from stonkwhisperer_spark.session import scratch_dir
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
@@ -2926,26 +2832,12 @@ def q_bm25_forget_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "time travel to the pre-erasure version still succeeds "
                 "after zero-retention vacuum"
             )
-        ranked = bm25_score_index(
+        rows = bm25_topk_rows(
             read_committed(spark, target).select("doc_id", "source", "tok", "tf")
-        ).withColumn(
-            "rank",
-            F.row_number()
-            .over(W.partitionBy("query_id").orderBy(F.desc("score_s"), "doc_id"))
-            .cast("int"),
-        )
-        rows = bounded_collect(
-            ranked.filter(F.col("rank") <= _BM25_TOPK)
-            .select("query_id", "rank", "doc_id", "score_s", "n_terms"),
-            1_000,
-            "top-k scored postings",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "query_id string, rank int, doc_id bigint, score_s bigint, n_terms bigint",
-    )
+    return spark.createDataFrame(rows, _BM25_TOPK_SCHEMA)
 
 
 # --------------------------------------------------------------------------

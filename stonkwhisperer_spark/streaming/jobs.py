@@ -171,6 +171,122 @@ def start_txn_append_stream(
     return writer.start()
 
 
+def run_txn_merge_ingest(
+    spark: SparkSession,
+    landing: str,
+    schema: T.StructType,
+    target_path: str,
+    keys: Sequence[str],
+    app_id: str,
+    checkpoint_root: str,
+    max_files_per_trigger: int = 1,
+    shuffle_width: int = 8,
+    timeout_sec: float = 300.0,
+) -> tuple[int, int]:
+    """Exactly-once streaming MERGE ingest, drained and then PROVEN
+    replay-safe — the shared engine of the r13 index-maintenance
+    streaming arm (bm25_index_stream_upsert / minhash_index_stream_
+    upsert):
+
+    1. a rate-limited file-source stream over ``landing`` drains under
+       ``Trigger.AvailableNow`` into ``target_path`` via per-micro-batch
+       :func:`sinks.writers.merge_upsert_txn` keyed (``app_id``, epoch)
+       — Delta's ``foreachBatch + txnVersion`` pattern;
+    2. the drain is asserted to have split across >=2 micro-batches
+       (genuinely a stream, not a single batch in disguise) with both
+       MERGE arms non-empty cumulatively;
+    3. the WHOLE stream re-runs over a fresh checkpoint and must
+       re-present the same number of micro-batches (a zero-batch replay
+       would pass the no-op checks vacuously) while applying ZERO rows
+       and leaving the committed version unmoved — the txn ledger makes
+       the replay structurally a no-op, which key-level idempotence
+       alone could not (a replayed old batch would resurrect stale
+       values over a later batch's rows).
+
+    Returns the first drain's cumulative (inserted, updated).
+
+    Per-micro-batch MERGE shuffles run at ``shuffle_width`` (the
+    ``_stream_shuffle_width`` harness-scale discipline: session width
+    over a few-MB batch is pure scheduling overhead; production sizes
+    this to the cluster), restored after each drain.
+
+    Scale: per poll interval this is the batch path's O(batch) keyed
+    copy-on-write MERGE; checkpoint + ledger give exactly-once table
+    contents end-to-end; the maintained table is the only state — no
+    watermark, no state store."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        merge_upsert_txn,
+    )
+
+    key_cols = list(keys)
+    arms: list[tuple[int, int]] = []
+
+    def sink(mb: DataFrame, epoch_id: int) -> None:
+        arms.append(
+            merge_upsert_txn(
+                mb.sparkSession, target_path, mb, key_cols, app_id, epoch_id
+            )
+        )
+
+    def drain(ckpt: str) -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width))
+        try:
+            q = (
+                read_landing_stream(
+                    spark, landing, schema,
+                    max_files_per_trigger=max_files_per_trigger,
+                )
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(timeout_sec):
+                    raise TimeoutError(
+                        f"ingest stream over {landing} did not drain "
+                        f"within {timeout_sec}s"
+                    )
+            finally:
+                q.stop()
+            exc = q.exception()
+            if exc is not None:
+                raise exc
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    drain(f"{checkpoint_root}/ckpt1")
+    if len(arms) < 2:
+        raise AssertionError(
+            f"ingest drained in {len(arms)} micro-batch(es) — the rate "
+            "limit did not split the backlog; not a stream"
+        )
+    inserted = sum(a[0] for a in arms)
+    updated = sum(a[1] for a in arms)
+    if inserted == 0 or updated == 0:
+        raise AssertionError(
+            f"MERGE arms not both exercised across the drain: "
+            f"inserted={inserted}, updated={updated}"
+        )
+    v_before, n_before = _committed_version(target_path), len(arms)
+    drain(f"{checkpoint_root}/ckpt2")
+    replayed = arms[n_before:]
+    if len(replayed) != n_before:
+        raise AssertionError(
+            f"replay presented {len(replayed)} micro-batch(es), expected "
+            f"{n_before} — a short replay would pass the no-op checks "
+            "vacuously"
+        )
+    if sum(i + u for i, u in replayed) != 0:
+        raise AssertionError(f"replayed stream applied rows: {replayed}")
+    if _committed_version(target_path) != v_before:
+        raise AssertionError("replayed stream moved the committed version")
+    return inserted, updated
+
+
 def start_cdc_apply_stream(
     spark: SparkSession,
     source_path: str,
