@@ -1371,6 +1371,30 @@ def test_merge_sync_delete_everything(spark, tmp_path):
     assert got is None
 
 
+def test_matched_file_discovery_cap_trips(spark, tmp_path, monkeypatch):
+    """The matched-file discovery tripwire (VERDICT r12 observation):
+    with the cap shrunk below the table's file count, a DELETE whose
+    predicate touches every file must fail loud instead of collecting
+    an oversized driver list — and with the real cap the same call
+    succeeds."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks import writers
+    from stonkwhisperer_spark.sinks.writers import delete_where, merge_append
+
+    target = str(tmp_path / "t")
+    df = spark.range(12).withColumnRenamed("id", "k")
+    for i in range(3):  # 3 commits -> >=3 data files
+        merge_append(
+            spark, target, df.filter((F.col("k") % 3) == i), ["k"]
+        )
+    monkeypatch.setattr(writers, "_MAX_FILE_LIST", 2)
+    with pytest.raises(AssertionError, match="matched-file discovery"):
+        delete_where(spark, target, F.col("k") >= 0)
+    monkeypatch.undo()
+    assert delete_where(spark, target, F.col("k") >= 0) == 12
+
+
 def test_merge_upsert_txn_replay_noop(spark, tmp_path):
     """foreachBatch streaming upsert: a replayed micro-batch (same
     app/version) must not re-apply — even though its keys all exist."""
