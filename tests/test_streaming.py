@@ -432,6 +432,53 @@ def test_run_txn_merge_ingest_drains_and_replays_noop(spark, tmp_path):
     assert final.filter(F.col("v") == "stale").count() == 0
 
 
+def test_ivf_assignment_streams_through_txn_merge(spark, tmp_path):
+    """The THIRD maintained index's streaming arm (the r13 queries
+    cover the BM25 tf and LSH band tables; this pins the same contract
+    for the IVF assignment table at unit scale): base assignments plus
+    stale placeholder rows commit to a txlog table, the ingest batch's
+    true (vec_id, cell) assignments arrive as a 3-file landing stream
+    and MERGE keyed on vec_id via run_txn_merge_ingest (exactly-once,
+    replay-proven by the helper), and the per-cell digest of the
+    drained table equals the digest of the from-scratch assignment —
+    streamed-ingest == rebuild, the gate ivf_assign_incremental pins
+    for the batch path."""
+    from pyspark.sql import functions as F
+
+    from stonkwhisperer_spark.plans.queries_llm import _assign_digest
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+    from stonkwhisperer_spark.streaming.jobs import run_txn_merge_ingest
+
+    cell = (F.col("vec_id") * 37 % 7).cast("bigint")
+    full = spark.range(200).select(
+        F.col("id").alias("vec_id"), cell.alias("cell")
+    )
+    base = full.filter(F.col("vec_id") % 4 != 0)
+    stale = full.filter(F.col("vec_id") % 8 == 0).select(
+        "vec_id", F.lit(99).cast("bigint").alias("cell")
+    )
+    batch = full.filter(F.col("vec_id") % 4 == 0)
+
+    target = str(tmp_path / "assign")
+    merge_append(spark, target, base, ["vec_id"])
+    merge_append(spark, target, stale, ["vec_id"])
+    landing = str(tmp_path / "landing")
+    batch.repartition(3).write.parquet(landing)
+
+    inserted, updated = run_txn_merge_ingest(
+        spark, landing, batch.schema, target, ["vec_id"],
+        "ivf_stream_ingest", str(tmp_path),
+    )
+    assert inserted == 25 and updated == 25  # %8==4 insert, %8==0 update
+    maintained = sorted(
+        map(tuple, _assign_digest(
+            read_committed(spark, target).select("vec_id", "cell")
+        ).collect())
+    )
+    rebuilt = sorted(map(tuple, _assign_digest(full).collect()))
+    assert maintained == rebuilt
+
+
 def test_drain_until_caught_up_rate_limited(spark, tmp_path):
     """VERDICT-r6 task 4: a 6-commit backlog with maxCommitsPerTrigger=2
     drains FULLY under drain_until_caught_up in >=3 micro-batches —
