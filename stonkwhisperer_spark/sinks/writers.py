@@ -2035,9 +2035,16 @@ def vacuum(
         head = commits[-1]["version"]
         if cutoff is None:  # fixed on first attempt; CAS retries re-use it
             if retain_ms is not None:
-                cutoff = version_as_of(
-                    target_path, int(time.time() * 1000) - retain_ms
-                )
+                try:
+                    cutoff = version_as_of(
+                        target_path, int(time.time() * 1000) - retain_ms
+                    )
+                except ValueError:
+                    # The retention window predates the first commit — a
+                    # conservative policy (e.g. RETAIN 7 DAYS) on a young
+                    # table retains EVERYTHING, it doesn't crash the
+                    # maintenance job (Delta's VACUUM behaves the same).
+                    cutoff = 0
             else:
                 cutoff = max(head - retain_versions, 0)
             cutoff = max(cutoff, _vacuum_cutoff(commits))  # horizon ratchets

@@ -1183,6 +1183,76 @@ def test_vacuum_retention_window(spark, tmp_path):
         read_committed(spark, target, version=1)
 
 
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """Time-based VACUUM (``retain_ms``, Delta's ``RETAIN n HOURS``):
+    the cutoff resolves through version_as_of over the commit
+    timestamps — snapshots younger than the window survive, older
+    rewritten-away files reclaim. And a retention window LONGER than
+    the table's age retains everything instead of crashing the
+    maintenance job (the version_as_of predates-first-commit error is
+    a caller mistake for reads, but a routine state for a conservative
+    vacuum policy on a young table)."""
+    import json
+    import time as _time
+
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _txlog_path,
+        committed_files,
+        merge_upsert,
+        read_committed,
+        vacuum,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark, target, spark.range(4).select("id", F.lit("a").alias("s")), ["id"]
+    )
+    v1_files = set(committed_files(target, version=1))
+    merge_upsert(
+        spark, target, spark.range(4).select("id", F.lit("b").alias("s")), ["id"]
+    )
+    merge_upsert(
+        spark, target, spark.range(4).select("id", F.lit("c").alias("s")), ["id"]
+    )
+
+    # A window longer than the table's age reclaims nothing (no crash).
+    assert vacuum(target, retain_ms=3_600_000) == []
+    assert {r.s for r in read_committed(spark, target, version=1).collect()} == {
+        "a"
+    }
+
+    # Back-date v1/v2 deterministically (no sleeps): v1 is 10s old,
+    # v2 is 5s old, v3 just landed. The window retains the state AS OF
+    # its start (Delta semantics): a 7s window starts between v1 and
+    # v2, so v1 — the snapshot serving that instant — must survive;
+    # a 3s window starts between v2 and v3, making v2 the cutoff and
+    # v1's rewritten-away files reclaimable.
+    log = _txlog_path(target)
+    now_ms = int(_time.time() * 1000)
+    for version, age_ms in ((1, 10_000), (2, 5_000)):
+        path = os.path.join(log, f"{version:08d}.json")
+        with open(path) as fh:
+            c = json.load(fh)
+        c["ts"] = now_ms - age_ms
+        with open(path, "w") as fh:
+            json.dump(c, fh)
+
+    assert vacuum(target, retain_ms=7_000) == []  # cutoff v1: all live
+    assert {r.s for r in read_committed(spark, target, version=1).collect()} == {
+        "a"
+    }
+    removed = vacuum(target, retain_ms=3_000)  # cutoff -> v2
+    assert v1_files <= set(removed)
+    assert {r.s for r in read_committed(spark, target, version=2).collect()} == {
+        "b"
+    }
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=1)
+
+
 def test_vacuum_spares_concurrent_staged_files(spark, tmp_path):
     """Vacuum candidates come from commit history only — an in-flight
     writer's staged-but-uncommitted parquet is never touched (the
