@@ -211,6 +211,42 @@ def test_forget_purge_vacuum_makes_pre_erasure_version_unreadable(
     assert read_committed(spark, target).count() == 90
 
 
+def test_copy_on_write_delete_vacuum_erasure_end_state(spark, tmp_path):
+    """The OTHER physical erasure strategy (copy-on-write delete, the
+    band index's path in minhash_index_forget) composed with
+    zero-retention vacuum: the rewrite already removed the matched
+    files from the head snapshot, so vacuum reclaims them directly —
+    no purge compaction needed — and the pre-erasure version becomes
+    unreadable while the current snapshot is untouched. Together with
+    test_forget_purge_vacuum_makes_pre_erasure_version_unreadable
+    (DV mask + purge) both delete strategies' retention end states are
+    pinned."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+    )
+
+    target = str(tmp_path / "t")
+    _seed(spark, target)
+    v_pre = _committed_version(target)
+    files_pre = set(committed_files(target))
+    assert delete_where(spark, target, F.col("k") < 10) == 10
+    # Copy-on-write: every file owning a matched key was rewritten out
+    # of the head snapshot by the delete itself.
+    rewritten = files_pre - set(committed_files(target))
+    assert rewritten
+    removed = set(vacuum(target, retain_versions=0))
+    assert rewritten <= removed
+    assert not any(
+        os.path.exists(os.path.join(target, f)) for f in rewritten
+    )
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=v_pre)
+    assert read_committed(spark, target).count() == 90
+
+
 def test_dv_delete_concurrent_with_merge_serializes(spark, tmp_path):
     target = str(tmp_path / "t")
     _seed(spark, target, n=40, parts=2)
