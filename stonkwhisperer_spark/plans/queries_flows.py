@@ -3371,7 +3371,8 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``VACUUM t RETAIN 0 VERSIONS``: seed doc_id<30 (v1),
     ``merge_upsert`` a full rewrite with ``source || '_u'`` (v2 — v1's
     files leave the view but stay on disk for time travel), then
-    ``vacuum(retain_versions=0)`` — the v1 files are PHYSICALLY
+    ``vacuum(retain_versions=0, unsafe_zero_retention=True)`` (the
+    explicit opt-in zero-retention requires) — the v1 files are PHYSICALLY
     reclaimed (asserted gone from disk in-query) and the retention
     horizon is committed, after which a v1 read raises a clear
     retention error rather than a mid-scan FileNotFound (asserted
@@ -3409,7 +3410,7 @@ def q_txlog_vacuum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["doc_id"],
         )
-        removed = vacuum(target, retain_versions=0)
+        removed = vacuum(target, retain_versions=0, unsafe_zero_retention=True)
         if not v1_files <= set(removed):
             raise AssertionError(
                 f"vacuum kept rewritten-away files: {v1_files - set(removed)}"
@@ -3504,7 +3505,7 @@ def q_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delete_where(spark, target, F.col("doc_id") < 5)
         restore(spark, target, version=1)
-        vacuum(target, retain_versions=0)
+        vacuum(target, retain_versions=0, unsafe_zero_retention=True)
         rows = bounded_collect(
             table_history(spark, target).select(
                 "version", "operation", "num_rows"

@@ -2811,7 +2811,9 @@ def q_bm25_forget_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "file(s) into the current snapshot — they may hold "
                 "forgotten rows and would survive vacuum"
             )
-        removed = set(vacuum(target, retain_versions=0))
+        removed = set(
+            vacuum(target, retain_versions=0, unsafe_zero_retention=True)
+        )
         if not files_pre <= removed:
             raise AssertionError(
                 f"vacuum left pre-erasure files behind: "

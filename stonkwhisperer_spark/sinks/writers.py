@@ -1997,8 +1997,10 @@ def vacuum_orphans(target_path: str) -> list[str]:
 
 def vacuum(
     target_path: str,
-    retain_versions: int = 0,
+    retain_versions: int | None = None,
     retain_ms: int | None = None,
+    *,
+    unsafe_zero_retention: bool = False,
     max_retries: int = 20,
 ) -> list[str]:
     """Retention-window VACUUM (Delta's ``VACUUM t RETAIN n HOURS``,
@@ -2007,6 +2009,14 @@ def vacuum(
     (or, with ``retain_ms``, every snapshot younger than that age)
     can reference, plus the change-data files of commits at or below
     the cutoff. Returns the reclaimed relative paths.
+
+    The retention window is EXPLICIT: exactly one of
+    ``retain_versions`` / ``retain_ms`` must be passed, and a
+    zero-retention window (which immediately ratchets the horizon to
+    head and drops ALL time-travel history) additionally requires
+    ``unsafe_zero_retention=True`` — the same guard Delta puts behind
+    ``spark.databricks.delta.retentionDurationCheck.enabled``, so one
+    forgotten argument can never silently destroy history.
 
     The cutoff is recorded as a metadata commit (``vacuum.cutoff``),
     and it RATCHETS — later vacuums never regress it. Readers honor it
@@ -2026,6 +2036,17 @@ def vacuum(
     + #reclaimed files); no Spark job, no data read. Bounded storage
     for a continuously-upserting 100 TB table comes exactly from this:
     without vacuum, copy-on-write rewrites accumulate forever."""
+    if (retain_versions is None) == (retain_ms is None):
+        raise ValueError(
+            "vacuum requires an explicit retention window: pass exactly "
+            "one of retain_versions= or retain_ms="
+        )
+    if (retain_versions == 0 or retain_ms == 0) and not unsafe_zero_retention:
+        raise ValueError(
+            "zero-retention vacuum drops ALL time-travel history below "
+            "head; pass unsafe_zero_retention=True to confirm (Delta's "
+            "retentionDurationCheck equivalent)"
+        )
     removed: list[str] = []
     cutoff: int | None = None
     for _ in range(max_retries):
@@ -2042,9 +2063,12 @@ def vacuum(
                 except ValueError:
                     # The retention window predates the first commit — a
                     # conservative policy (e.g. RETAIN 7 DAYS) on a young
-                    # table retains EVERYTHING, it doesn't crash the
-                    # maintenance job (Delta's VACUUM behaves the same).
-                    cutoff = 0
+                    # table retains EVERYTHING: no reclamation pass (not
+                    # even v0's change-data files, which a cutoff of 0
+                    # would reclaim via the all_cdc − live_cdc set) and
+                    # no horizon commit. Delta's VACUUM likewise no-ops
+                    # rather than crash the maintenance job.
+                    return removed
             else:
                 cutoff = max(head - retain_versions, 0)
             cutoff = max(cutoff, _vacuum_cutoff(commits))  # horizon ratchets

@@ -176,7 +176,7 @@ def test_vacuum_respects_then_reclaims_dv_files(spark, tmp_path):
     vacuum(target, retain_versions=10)
     assert all(os.path.exists(os.path.join(target, d)) for d in dv_files)
     # …and a zero-retention vacuum past the compaction reclaims it.
-    vacuum(target, retain_versions=0)
+    vacuum(target, retain_versions=0, unsafe_zero_retention=True)
     assert not any(os.path.exists(os.path.join(target, d)) for d in dv_files)
     assert read_committed(spark, target).count() == 90
 
@@ -201,7 +201,7 @@ def test_forget_purge_vacuum_makes_pre_erasure_version_unreadable(
     assert delete_where_dv(spark, target, F.col("k") < 10) == 10
     assert compact(spark, target, min_files=1) > 0
     assert not files_pre & set(committed_files(target))
-    removed = set(vacuum(target, retain_versions=0))
+    removed = set(vacuum(target, retain_versions=0, unsafe_zero_retention=True))
     assert files_pre <= removed
     assert not any(
         os.path.exists(os.path.join(target, f)) for f in files_pre
@@ -237,7 +237,7 @@ def test_copy_on_write_delete_vacuum_erasure_end_state(spark, tmp_path):
     # of the head snapshot by the delete itself.
     rewritten = files_pre - set(committed_files(target))
     assert rewritten
-    removed = set(vacuum(target, retain_versions=0))
+    removed = set(vacuum(target, retain_versions=0, unsafe_zero_retention=True))
     assert rewritten <= removed
     assert not any(
         os.path.exists(os.path.join(target, f)) for f in rewritten

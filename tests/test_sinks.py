@@ -1270,8 +1270,48 @@ def test_vacuum_spares_concurrent_staged_files(spark, tmp_path):
         if f.endswith(".parquet")
     )
     os.rename(os.path.join(str(tmp_path / "one"), src), staged)
-    vacuum(target, retain_versions=0)
+    vacuum(target, retain_versions=0, unsafe_zero_retention=True)
     assert os.path.exists(staged)  # untouched: not in any manifest
+
+
+def test_vacuum_requires_explicit_retention(spark, tmp_path):
+    """VERDICT-r13 task 4: retention is explicit — a bare vacuum() (no
+    window) and a double window are refused; zero retention (which
+    ratchets the horizon to head, destroying all time-travel history)
+    is refused without the unsafe opt-in; and every refusal happens
+    BEFORE any reclamation or horizon commit, so a forgotten argument
+    can never silently destroy history (Delta's retentionDurationCheck
+    equivalent)."""
+    import pytest
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        read_committed,
+        vacuum,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(spark, target, spark.range(3).select("id"), ["id"])
+    merge_append(spark, target, spark.range(3, 6).select("id"), ["id"])
+    head = _committed_version(target)
+
+    with pytest.raises(ValueError, match="explicit retention window"):
+        vacuum(target)
+    with pytest.raises(ValueError, match="explicit retention window"):
+        vacuum(target, retain_versions=1, retain_ms=1_000)
+    with pytest.raises(ValueError, match="unsafe_zero_retention"):
+        vacuum(target, retain_versions=0)
+    with pytest.raises(ValueError, match="unsafe_zero_retention"):
+        vacuum(target, retain_ms=0)
+    # No refusal committed anything or reclaimed a file: history intact.
+    assert _committed_version(target) == head
+    assert read_committed(spark, target, version=1).count() == 3
+
+    # The opted-in zero-retention path still works end to end.
+    vacuum(target, retain_versions=0, unsafe_zero_retention=True)
+    with pytest.raises(ValueError, match="retention horizon"):
+        read_committed(spark, target, version=1)
 
 
 def test_table_history_describes_every_commit(spark, tmp_path):
@@ -1304,7 +1344,7 @@ def test_table_history_describes_every_commit(spark, tmp_path):
     )
     delete_where(spark, target, F.col("id") >= 8)
     restore(spark, target, version=1)
-    vacuum(target, retain_versions=0)
+    vacuum(target, retain_versions=0, unsafe_zero_retention=True)
     # a legacy commit with no op tag → structural classification
     _try_commit(target, 7, [], 0, compaction=True)
 
@@ -1973,7 +2013,7 @@ def test_clone_at_version_and_isolation(spark, tmp_path):
     # must not disturb either clone: hardlinked inodes survive the
     # source-side unlink.
     delete_where(spark, src, F.col("url").isNotNull())
-    vacuum(src, retain_versions=0)
+    vacuum(src, retain_versions=0, unsafe_zero_retention=True)
     assert read_committed(spark, dst1).count() == 20
     assert read_committed(spark, dst2).count() == 30
     # And mutating a clone must not disturb the source's view.
