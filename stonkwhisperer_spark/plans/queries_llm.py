@@ -998,11 +998,15 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from-scratch assignment of the final corpus, so the hash pins
 # incremental == rebuild under a frozen quantizer.
 # --------------------------------------------------------------------------
-def _ivf_assign_oracle(seed_residue: int) -> str:
-    """From-scratch full-corpus coarse assignment under the frozen
-    quantizer seeded at ``vec_id % 64 == seed_residue``, reduced to the
-    per-cell digest — shared by ivf_assign_incremental (residue 1,
-    quantizer A) and ivf_recluster_replace (residue 33, quantizer B)."""
+def _ivf_assign_oracle(seed_residue: int, keep_where: str = "") -> str:
+    """From-scratch coarse assignment under the frozen quantizer seeded
+    at ``vec_id % 64 == seed_residue``, reduced to the per-cell digest —
+    shared by ivf_assign_incremental (residue 1, quantizer A),
+    ivf_assign_stream_upsert (residue 1, streamed ingest of the same
+    contract), ivf_recluster_replace (residue 33, quantizer B) and
+    ivf_assign_forget (residue 1 with ``keep_where`` filtering the
+    corpus to the kept vectors — centroids stay FULL-corpus seeds: the
+    quantizer is a frozen parameter, erasure deletes assignment ROWS)."""
     return f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS cv,
@@ -1012,7 +1016,7 @@ def _ivf_assign_oracle(seed_residue: int) -> str:
     v AS (
       SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS vn
-      FROM embeddings
+      FROM embeddings {keep_where}
     ),
     ascore AS (
       SELECT v.vec_id, c.cent_id,
@@ -1242,6 +1246,175 @@ def q_ivf_recluster_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if sorted(map(tuple, rows)) == digest_a:
             raise AssertionError("re-cluster produced quantizer A's digest — swap was a no-op")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ivf_assign_stream_upsert — the STREAMING arm of ANN-index maintenance
+# (VERDICT r13 task 2, promoting the pytest-pinned contract of
+# tests/test_streaming.py::test_ivf_assignment_streams_through_txn_merge
+# to a driver-gated query): the IVF assignment table maintained from a
+# continuous embedding stream via foreachBatch exactly-once MERGE,
+# digest-gated against the from-scratch assignment — the third
+# maintained index gets the same streaming gate the BM25 tf and LSH
+# band tables got in round 13.
+# --------------------------------------------------------------------------
+@register("ivf_assign_stream_upsert", oracle=_ivf_assign_oracle(1))
+def q_ivf_assign_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF coarse-assignment maintenance: the base corpus's
+    (vec_id, cell) assignments (vec_id % 4 != 0) — under the quantizer
+    FROZEN at base-resident seeds (vec_id % 64 == 1) — and STALE
+    placeholder assignments (cell = 1) for half the incoming batch
+    (vec_id % 8 == 0, since-revised embeddings) commit as in
+    ivf_assign_incremental, but as SEPARATE commits so the stale rows
+    live in their own files and each micro-batch MERGE rewrites only
+    those, never the base-corpus files (the split-commit key-clustering
+    layout of bm25_index_stream_upsert). The incoming batch's true
+    assignments (vec_id % 4 == 0, scored against the same frozen
+    centroids) then arrive as a rate-limited landing-zone STREAM (file
+    source, one file per trigger over a 4-file drop,
+    ``Trigger.AvailableNow``) and MERGE into the assignment table per
+    micro-batch via ``merge_upsert_txn`` keyed on vec_id — the
+    foreachBatch + txnVersion streaming upsert, exactly-once per
+    (app, epoch). The shared engine (streaming/jobs.py
+    run_txn_merge_ingest) asserts the drain split across >=2
+    micro-batches with both MERGE arms non-empty cumulatively, and
+    replays the whole stream over a fresh checkpoint proving it a
+    structural no-op (zero rows applied, committed version unmoved).
+    The per-cell DIGEST of the drained table must hash-equal the
+    oracle's from-scratch assignment of the whole corpus —
+    streamed-ingest == rebuild, completing the streaming-maintenance
+    trilogy across all three persisted index tables.
+
+    Scale: the FAISS continuous-ingest shape — per poll interval this
+    is the batch path's O(batch) cost (each vector scores k broadcast
+    centroids map-side, one partial-agg argmax upstream of the
+    landing zone, one keyed MERGE per micro-batch); checkpoint + txn
+    ledger give exactly-once table contents; the assignment table is
+    the only state — no state store, no watermark. Reference contract
+    generalized: loading.py:317-360's incremental keyed insert under
+    continuous arrival."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.similarity import ivf_assign
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import merge_append, read_committed
+    from stonkwhisperer_spark.streaming.jobs import run_txn_merge_ingest
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = emb.filter(F.col("vec_id") % 64 == 1).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    base_assign = ivf_assign(
+        emb.filter(F.col("vec_id") % 4 != 0), cents, dim=_DIM
+    ).select("vec_id", "cell")
+    stale = (
+        emb.filter(F.col("vec_id") % 8 == 0)
+        .select("vec_id", F.lit(1).cast("bigint").alias("cell"))
+    )
+    batch_assign = ivf_assign(
+        emb.filter(F.col("vec_id") % 4 == 0), cents, dim=_DIM
+    ).select("vec_id", "cell")
+    scratch = scratch_dir("stonkw_ivf_stream_")
+    try:
+        target = f"{scratch}/assign"
+        merge_append(spark, target, base_assign, ["vec_id"])
+        merge_append(spark, target, stale, ["vec_id"])
+        landing = f"{scratch}/landing"
+        batch_assign.repartition(4).write.parquet(landing)
+        run_txn_merge_ingest(
+            spark,
+            landing,
+            batch_assign.schema,
+            target,
+            ["vec_id"],
+            "ivf_assign_stream_ingest",
+            scratch,
+        )
+        digest = _assign_digest(
+            read_committed(spark, target).select("vec_id", "cell")
+        )
+        # Bounded glue collect: K rows (one per coarse cell), never the
+        # corpus-sized assignment table.
+        rows = bounded_collect(digest, 100_000, "per-cell assignment digest")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ivf_assign_forget — the DELETE arm of ANN-index maintenance (VERDICT
+# r13 task 3): right-to-be-forgotten erasure cascaded into the persisted
+# IVF assignment table, completing the forget trilogy across all three
+# maintained index tables (BM25 tf: deletion vectors, r12; LSH bands:
+# copy-on-write, r12; assignment table: deletion vectors, here).
+# --------------------------------------------------------------------------
+@register(
+    "ivf_assign_forget",
+    oracle=_ivf_assign_oracle(1, "WHERE vec_id % 10 <> 3"),
+)
+def q_ivf_assign_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-cascade on the maintained IVF assignment table: the full
+    corpus's (vec_id, cell) rows — under the frozen quantizer (seeds
+    vec_id % 64 == 1; centroids are trained PARAMETERS, so erasure
+    deletes assignment rows, never retrains) — commit to a txlog
+    table; erasure requests (vec_id % 10 == 3) are deleted
+    MERGE-ON-READ via deletion vectors (``delete_where_dv`` — O(matched
+    rows) kill-list writes, no file rewrite: the point-delete strategy
+    for a table that search reads continuously), asserted to delete
+    exactly one row per forgotten vector. The post-delete read through
+    the DV mask is asserted to serve ZERO forgotten rows — since IVF
+    search candidates come only from assignment rows in probed cells
+    (ivf_topk_embeddings' join shape), no forgotten vector can ever
+    reappear in a top-k result through the maintained table. The gate
+    relation is the per-cell digest of the maintained table, which
+    must hash-equal the oracle's from-scratch assignment of the KEPT
+    corpus — erasure == rebuild-without-the-forgotten, the same
+    discipline bm25_index_forget and minhash_index_forget pin on the
+    other two indexes.
+
+    Scale: erasing K vectors costs O(K) deletion-vector rows; the
+    corpus is never re-assigned, the quantizer never retrains, and the
+    forgotten vectors stop being candidates the moment the commit
+    lands — the ANN half of the GDPR contract. The digest is one
+    partial-aggregable shuffle producing K_cells rows."""
+    import shutil
+
+    from stonkwhisperer_spark.operators.similarity import ivf_assign
+    from stonkwhisperer_spark.session import scratch_dir
+    from stonkwhisperer_spark.sinks.writers import (
+        delete_where_dv,
+        merge_append,
+        read_committed,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    cents = emb.filter(F.col("vec_id") % 64 == 1).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    assign = ivf_assign(emb, cents, dim=_DIM).select("vec_id", "cell")
+    scratch = scratch_dir("stonkw_ivf_forget_")
+    try:
+        target = f"{scratch}/assign"
+        merge_append(spark, target, assign, ["vec_id"])
+        forget = F.col("vec_id") % 10 == 3
+        n_forget = read_committed(spark, target).filter(forget).count()
+        n_del = delete_where_dv(spark, target, forget)
+        if n_forget == 0 or n_del != n_forget:
+            raise AssertionError(
+                f"erasure must drop exactly one assignment row per "
+                f"forgotten vector: {n_forget} vectors, {n_del} rows deleted"
+            )
+        maintained = read_committed(spark, target).select("vec_id", "cell")
+        # Read-side contract: the DV mask must already hide every
+        # forgotten row from the scan search candidates come from.
+        if maintained.filter(forget).count() != 0:
+            raise AssertionError("forgotten rows still readable through the DV mask")
+        rows = bounded_collect(
+            _assign_digest(maintained), 100_000, "per-cell assignment digest"
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return spark.createDataFrame(rows, _ASSIGN_DIGEST_SCHEMA)
