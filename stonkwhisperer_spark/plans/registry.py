@@ -73,82 +73,78 @@ def oracle_map() -> dict[str, str]:
 # accumulates a recorded green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # ======================= ROUND-13 WINDOW =======================
-    # -- new in round 13 (VERDICT r12 tasks 3 + 4): the STREAMING arm
-    #    of index maintenance (foreachBatch exactly-once MERGE ingest
-    #    into the persisted BM25 tf / LSH band tables, drained index
-    #    hash-gated against the from-scratch rebuild) and the
-    #    forget+vacuum composition (post-purge zero-retention vacuum:
-    #    pre-erasure version unreadable, files physically gone,
-    #    current read still rebuild-equal) --
-    "bm25_index_stream_upsert",
-    "minhash_index_stream_upsert",
+    # ======================= ROUND-14 WINDOW =======================
+    # -- new in round 14 (VERDICT r13 tasks 2 + 3): the IVF assignment
+    #    table's streaming-ingest arm (foreachBatch exactly-once MERGE,
+    #    digest-gated against the from-scratch assignment — promoting
+    #    the r13 pytest-pinned contract to a driver row) and its
+    #    forget arm (deletion-vector erasure, digest-gated against a
+    #    kept-corpus rebuild), completing the streaming and forget
+    #    trilogies across all three maintained index tables --
+    "ivf_assign_stream_upsert",
+    "ivf_assign_forget",
+    # -- changed in round 14 (VERDICT r13 task 4): vacuum's retention
+    #    window became explicit with a zero-retention opt-in; these
+    #    three are the gated queries that call vacuum and carry the
+    #    updated call --
     "bm25_forget_vacuum",
-    # -- changed in round 13: the assignment digest gained hsum_mod
-    #    (an order-insensitive modular sum of the portable md5 hash —
-    #    closes the algebraic-collision seam, ADVICE r12) on both the
-    #    Spark and oracle sides of both consumers; corpus_drift's
-    #    zero-denominator CASE now also guards n2 = 0 on both sides --
-    "ivf_assign_incremental",
-    "ivf_recluster_replace",
-    "corpus_drift",
-    # -- probed this round (VERDICT r12 tasks 2 + 5, docs/BENCH_METHOD
-    #    round-13 table): the two above-band txlog rows and the
-    #    shifted bucketed join re-gate alongside their probe verdicts
-    #    so the round's perf story carries fresh correctness rows --
-    "txlog_incremental_agg",
-    "txlog_stream_upsert",
-    "bucketed_order_lineitem_join",
-    # -- the full r9-stale cohort (41 queries; newest recorded green
-    #    row round 9 for all — VERDICT r12 task 1). After this window
-    #    closes the newest-green floor moves to r10. --
-    "audio_pcm_stats",
-    "bloom_prune_lineitem",
-    "bpe_encode",
-    "bpe_merges",
-    "cms_token_topk",
-    "dedup_canonical",
-    "dup_clusters",
-    "event_type_enrich_salted",
-    "event_type_enrich_sketch_salted",
-    "forecast_revenue",
-    "idle_rich_customers",
-    "incremental_dedup",
-    "ivfpq_refine_embeddings",
-    "ivfpq_topk_embeddings",
-    "ivfsq8_topk_embeddings",
-    "jsonl_ingest_roundtrip",
-    "kmv_shard_overlap",
-    "kmv_vocab_cardinality",
-    "large_orders",
-    "media_headers",
-    "media_pixel_stats",
-    "media_resize_stats",
-    "nation_trade_volume",
-    "near_dup_jaccard",
-    "part_value_share",
-    "priority_order_counts",
-    "priority_sample",
-    "promo_revenue_share",
-    "quantile_sketch_prices",
-    "revenue_cube",
-    "shipping_priority",
-    "small_order_part_revenue",
-    "sole_return_suppliers",
-    "source_capped_sample",
-    "sql_top_brands_by_region",
-    "steel_part_suppliers",
-    "top_customer_per_nation",
-    "top_supplier_revenue",
-    "url_canonical_dedup",
-    "video_frame_stats",
-    "zip_docs_embeddings_dist",
-    # (after this window closes the newest-green distribution is
-    #  r13=50, r12=47, r11=44, r10=42 — floor r10; the never-recorded
-    #  set stays exactly the three no-oracle side-effecting surfaces,
-    #  each with a hash-gated companion. Round 14's window should
-    #  rotate the r10-stale cohort (~42) plus whatever round 13
-    #  changed.)
+    "txlog_vacuum_replay",
+    "txlog_history",
+    # -- the full r10-stale cohort (45 queries; newest recorded green
+    #    row round 10 for all — VERDICT r13 task 1). After this window
+    #    closes the newest-green floor moves to r11. --
+    "api_ingest_e2e",
+    "asof_next_sentiment",
+    "asof_sentiment_bars",
+    "bars_clean",
+    "bars_enrich",
+    "clean_documents",
+    "click_buy_reconcile",
+    "clickers_minus_buyers",
+    "dedup_keep_first",
+    "dedup_low_card",
+    "distinct_event_types",
+    "doc_fingerprints",
+    "doc_repetition",
+    "doc_shingles",
+    "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "event_type_stats_salted",
+    "event_weighted_stats_udaf",
+    "events_in_promo_windows",
+    "events_in_promo_windows_grid",
+    "events_props_parsed",
+    "events_schema_evolution_union",
+    "fuzzy_near_dups",
+    "hll_vocab_cardinality",
+    "ivf_topk_embeddings",
+    "knn_embeddings",
+    "minhash_band_candidates",
+    "nation_market_share",
+    "new_urls_anti",
+    "news_clean",
+    "pack_documents",
+    "part_supplier_counts",
+    "posts_clean",
+    "posts_link_articles",
+    "pq_topk_embeddings",
+    "product_profit_by_nation",
+    "profile_documents",
+    "returned_item_customers",
+    "shipping_delay_priority",
+    "streaming_bloom",
+    "streaming_cms",
+    "streaming_hll",
+    "streaming_quantiles",
+    "temperature_mixture",
+    "user_event_runs",
+    # (the distribution going INTO this round, computed from the
+    #  CORRECTNESS_r*.json artifacts themselves — not predicted:
+    #  r13=50, r12=46, r11=45, r10=45, floor r10. After this window
+    #  records, the floor moves r10→r11; the never-recorded set stays
+    #  exactly the three no-oracle side-effecting surfaces, each with
+    #  a hash-gated companion. Round 15's window should rotate the
+    #  r11-stale cohort plus whatever round 14 changed.)
 ]
 
 
