@@ -1481,6 +1481,119 @@ def test_merge_sync_delete_everything(spark, tmp_path):
     assert got is None
 
 
+def test_cdc_refreshes_derived_index_as_incremental_mv(spark, tmp_path):
+    """A derived index is an incremental materialized view of its
+    source table, refreshable from ONE poll of the source's typed
+    change feed (the r14 seam generalizing txlog_incremental_agg's
+    discipline from aggregates to indexes): reduce the poll to the
+    newest change per doc, re-derive postings for the docs still
+    present, and apply them in ONE atomic merge_sync commit whose
+    delete clause is scoped to the poll's changed keys — revisions
+    drop their vanished tokens, arrivals insert, erasures cascade,
+    and unchanged docs are never re-tokenized or rewritten. The
+    maintained index must equal a from-scratch rebuild of the source
+    head. Refresh cost is O(poll delta): the changed-key list is
+    poll-bounded (the scoping literal Delta's
+    whenNotMatchedBySourceDelete(condition) takes per micro-batch),
+    and only files owning changed docs' rows rewrite."""
+    from pyspark.sql.window import Window as W
+
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        delete_where,
+        merge_sync,
+        merge_upsert,
+        read_committed,
+        table_changes,
+    )
+
+    def postings(docs):
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        return toks.groupBy("doc_id", "tok").agg(
+            F.count("*").cast("bigint").alias("tf")
+        )
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "tf")
+    seed = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    merge_append(spark, src, seed, ["doc_id"])
+    v_indexed = _committed_version(src)
+    merge_append(
+        spark, idx, postings(read_committed(spark, src)), ["doc_id", "tok"]
+    )
+
+    # Source evolves past the indexed version: revisions (docs 0-9
+    # lose 'beta', gain 'gamma'), arrivals (40-49), erasures (%10==7
+    # — doc 7 is revised THEN erased, so newest-wins must pick the
+    # delete; doc 47 arrives then erases, a net no-op for the index).
+    merge_upsert(
+        spark,
+        src,
+        spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha gamma doc "), F.col("id").cast("string")
+            ).alias("text"),
+        ),
+        ["doc_id"],
+    )
+    merge_upsert(
+        spark,
+        src,
+        spark.range(40, 50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("delta doc "), F.col("id").cast("string")).alias(
+                "text"
+            ),
+        ),
+        ["doc_id"],
+    )
+    delete_where(spark, src, F.col("doc_id") % 10 == 7)
+
+    feed = table_changes(spark, src, v_indexed, with_version=True)
+    latest = (
+        feed.filter(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("_commit_version"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    changed = [r.doc_id for r in latest.select("doc_id").collect()]
+    assert len(changed) == 23  # 0-9 revised, 40-49 arrived, 17/27/37 erased
+    fresh = postings(
+        latest.filter(F.col("_change_type") != "delete").select(
+            "doc_id", "text"
+        )
+    )
+    ins, upd, dele = merge_sync(
+        spark,
+        idx,
+        fresh,
+        ["doc_id", "tok"],
+        delete_condition=F.col("doc_id").isin(changed),
+    )
+    # Arrivals insert; revised docs' surviving tokens update; vanished
+    # tokens ('beta' of 0-9 minus erased 7) and erased docs' rows delete.
+    assert ins > 0 and upd > 0 and dele > 0
+    maintained = sorted(
+        map(tuple, read_committed(spark, idx).collect())
+    )
+    rebuilt = sorted(
+        map(tuple, postings(read_committed(spark, src)).collect())
+    )
+    assert maintained == rebuilt
+
+
 def test_matched_file_discovery_cap_trips(spark, tmp_path, monkeypatch):
     """The matched-file discovery tripwire (VERDICT r12 observation):
     with the cap shrunk below the table's file count, a DELETE whose
