@@ -2041,7 +2041,13 @@ def vacuum(
             "vacuum requires an explicit retention window: pass exactly "
             "one of retain_versions= or retain_ms="
         )
-    if (retain_versions == 0 or retain_ms == 0) and not unsafe_zero_retention:
+    window = retain_versions if retain_versions is not None else retain_ms
+    if window < 0:
+        # A negative window is never meaningful — and worse than zero:
+        # retain_versions=-1 would compute cutoff = head + 1, ratcheting
+        # the horizon ABOVE the current snapshot and bricking every read.
+        raise ValueError(f"retention window must be >= 0, got {window}")
+    if window == 0 and not unsafe_zero_retention:
         raise ValueError(
             "zero-retention vacuum drops ALL time-travel history below "
             "head; pass unsafe_zero_retention=True to confirm (Delta's "
@@ -2063,11 +2069,12 @@ def vacuum(
                 except ValueError:
                     # The retention window predates the first commit — a
                     # conservative policy (e.g. RETAIN 7 DAYS) on a young
-                    # table retains EVERYTHING: no reclamation pass (not
-                    # even v0's change-data files, which a cutoff of 0
-                    # would reclaim via the all_cdc − live_cdc set) and
-                    # no horizon commit. Delta's VACUUM likewise no-ops
-                    # rather than crash the maintenance job.
+                    # table retains EVERYTHING. A cutoff of 0 would also
+                    # reclaim nothing (versions start at 1, so every CDC
+                    # file stays live), but it would still write a
+                    # horizon-0 marker commit; returning here keeps the
+                    # no-op maintenance pass commit-free as well. Delta's
+                    # VACUUM likewise no-ops rather than crash the job.
                     return removed
             else:
                 cutoff = max(head - retain_versions, 0)

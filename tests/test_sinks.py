@@ -1304,6 +1304,12 @@ def test_vacuum_requires_explicit_retention(spark, tmp_path):
         vacuum(target, retain_versions=0)
     with pytest.raises(ValueError, match="unsafe_zero_retention"):
         vacuum(target, retain_ms=0)
+    # Negative windows are worse than zero (cutoff = head + 1 would
+    # ratchet the horizon ABOVE head): refused even with the opt-in.
+    with pytest.raises(ValueError, match="must be >= 0"):
+        vacuum(target, retain_versions=-1, unsafe_zero_retention=True)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        vacuum(target, retain_ms=-1, unsafe_zero_retention=True)
     # No refusal committed anything or reclaimed a file: history intact.
     assert _committed_version(target) == head
     assert read_committed(spark, target, version=1).count() == 3
