@@ -74,6 +74,134 @@ def test_merge_idempotence_property(spark, tmp_path):
     assert spark.read.parquet(path).count() == len(seen)
 
 
+def test_txlog_lifecycle_model_property(spark, tmp_path):
+    """Model-based check of the txlog mutation surface: hypothesis
+    generates random interleavings of MERGE upsert, copy-on-write
+    DELETE, deletion-vector DELETE, OPTIMIZE compaction, RESTORE, and
+    retention-window VACUUM; a pure-Python dict replays each sequence
+    beside the table. Invariants after EVERY operation:
+
+    * the committed read equals the model exactly;
+    * every commit-producing op moves the version monotonically;
+    * RESTORE below the retention horizon is refused (never a silent
+      wrong view), RESTORE within it rolls the model back.
+
+    And at the end of each sequence:
+
+    * every recorded snapshot at/above the horizon still time-travels
+      to its recorded model state (compactions, DVs, restores and
+      vacuums in between must never corrupt history);
+    * every snapshot below the horizon raises the retention error.
+
+    Directed tests pin each op's contract individually; this pins
+    their COMPOSITION, where storage engines actually break."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        compact,
+        delete_where,
+        delete_where_dv,
+        merge_append,
+        merge_upsert,
+        read_committed,
+        restore,
+        vacuum,
+    )
+
+    _op = st.one_of(
+        st.tuples(st.just("upsert"), st.integers(0, 3)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 4)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("restore"), st.integers(0, 19)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    )
+    sequences: list[list[tuple[str, int]]] = []
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(_op, min_size=5, max_size=10))
+    def gather(ops):
+        sequences.append(ops)
+
+    gather()
+    # Anchor sequence: the composition r13/r14 shipped (stream-churn →
+    # erasure → compact → retention vacuum → restore inside the window).
+    sequences.append(
+        [("upsert", 1), ("delete_dv", 2), ("compact", 0),
+         ("upsert", 3), ("vacuum", 2), ("restore", 1), ("delete", 0)]
+    )
+
+    def rows_of(df):
+        return {} if df is None else {r.k: r.v for r in df.collect()}
+
+    for seq_i, ops in enumerate(sequences):
+        target = str(tmp_path / f"t{seq_i}")
+        merge_append(
+            spark,
+            target,
+            spark.range(12).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+            ["k"],
+        )
+        model: dict[int, int] = {k: 0 for k in range(12)}
+        horizon = 0
+        version = _committed_version(target)
+        snapshots: dict[int, dict[int, int]] = {version: dict(model)}
+
+        for step, (op, arg) in enumerate(ops, start=1):
+            if op == "upsert":
+                keys = [k for k in range(12) if k % 4 == arg]
+                merge_upsert(
+                    spark,
+                    target,
+                    spark.createDataFrame(
+                        [(k, step) for k in keys], "k long, v long"
+                    ),
+                    ["k"],
+                )
+                model.update({k: step for k in keys})
+            elif op == "delete":
+                delete_where(spark, target, F.col("k") % 5 == arg)
+                model = {k: v for k, v in model.items() if k % 5 != arg}
+            elif op == "delete_dv":
+                delete_where_dv(spark, target, F.col("k") % 5 == arg)
+                model = {k: v for k, v in model.items() if k % 5 != arg}
+            elif op == "compact":
+                compact(spark, target, min_files=1)
+            elif op == "restore":
+                candidates = sorted(snapshots)
+                v = candidates[arg % len(candidates)]
+                if v < horizon:
+                    import pytest
+
+                    with pytest.raises(ValueError):
+                        restore(spark, target, version=v)
+                else:
+                    restore(spark, target, version=v)
+                    model = dict(snapshots[v])
+            elif op == "vacuum":
+                head = _committed_version(target)
+                vacuum(target, retain_versions=arg)
+                horizon = max(horizon, head - arg, 0)
+
+            new_version = _committed_version(target)
+            assert new_version >= version, (op, arg)
+            version = new_version
+            snapshots[version] = dict(model)
+            assert rows_of(read_committed(spark, target)) == model, (
+                seq_i, step, op, arg,
+            )
+
+        import pytest
+
+        for v, snap in snapshots.items():
+            if v >= horizon:
+                assert rows_of(read_committed(spark, target, version=v)) == snap, (
+                    seq_i, v,
+                )
+            else:
+                with pytest.raises(ValueError, match="retention horizon"):
+                    read_committed(spark, target, version=v)
+
+
 def test_bloom_bits_match_pure_python_replay(spark):
     # Cross-implementation property: Spark's bloom_build must produce
     # EXACTLY the packed words a direct Python replay of the portable
