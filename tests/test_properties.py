@@ -201,6 +201,31 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                 with pytest.raises(ValueError, match="retention horizon"):
                     read_committed(spark, target, version=v)
 
+        # CDF completeness under the same composition: replaying the
+        # typed change feed from the retention horizon onto the
+        # horizon snapshot must reproduce the head exactly — every
+        # upsert/delete/DV-delete/restore in between must have staged
+        # complete change rows (compaction commits are physical-only
+        # and correctly absent; restore commits may stage physical
+        # delete+insert pairs, which net out under keyed application).
+        from stonkwhisperer_spark.sinks.writers import table_changes
+
+        feed = table_changes(spark, target, horizon, with_version=True)
+        replay = dict(snapshots.get(horizon, {}))
+        if feed is not None:
+            by_version: dict[int, list] = {}
+            for r in feed.collect():
+                by_version.setdefault(r._commit_version, []).append(r)
+            for v in sorted(by_version):
+                changes = by_version[v]
+                for r in changes:
+                    if r._change_type == "delete":
+                        replay.pop(r.k, None)
+                for r in changes:
+                    if r._change_type in ("insert", "update_postimage"):
+                        replay[r.k] = r.v
+        assert replay == model, (seq_i, "cdc replay diverged from head")
+
 
 def test_bloom_bits_match_pure_python_replay(spark):
     # Cross-implementation property: Spark's bloom_build must produce
