@@ -2063,22 +2063,27 @@ def vacuum(
         if cutoff is None:  # fixed on first attempt; CAS retries re-use it
             if retain_ms is not None:
                 try:
-                    cutoff = version_as_of(
+                    raw_cutoff = version_as_of(
                         target_path, int(time.time() * 1000) - retain_ms
                     )
                 except ValueError:
                     # The retention window predates the first commit — a
                     # conservative policy (e.g. RETAIN 7 DAYS) on a young
-                    # table retains EVERYTHING. A cutoff of 0 would also
-                    # reclaim nothing (versions start at 1, so every CDC
-                    # file stays live), but it would still write a
-                    # horizon-0 marker commit; returning here keeps the
-                    # no-op maintenance pass commit-free as well. Delta's
-                    # VACUUM likewise no-ops rather than crash the job.
-                    return removed
+                    # table retains EVERYTHING (versions start at 1, so a
+                    # cutoff of 0 keeps every data and CDC file live).
+                    # Delta's VACUUM likewise no-ops rather than crash
+                    # the maintenance job. Fall through with cutoff 0:
+                    # the scan below still re-reclaims crash leftovers
+                    # under an EXISTING horizon, and the commit-free
+                    # return keeps a true no-op pass commit-free — the
+                    # same behavior an equivalently oversized
+                    # retain_versions window gets (ADVICE r14: the two
+                    # no-op paths must not diverge).
+                    raw_cutoff = 0
             else:
-                cutoff = max(head - retain_versions, 0)
-            cutoff = max(cutoff, _vacuum_cutoff(commits))  # horizon ratchets
+                raw_cutoff = max(head - retain_versions, 0)
+            prior_horizon = _vacuum_cutoff(commits)
+            cutoff = max(raw_cutoff, prior_horizon)  # horizon ratchets
             live = set(
                 _files_from([c for c in commits if c["version"] <= cutoff])
             )
@@ -2115,6 +2120,14 @@ def vacuum(
                     removed.append(rel)
                 except FileNotFoundError:
                     pass  # reclaimed by an earlier vacuum
+            if not removed and cutoff <= prior_horizon:
+                # Pure no-op maintenance pass: the horizon would not
+                # move and nothing was reclaimable — return commit-free
+                # instead of appending an empty VACUUM marker, so a
+                # scheduled conservative policy on a quiet table does
+                # not grow the log (symmetric across the version- and
+                # time-window paths, ADVICE r14).
+                return removed
         if _try_commit(target_path, head + 1, [], 0, vacuum_cutoff=cutoff, op="VACUUM"):
             return removed
     raise RuntimeError(

@@ -1320,6 +1320,58 @@ def test_vacuum_requires_explicit_retention(spark, tmp_path):
         read_committed(spark, target, version=1)
 
 
+def test_vacuum_noop_paths_are_symmetric(spark, tmp_path):
+    """ADVICE r14: a retain_ms window predating the first commit and an
+    equivalently oversized retain_versions window must behave
+    IDENTICALLY — both commit-free when nothing is reclaimable and the
+    horizon would not move — and a no-op-window maintenance pass must
+    still re-reclaim crash-leftover files below an EXISTING horizon
+    (committing the pass only when something actually happened)."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _committed_version,
+        committed_files,
+        merge_upsert,
+        vacuum,
+    )
+
+    target = str(tmp_path / "tbl")
+    os.makedirs(target)
+    merge_append(
+        spark, target, spark.range(4).select("id", F.lit("a").alias("s")), ["id"]
+    )
+    head = _committed_version(target)
+    # Young table, conservative window: both spellings no-op commit-free.
+    assert vacuum(target, retain_ms=3_600_000) == []
+    assert vacuum(target, retain_versions=100) == []
+    assert _committed_version(target) == head
+
+    # Build churn + a horizon, then plant a crash leftover below it: a
+    # file commit history removed at/below the cutoff that a crashed
+    # earlier vacuum failed to unlink.
+    v1_files = set(committed_files(target, version=1))
+    merge_upsert(
+        spark, target, spark.range(4).select("id", F.lit("b").alias("s")), ["id"]
+    )
+    removed = vacuum(target, retain_versions=0, unsafe_zero_retention=True)
+    assert v1_files <= set(removed)
+    leftover = sorted(v1_files)[0]
+    with open(os.path.join(target, leftover), "wb") as fh:
+        fh.write(b"crash leftover")
+    head2 = _committed_version(target)
+
+    # The conservative no-op-window pass under the existing horizon
+    # re-reclaims the leftover (shared path for both spellings) and
+    # records the pass because something happened...
+    got = vacuum(target, retain_ms=3_600_000)
+    assert leftover in got
+    assert not os.path.exists(os.path.join(target, leftover))
+    assert _committed_version(target) == head2 + 1
+    # ...and the next pass is again a pure no-op, commit-free.
+    assert vacuum(target, retain_ms=3_600_000) == []
+    assert vacuum(target, retain_versions=100) == []
+    assert _committed_version(target) == head2 + 1
+
+
 def test_table_history_describes_every_commit(spark, tmp_path):
     """DESCRIBE HISTORY: one row per commit in version order with the
     recorded operation tag; pre-op-tag commits classify structurally."""
