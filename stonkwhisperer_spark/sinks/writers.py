@@ -2898,6 +2898,7 @@ def merge_cdc_txn(
     max_retries: int = 20,
     schema_evolution: bool = False,
     _pre_commit_hook: Callable[[], None] | None = None,
+    pin_batch: bool = True,
 ) -> tuple[int, int, int]:
     """Apply a CHANGE-DATA batch to a table, exactly once — the CDC
     consumer's merge (Delta's documented foreachBatch pattern for
@@ -2912,7 +2913,11 @@ def merge_cdc_txn(
     replicated); every other row upserts. The change column itself is
     not written. Returns (inserted, updated, deleted); idempotent per
     (app_id, txn_ver) like :func:`merge_upsert_txn` — the caller must
-    reduce the batch to ONE change per key first (newest wins)."""
+    reduce the batch to ONE change per key first (newest wins).
+
+    ``pin_batch`` defaults on here (unlike the generic engine): a CDC
+    batch usually arrives through the change-feed streaming source,
+    whose reads run in Python workers — see the engine's note."""
     return _merge_rows(
         spark,
         target_path,
@@ -2925,6 +2930,7 @@ def merge_cdc_txn(
         drop_from_data=[change_col],
         txn={"app": app_id, "version": txn_ver},
         schema_evolution=schema_evolution,
+        pin_batch=pin_batch,
     )
 
 
@@ -2941,6 +2947,7 @@ def _merge_rows(
     drop_from_data: Sequence[str] | None = None,
     txn: dict | None = None,
     schema_evolution: bool = False,
+    pin_batch: bool = False,
 ) -> tuple[int, int, int]:
     """Shared MERGE engine behind :func:`merge_upsert` /
     :func:`merge_sync` / :func:`merge_upsert_txn` /
@@ -2952,7 +2959,29 @@ def _merge_rows(
     rows instead of upserting, and a directive with no match is a
     no-op; ``drop_from_data`` removes directive/metadata columns from
     the written rows; ``txn`` adds the (app, version) at-most-once
-    marker."""
+    marker.
+
+    ``pin_batch`` materializes the incoming batch to JVM-local blocks
+    (localCheckpoint) ONCE, before the engine's several actions over
+    it (touched-file discovery, insert/update split, data + CDC
+    staging). Without it each action re-executes the batch's plan —
+    harmless for a parquet-backed batch, but a batch backed by a
+    Python data source (the CDC change feed) then pays ~6 rounds of
+    Python-worker forks per merge, whose cost scales with process RSS:
+    the late-session inflation the round-15 micro-batch trace
+    decomposed (docs/BENCH_METHOD.md). The pin happens AFTER the
+    txn-ledger short-circuit so a replayed epoch still executes the
+    batch zero times."""
+    if txn is not None:
+        # At-most-once fast path, hoisted ahead of any batch execution
+        # (the in-loop check below still guards CAS retries): a
+        # replayed (app, version) must cost O(1) ledger metadata, not
+        # a batch materialization.
+        seen = last_txn_version(target_path, txn["app"])
+        if seen is not None and seen >= txn["version"]:
+            return 0, 0, 0
+    if pin_batch:
+        batch = batch.localCheckpoint(eager=True)
     batch = batch.dropDuplicates(list(keys))
     key_cols = list(keys)
     nmbs_true = (

@@ -23,6 +23,7 @@ executor state.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -251,6 +252,7 @@ def run_txn_merge_ingest(
                         f"within {timeout_sec}s"
                     )
             finally:
+                trace_progress(q, landing)
                 q.stop()
             exc = q.exception()
             if exc is not None:
@@ -344,6 +346,11 @@ def start_cdc_apply_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_commit_version")
         )
+        # merge_cdc_txn pins the reduced batch to JVM-local blocks
+        # (pin_batch) AFTER its txn-ledger short-circuit, so a real
+        # apply executes the Python-data-source feed exactly once and
+        # a replayed epoch executes it zero times — see the engine's
+        # pin_batch note and docs/BENCH_METHOD.md round 15.
         merge_cdc_txn(
             batch_df.sparkSession,
             target_path,
@@ -460,6 +467,44 @@ def parse_offset(eo) -> dict | None:
     return off if isinstance(off, dict) else None
 
 
+def trace_progress(query: StreamingQuery, label: str) -> None:
+    """Opt-in micro-batch forensics (``STONKW_STREAM_TRACE=<file>``):
+    append one JSON line per drained stream with every micro-batch's
+    batchId, input rows, and the full ``durationMs`` breakdown
+    (addBatch / getBatch / latestOffset / queryPlanning /
+    triggerExecution / walCommit). Default off — zero cost in normal
+    runs. Exists so a flagged bench number can be decomposed at the
+    mechanism level (per-batch cost × batch count) instead of argued
+    about at the suite level; see docs/BENCH_METHOD.md."""
+    path = os.environ.get("STONKW_STREAM_TRACE")
+    if not path:
+        return
+    import json as _json
+    import time as _time
+
+    recs = []
+    for p in query.recentProgress or []:
+        if not isinstance(p, dict):
+            continue
+        recs.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "durationMs": p.get("durationMs"),
+            }
+        )
+    try:
+        with open(path, "a") as f:
+            f.write(
+                _json.dumps(
+                    {"label": label, "t": _time.time(), "batches": recs}
+                )
+                + "\n"
+            )
+    except OSError:  # noqa: PERF203 — tracing must never sink the drain
+        pass
+
+
 def run_available_now(
     query: StreamingQuery,
     table_path: str,
@@ -488,6 +533,7 @@ def run_available_now(
     exc = query.exception()
     if exc is not None:
         raise exc
+    trace_progress(query, table_path)
     reached = -1
     p = query.lastProgress
     if p and p.get("sources"):
@@ -555,4 +601,5 @@ def drain_until_caught_up(
             f"{table_path} within {timeout_sec}s (reached {reached})"
         )
     finally:
+        trace_progress(query, table_path)
         query.stop()
