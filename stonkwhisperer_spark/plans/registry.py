@@ -73,78 +73,83 @@ def oracle_map() -> dict[str, str]:
 # accumulates a recorded green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # ======================= ROUND-14 WINDOW =======================
-    # -- new in round 14 (VERDICT r13 tasks 2 + 3): the IVF assignment
-    #    table's streaming-ingest arm (foreachBatch exactly-once MERGE,
-    #    digest-gated against the from-scratch assignment — promoting
-    #    the r13 pytest-pinned contract to a driver row) and its
-    #    forget arm (deletion-vector erasure, digest-gated against a
-    #    kept-corpus rebuild), completing the streaming and forget
-    #    trilogies across all three maintained index tables --
-    "ivf_assign_stream_upsert",
-    "ivf_assign_forget",
-    # -- changed in round 14 (VERDICT r13 task 4): vacuum's retention
-    #    window became explicit with a zero-retention opt-in; these
-    #    three are the gated queries that call vacuum and carry the
-    #    updated call --
-    "bm25_forget_vacuum",
-    "txlog_vacuum_replay",
-    "txlog_history",
-    # -- the full r10-stale cohort (45 queries; newest recorded green
-    #    row round 10 for all — VERDICT r13 task 1). After this window
-    #    closes the newest-green floor moves to r11. --
-    "api_ingest_e2e",
-    "asof_next_sentiment",
-    "asof_sentiment_bars",
-    "bars_clean",
-    "bars_enrich",
-    "clean_documents",
-    "click_buy_reconcile",
-    "clickers_minus_buyers",
-    "dedup_keep_first",
-    "dedup_low_card",
-    "distinct_event_types",
-    "doc_fingerprints",
-    "doc_repetition",
-    "doc_shingles",
-    "embedding_lsh_buckets",
-    "embedding_near_dup",
-    "event_type_stats_salted",
-    "event_weighted_stats_udaf",
-    "events_in_promo_windows",
-    "events_in_promo_windows_grid",
-    "events_props_parsed",
-    "events_schema_evolution_union",
-    "fuzzy_near_dups",
-    "hll_vocab_cardinality",
-    "ivf_topk_embeddings",
-    "knn_embeddings",
-    "minhash_band_candidates",
-    "nation_market_share",
-    "new_urls_anti",
-    "news_clean",
-    "pack_documents",
-    "part_supplier_counts",
-    "posts_clean",
-    "posts_link_articles",
-    "pq_topk_embeddings",
-    "product_profit_by_nation",
-    "profile_documents",
-    "returned_item_customers",
-    "shipping_delay_priority",
-    "streaming_bloom",
-    "streaming_cms",
-    "streaming_hll",
-    "streaming_quantiles",
-    "temperature_mixture",
-    "user_event_runs",
+    # ======================= ROUND-15 WINDOW =======================
+    # -- new in round 15 (VERDICT r14 tasks 3 + 4): the two r14
+    #    pytest-pinned seams promoted to driver rows — the retention-
+    #    maintenance pass (compact + bounded-window vacuum on a
+    #    stream-churned index, time-travel window and below-horizon
+    #    refusal asserted in-query) and the CDC→index incremental
+    #    materialized view (one change-feed poll refreshes a postings
+    #    index in one scoped merge_sync commit, gated against the
+    #    from-scratch head rebuild) --
+    "index_retention_maintenance",
+    "cdc_index_incremental_mv",
+    # -- VERDICT r14 task 1: the flagged query, re-gated in the same
+    #    round its mechanism was instrumented (trace_progress hook in
+    #    streaming/jobs.py — default-off, shared by the whole
+    #    foreachBatch-MERGE drain family) --
+    "txlog_stream_upsert",
+    # -- the full r11-stale cohort (43 queries; newest recorded green
+    #    row round 11 for all — VERDICT r14 task 2). After this window
+    #    closes the newest-green floor moves to r12. --
+    "bigram_familiarity",
+    "bm25_index_upsert",
+    "bm25_topk_docs",
+    "corpus_shuffle",
+    "curation_e2e",
+    "doc_chunks",
+    "doc_keywords",
+    "dsir_sample",
+    "histogram_quantiles",
+    "leakage_safe_split",
+    "lineitem_status_cube",
+    "lm_perplexity_scores",
+    "near_dup_jaccard_prefix",
+    "ohlcv_1min",
+    "pagerank_part_supplier",
+    "pricing_summary",
+    "revenue_rollup",
+    "rrf_hybrid_retrieval",
+    "semantic_clusters",
+    "semantic_dedup",
+    "sentiment_closed_form",
+    "span_dedup",
+    "sq8_topk_embeddings",
+    "topk_newest_events",
+    "txlog_cdc_delete_replay",
+    "txlog_cdc_replay",
+    "txlog_cdc_update_replay",
+    "txlog_checkpoint_replay",
+    "txlog_constraints",
+    "txlog_dv_replay",
+    "txlog_generated",
+    "txlog_rename_replay",
+    "txlog_replace_where",
+    "txlog_restore_replay",
+    "txlog_schema_evolution",
+    "txlog_skipping",
+    "txlog_skipping_2d",
+    "txlog_stream_cdc",
+    "txlog_stream_sink",
+    "txlog_type_widening",
+    "txlog_update_replay",
+    "user_event_pivot",
+    "zip_docs_embeddings",
+    # -- 4 fillers rotated ahead from the r12-stale cohort: the
+    #    BENCH_r14-observed sub-second outlier, the merge_sync family
+    #    twin of cdc_index_incremental_mv, and two heavy family
+    #    representatives --
+    "value_outliers",
+    "txlog_merge_sync_replay",
+    "bm25_index_forget",
+    "flows_e2e_state",
     # (the distribution going INTO this round, computed from the
     #  CORRECTNESS_r*.json artifacts themselves — not predicted:
-    #  r13=50, r12=46, r11=45, r10=45, floor r10. After this window
-    #  records, the floor moves r10→r11; the never-recorded set stays
+    #  r14=50, r13=49, r12=46, r11=43, floor r11. After this window
+    #  records, the floor moves r11→r12; the never-recorded set stays
     #  exactly the three no-oracle side-effecting surfaces, each with
-    #  a hash-gated companion. Round 15's window should rotate the
-    #  r11-stale cohort plus whatever round 14 changed.)
+    #  a hash-gated companion. Round 16's window should rotate the
+    #  remaining r12-stale cohort plus whatever round 15 changed.)
 ]
 
 
