@@ -77,9 +77,12 @@ def test_merge_idempotence_property(spark, tmp_path):
 def test_txlog_lifecycle_model_property(spark, tmp_path):
     """Model-based check of the txlog mutation surface: hypothesis
     generates random interleavings of MERGE upsert, copy-on-write
-    DELETE, deletion-vector DELETE, OPTIMIZE compaction, RESTORE, and
-    retention-window VACUUM; a pure-Python dict replays each sequence
-    beside the table. Invariants after EVERY operation:
+    DELETE, deletion-vector DELETE, OPTIMIZE compaction, RESTORE,
+    retention-window VACUUM, and an exactly-once STREAMING MERGE drain
+    (run_txn_merge_ingest — the r14-ADVICE/VERDICT extension: the
+    streaming ingest path composed with every batch mutation); a
+    pure-Python dict replays each sequence beside the table.
+    Invariants after EVERY operation:
 
     * the committed read equals the model exactly;
     * every commit-producing op moves the version monotonically;
@@ -89,12 +92,21 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
     And at the end of each sequence:
 
     * every recorded snapshot at/above the horizon still time-travels
-      to its recorded model state (compactions, DVs, restores and
-      vacuums in between must never corrupt history);
-    * every snapshot below the horizon raises the retention error.
+      to its recorded model state (compactions, DVs, restores, vacuums
+      and streaming drains in between must never corrupt history);
+    * every snapshot below the horizon raises the retention error;
+    * replaying the typed change feed from the horizon reproduces the
+      head exactly.
 
     Directed tests pin each op's contract individually; this pins
-    their COMPOSITION, where storage engines actually break."""
+    their COMPOSITION, where storage engines actually break. The whole
+    replay runs INSIDE the @given body (ADVICE r14: the gather-only
+    pattern meant a failing interleaving was never shrunk and could
+    not be replayed), so hypothesis shrinking and example reporting
+    apply; the anchor composition rides along as an @example."""
+    import pytest
+    from hypothesis import example
+
     from stonkwhisperer_spark.sinks.writers import (
         _committed_version,
         compact,
@@ -104,8 +116,10 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
         merge_upsert,
         read_committed,
         restore,
+        table_changes,
         vacuum,
     )
+    from stonkwhisperer_spark.streaming.jobs import run_txn_merge_ingest
 
     _op = st.one_of(
         st.tuples(st.just("upsert"), st.integers(0, 3)),
@@ -114,26 +128,24 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("restore"), st.integers(0, 19)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("drain"), st.integers(0, 3)),
     )
-    sequences: list[list[tuple[str, int]]] = []
-
-    @settings(max_examples=5, deadline=None)
-    @given(st.lists(_op, min_size=5, max_size=10))
-    def gather(ops):
-        sequences.append(ops)
-
-    gather()
-    # Anchor sequence: the composition r13/r14 shipped (stream-churn →
-    # erasure → compact → retention vacuum → restore inside the window).
-    sequences.append(
-        [("upsert", 1), ("delete_dv", 2), ("compact", 0),
-         ("upsert", 3), ("vacuum", 2), ("restore", 1), ("delete", 0)]
-    )
+    run_counter = {"n": 0}
 
     def rows_of(df):
         return {} if df is None else {r.k: r.v for r in df.collect()}
 
-    for seq_i, ops in enumerate(sequences):
+    @settings(max_examples=5, deadline=None)
+    # Anchor composition: what r13/r14/r15 shipped — stream-churn →
+    # erasure → compact → retention vacuum → restore inside the window.
+    @example(
+        [("upsert", 1), ("delete_dv", 2), ("drain", 0), ("compact", 0),
+         ("upsert", 3), ("vacuum", 2), ("restore", 1), ("delete", 0)]
+    )
+    @given(st.lists(_op, min_size=5, max_size=10))
+    def check(ops):
+        seq_i = run_counter["n"]
+        run_counter["n"] += 1
         target = str(tmp_path / f"t{seq_i}")
         merge_append(
             spark,
@@ -170,8 +182,6 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                 candidates = sorted(snapshots)
                 v = candidates[arg % len(candidates)]
                 if v < horizon:
-                    import pytest
-
                     with pytest.raises(ValueError):
                         restore(spark, target, version=v)
                 else:
@@ -181,6 +191,40 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                 head = _committed_version(target)
                 vacuum(target, retain_versions=arg)
                 horizon = max(horizon, head - arg, 0)
+            elif op == "drain":
+                # Streaming exactly-once MERGE composed with the batch
+                # mutations: the batch carries surviving keys (updates)
+                # plus fresh keys (inserts) so both MERGE arms fire; if
+                # deletes emptied the table, re-seed one key first so
+                # the engine's both-arms assert stays meaningful. The
+                # drain itself is 2+ micro-batch commits plus a
+                # replay-over-fresh-checkpoint proven a structural
+                # no-op by the helper.
+                if not model:
+                    merge_upsert(
+                        spark,
+                        target,
+                        spark.createDataFrame([(0, step)], "k long, v long"),
+                        ["k"],
+                    )
+                    model[0] = step
+                keys = sorted(model)[:3] + [100 + 10 * step + arg]
+                batch = spark.createDataFrame(
+                    [(k, step) for k in keys], "k long, v long"
+                )
+                landing = str(tmp_path / f"landing{seq_i}_{step}")
+                batch.coalesce(1).write.parquet(landing)
+                batch.coalesce(1).write.mode("append").parquet(landing)
+                run_txn_merge_ingest(
+                    spark,
+                    landing,
+                    batch.schema,
+                    target,
+                    ["k"],
+                    f"model_ingest_{seq_i}_{step}",
+                    str(tmp_path / f"ck{seq_i}_{step}"),
+                )
+                model.update({k: step for k in keys})
 
             new_version = _committed_version(target)
             assert new_version >= version, (op, arg)
@@ -189,8 +233,6 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
             assert rows_of(read_committed(spark, target)) == model, (
                 seq_i, step, op, arg,
             )
-
-        import pytest
 
         for v, snap in snapshots.items():
             if v >= horizon:
@@ -204,12 +246,11 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
         # CDF completeness under the same composition: replaying the
         # typed change feed from the retention horizon onto the
         # horizon snapshot must reproduce the head exactly — every
-        # upsert/delete/DV-delete/restore in between must have staged
-        # complete change rows (compaction commits are physical-only
-        # and correctly absent; restore commits may stage physical
-        # delete+insert pairs, which net out under keyed application).
-        from stonkwhisperer_spark.sinks.writers import table_changes
-
+        # upsert/delete/DV-delete/restore/drain in between must have
+        # staged complete change rows (compaction commits are
+        # physical-only and correctly absent; restore commits may
+        # stage physical delete+insert pairs, which net out under
+        # keyed application).
         feed = table_changes(spark, target, horizon, with_version=True)
         replay = dict(snapshots.get(horizon, {}))
         if feed is not None:
@@ -225,6 +266,8 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                     if r._change_type in ("insert", "update_postimage"):
                         replay[r.k] = r.v
         assert replay == model, (seq_i, "cdc replay diverged from head")
+
+    check()
 
 
 def test_bloom_bits_match_pure_python_replay(spark):
