@@ -2972,15 +2972,18 @@ def _merge_rows(
     decomposed (docs/BENCH_METHOD.md). The pin happens AFTER the
     txn-ledger short-circuit so a replayed epoch still executes the
     batch zero times."""
-    if txn is not None:
-        # At-most-once fast path, hoisted ahead of any batch execution
-        # (the in-loop check below still guards CAS retries): a
-        # replayed (app, version) must cost O(1) ledger metadata, not
-        # a batch materialization.
-        seen = last_txn_version(target_path, txn["app"])
-        if seen is not None and seen >= txn["version"]:
-            return 0, 0, 0
     if pin_batch:
+        # At-most-once fast path, hoisted ahead of the pin (the
+        # in-loop check below still guards CAS retries): a replayed
+        # (app, version) must cost O(#commits) ledger metadata, never
+        # a batch materialization. Scoped to pin_batch — without the
+        # pin there is nothing to execute before the in-loop check, so
+        # the common batch-merge path keeps its two log parses
+        # (review r15: don't add a third on the hot path).
+        if txn is not None:
+            seen = last_txn_version(target_path, txn["app"])
+            if seen is not None and seen >= txn["version"]:
+                return 0, 0, 0
         batch = batch.localCheckpoint(eager=True)
     batch = batch.dropDuplicates(list(keys))
     key_cols = list(keys)

@@ -524,16 +524,20 @@ def run_available_now(
     from stonkwhisperer_spark.sinks.writers import _committed_version
 
     head = _committed_version(table_path)
-    if not query.awaitTermination(timeout_sec):
-        query.stop()
-        raise TimeoutError(
-            f"availableNow stream over {table_path} still running after "
-            f"{timeout_sec}s"
-        )
-    exc = query.exception()
-    if exc is not None:
-        raise exc
-    trace_progress(query, table_path)
+    try:
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(
+                f"availableNow stream over {table_path} still running "
+                f"after {timeout_sec}s"
+            )
+        exc = query.exception()
+        if exc is not None:
+            raise exc
+    finally:
+        # In finally: the forensics hook must record the timed-out and
+        # failed drains too — those are the ones worth decomposing.
+        trace_progress(query, table_path)
     reached = -1
     p = query.lastProgress
     if p and p.get("sources"):

@@ -208,6 +208,7 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                         ["k"],
                     )
                     model[0] = step
+                    snapshots[_committed_version(target)] = dict(model)
                 keys = sorted(model)[:3] + [100 + 10 * step + arg]
                 batch = spark.createDataFrame(
                     [(k, step) for k in keys], "k long, v long"
@@ -215,6 +216,7 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                 landing = str(tmp_path / f"landing{seq_i}_{step}")
                 batch.coalesce(1).write.parquet(landing)
                 batch.coalesce(1).write.mode("append").parquet(landing)
+                v_pre_drain = _committed_version(target)
                 run_txn_merge_ingest(
                     spark,
                     landing,
@@ -225,6 +227,14 @@ def test_txlog_lifecycle_model_property(spark, tmp_path):
                     str(tmp_path / f"ck{seq_i}_{step}"),
                 )
                 model.update({k: step for k in keys})
+                # Record EVERY commit the drain produced, not just the
+                # final head (review r15): a later vacuum can land its
+                # horizon on a mid-drain epoch commit, and the CDF
+                # replay below seeds from snapshots[horizon]. Both
+                # landing files carry the full batch, so every epoch
+                # commit's state equals the drained state.
+                for v in range(v_pre_drain + 1, _committed_version(target) + 1):
+                    snapshots[v] = dict(model)
 
             new_version = _committed_version(target)
             assert new_version >= version, (op, arg)
