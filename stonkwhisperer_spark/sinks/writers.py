@@ -54,6 +54,7 @@ import shutil
 import time
 import uuid
 from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,6 +90,11 @@ _CHANGE_COL = "_change_type"
 # is returned to a caller.
 _FP_COL = "__sw_file_path"
 _RI_COL = "__sw_row_index"
+# Transient marker columns for the merge engine's single-pass row
+# classification (never written: dropped before staging).
+_MARK_M = "__sw_mark_matched"
+_MARK_MB = "__sw_mark_in_batch"
+_MARK_MD = "__sw_mark_del"
 
 
 def _txlog_path(target_path: str) -> str:
@@ -1471,6 +1477,7 @@ def _stage_files(
     target_path: str,
     partition_cols: Sequence[str] | None,
     commits: list[dict] | None = None,
+    size_output: bool = True,
 ) -> list[str]:
     """Write the insert set to a dot-hidden staging dir inside the
     table, then os.replace each part file into the table root (same
@@ -1479,13 +1486,33 @@ def _stage_files(
 
     Data files always store PHYSICAL column names: the logical→physical
     translation happens here, at the disk boundary, so writers compute
-    in logical space and renamed tables keep one on-disk schema."""
+    in logical space and renamed tables keep one on-disk schema.
+
+    ``size_output`` (default): REBALANCE the rows before the write so
+    AQE sizes the output files to ``advisoryPartitionSizeInBytes``
+    instead of one tiny file per upstream task (guide §6: small files
+    hurt twice — Delta's "optimized writes" shuffle). Without it a
+    merge whose plan unions N-partition branches staged up to N
+    near-empty parts PER COMMIT, and every later snapshot read,
+    matched-file discovery and footer-stats pass paid O(files) opens
+    (measured r15: a 3-commit bm25-index table held ~100 files; the
+    merge engine re-scans it 3+ times per MERGE). Callers that arrange
+    their own layout (compact's range/Z-order clustering) pass False —
+    a rebalance there would destroy the clustering."""
     if commits is None:
         commits = _commits(target_path)
     new_rows = _to_physical(new_rows, commits)
     if partition_cols:
         colmap = _colmap_from(commits)
         partition_cols = [colmap.get(c, c) for c in partition_cols]
+    if size_output:
+        # Partitioned writes rebalance ON the partition columns so each
+        # output directory gets few well-sized files, not one per task.
+        new_rows = (
+            new_rows.hint("rebalance", *partition_cols)
+            if partition_cols
+            else new_rows.hint("rebalance")
+        )
     stage = os.path.join(target_path, f".stage-{uuid.uuid4().hex}")
     writer = new_rows.write.mode("overwrite")
     if partition_cols:
@@ -1930,7 +1957,10 @@ def compact(
             ).sortWithinPartitions(*cluster_by)
         else:
             arranged = snapshot.coalesce(n_parts)
-        staged = _stage_files(arranged, target_path, partition_cols, commits=commits)
+        staged = _stage_files(
+            arranged, target_path, partition_cols, commits=commits,
+            size_output=False,  # layout arranged above (coalesce/cluster)
+        )
         if _try_commit(
             target_path,
             version + 1,
@@ -2596,9 +2626,16 @@ def merge_append(
         if snapshot_files:
             # _read_snapshot (not _read_files): DV-masked rows are not
             # part of the table — their keys must not suppress inserts
-            # — and the anti-join runs in logical column space.
+            # — and the anti-join runs in logical column space. The
+            # log-declared schema (when present) skips the per-call
+            # parquet schema-inference job.
             existing = _read_snapshot(
-                spark, target_path, commits, files=snapshot_files
+                spark,
+                target_path,
+                commits,
+                files=snapshot_files,
+                schema=declared if (declared is not None and not legacy) else None,
+                merge_schema=bool(legacy),
             )
             if legacy:
                 # Adoption must record the FULL legacy schema, not just
@@ -2683,6 +2720,10 @@ def _stage_aux_files(
         df = _to_physical(
             df, _commits(target_path) if commits is None else commits
         )
+    # Same output-file sizing as _stage_files: CDC/DV families are read
+    # back by feeds and snapshot reads — one near-empty part per
+    # upstream task inflates every later open.
+    df = df.hint("rebalance")
     dest = os.path.join(target_path, subdir)
     os.makedirs(dest, exist_ok=True)
     stage = os.path.join(target_path, f".stage-{prefix}-{uuid.uuid4().hex}")
@@ -3082,9 +3123,29 @@ def _merge_rows(
                 )
             root = os.path.abspath(target_path)
             matched_files = _matched_rel_files(owners, root, "MERGE")
+            # ONE marker left-join replaces the former anti/semi pair:
+            # inserts ∪ updates is EXACTLY the deduped batch (the two
+            # joins partitioned it by key-match), so the DATA write
+            # needs no join on the batch side at all, and the CDC
+            # write derives each batch row's change type from a single
+            # distinct-key left join — the snapshot's key columns are
+            # scanned once per staging pass instead of twice
+            # (optimization r15, guide §2.3/§2.4: fewer passes, fewer
+            # shuffled bytes; at 100 TB these are full-batch joins).
             existing_keys = existing.select(*key_cols)
-            inserts = batch.join(existing_keys, key_cols, "left_anti")
-            updates = batch.join(existing_keys, key_cols, "left_semi")
+            key_marks = existing_keys.dropDuplicates(key_cols).withColumn(
+                _MARK_M, F.lit(True)
+            )
+            cdc_batch = (
+                batch.join(key_marks, key_cols, "left")
+                .withColumn(
+                    _CHANGE_COL,
+                    F.when(F.col(_MARK_M).isNull(), F.lit("insert")).otherwise(
+                        F.lit("update_postimage")
+                    ),
+                )
+                .drop(_MARK_M)
+            )
             if matched_files:
                 touched = _read_snapshot(
                     spark,
@@ -3096,34 +3157,44 @@ def _merge_rows(
                     else None,
                     merge_schema=bool(legacy),
                 )
-                preimage = touched.join(batch_keys, key_cols, "left_semi")
-                not_matched = touched.join(all_keys, key_cols, "left_anti")
-                if nmbs_true is not None:
-                    carried = not_matched.filter(~nmbs_true)
-                    dels = not_matched.filter(nmbs_true)
-                else:
-                    carried, dels = not_matched, None
+                # Partition the touched rows in ONE pass (left-join
+                # markers) instead of one semi/anti join per branch:
+                # in-batch → update_preimage; delete-directive or
+                # stale (nmbs) → delete; the rest carry over.
+                t2 = touched.join(
+                    batch_keys.withColumn(_MARK_MB, F.lit(True)),
+                    key_cols,
+                    "left",
+                )
                 if delete_keys is not None:
-                    tdel = touched.join(delete_keys, key_cols, "left_semi")
-                    dels = tdel if dels is None else dels.unionByName(tdel)
+                    t2 = t2.join(
+                        delete_keys.withColumn(_MARK_MD, F.lit(True)),
+                        key_cols,
+                        "left",
+                    )
+                else:
+                    t2 = t2.withColumn(_MARK_MD, F.lit(None).cast("boolean"))
+                in_batch = F.col(_MARK_MB).isNotNull()
+                is_del = F.col(_MARK_MD).isNotNull()
+                if nmbs_true is not None:
+                    is_del = is_del | nmbs_true
+                preimage = t2.filter(in_batch).drop(_MARK_MB, _MARK_MD)
+                carried = t2.filter(~in_batch & ~is_del).drop(_MARK_MB, _MARK_MD)
+                if nmbs_true is not None or delete_keys is not None:
+                    dels = t2.filter(~in_batch & is_del).drop(_MARK_MB, _MARK_MD)
+                else:
+                    dels = None
             else:
                 preimage = carried = dels = None
         else:
             matched_files = []
-            inserts, updates, preimage, carried, dels = (
-                batch, None, None, None, None,
-            )
+            cdc_batch = batch.withColumn(_CHANGE_COL, F.lit("insert"))
+            preimage = carried = dels = None
 
-        new_data = inserts
-        for frame in (updates, carried):
-            if frame is not None:
-                new_data = new_data.unionByName(frame, allowMissingColumns=True)
-        cdc = inserts.withColumn(_CHANGE_COL, F.lit("insert"))
-        if updates is not None:
-            cdc = cdc.unionByName(
-                updates.withColumn(_CHANGE_COL, F.lit("update_postimage")),
-                allowMissingColumns=True,
-            )
+        new_data = batch
+        if carried is not None:
+            new_data = new_data.unionByName(carried, allowMissingColumns=True)
+        cdc = cdc_batch
         if preimage is not None:
             cdc = cdc.unionByName(
                 preimage.withColumn(_CHANGE_COL, F.lit("update_preimage")),
@@ -3135,7 +3206,18 @@ def _merge_rows(
                 allowMissingColumns=True,
             )
 
-        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
+        # The data and CDC staging writes are INDEPENDENT Spark
+        # actions — submit them concurrently so the merge pays
+        # max(data, cdc) wall time instead of the sum (guide §2.6:
+        # overlap independent jobs; the second job's tasks back-fill
+        # the first's straggler tail).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_data = pool.submit(
+                _stage_files, new_data, target_path, partition_cols, commits
+            )
+            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            staged = f_data.result()
+            cdc_staged = f_cdc.result()
         if nmbs_true is not None or delete_keys is not None:
             # A sync that empties whole files can stage 0-row parts —
             # drop them rather than committing empty files.
@@ -3150,7 +3232,6 @@ def _merge_rows(
                 else:
                     os.remove(os.path.join(target_path, rel))
             staged = live
-        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         inserted, updated, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
@@ -3244,7 +3325,20 @@ def delete_where(
         carried = touched.filter(~condition)
         deleted = touched.filter(condition)
 
-        staged = _stage_files(carried, target_path, partition_cols, commits=commits)
+        # Data and CDC staging are independent actions — overlap them
+        # (guide §2.6), same as the merge engine.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_data = pool.submit(
+                _stage_files, carried, target_path, partition_cols, commits
+            )
+            f_cdc = pool.submit(
+                _stage_cdc_files,
+                deleted.withColumn(_CHANGE_COL, F.lit("delete")),
+                target_path,
+                commits,
+            )
+            staged = f_data.result()
+            cdc_staged = f_cdc.result()
         # The carried set can be empty (whole files deleted): drop the
         # writer's empty part rather than committing a 0-row file.
         live_staged = []
@@ -3253,11 +3347,6 @@ def delete_where(
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        cdc_staged = _stage_cdc_files(
-            deleted.withColumn(_CHANGE_COL, F.lit("delete")),
-            target_path,
-            commits=commits,
-        )
         n_deleted = 0
         for rel in cdc_staged:
             n_deleted += pq.ParquetFile(
@@ -3380,14 +3469,19 @@ def overwrite_where(
                 dels.withColumn(_CHANGE_COL, F.lit("delete")),
                 allowMissingColumns=True,
             )
-        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
+        with ThreadPoolExecutor(max_workers=2) as pool:  # guide §2.6
+            f_data = pool.submit(
+                _stage_files, new_data, target_path, partition_cols, commits
+            )
+            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            staged = f_data.result()
+            cdc_staged = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         inserted, _, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
@@ -3492,18 +3586,23 @@ def update_where(
         carried = touched.filter(~cond_true)
         updated = _updated_frame(changed, set_exprs, commits, target_path)
         new_data = updated.unionByName(carried, allowMissingColumns=True)
-        staged = _stage_files(new_data, target_path, partition_cols, commits=commits)
+        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
+            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
+            allowMissingColumns=True,
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:  # guide §2.6
+            f_data = pool.submit(
+                _stage_files, new_data, target_path, partition_cols, commits
+            )
+            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            staged = f_data.result()
+            cdc_staged = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
-            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
-            allowMissingColumns=True,
-        )
-        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
@@ -3586,19 +3685,27 @@ def update_where_dv(
         )
         changed = matched.drop(_FP_COL, _RI_COL)
         updated = _updated_frame(changed, set_exprs, commits, target_path)
-        dv_staged = _stage_dv_files(kill, target_path)
-        staged = _stage_files(updated, target_path, partition_cols, commits=commits)
+        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
+            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
+            allowMissingColumns=True,
+        )
+        # DV kill list, post-image data file and CDC rows are three
+        # independent actions — overlap them (guide §2.6).
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_dv = pool.submit(_stage_dv_files, kill, target_path)
+            f_data = pool.submit(
+                _stage_files, updated, target_path, partition_cols, commits
+            )
+            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            dv_staged = f_dv.result()
+            staged = f_data.result()
+            cdc_staged = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        cdc = changed.withColumn(_CHANGE_COL, F.lit("update_preimage")).unionByName(
-            updated.withColumn(_CHANGE_COL, F.lit("update_postimage")),
-            allowMissingColumns=True,
-        )
-        cdc_staged = _stage_cdc_files(cdc, target_path, commits=commits)
         _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
         affected: set[str] = set()
         n_masked = 0
@@ -3704,14 +3811,18 @@ def delete_where_dv(
             .join(F.broadcast(uri_map), "file_uri")
             .select("file", "row_index")
         )
-        dv_staged = _stage_dv_files(kill, target_path)
-        cdc_staged = _stage_cdc_files(
-            matched.drop(_FP_COL, _RI_COL).withColumn(
-                _CHANGE_COL, F.lit("delete")
-            ),
-            target_path,
-            commits=commits,
-        )
+        with ThreadPoolExecutor(max_workers=2) as pool:  # guide §2.6
+            f_dv = pool.submit(_stage_dv_files, kill, target_path)
+            f_cdc = pool.submit(
+                _stage_cdc_files,
+                matched.drop(_FP_COL, _RI_COL).withColumn(
+                    _CHANGE_COL, F.lit("delete")
+                ),
+                target_path,
+                commits,
+            )
+            dv_staged = f_dv.result()
+            cdc_staged = f_cdc.result()
         n_deleted = 0
         affected: set[str] = set()
         for rel in dv_staged:

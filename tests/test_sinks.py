@@ -2296,7 +2296,10 @@ def test_partial_bloom_index_still_indexes_missing_files(spark, tmp_path):
     set_bloom_columns(target, ["k"])
     commits = _commits(target)
     batch = spark.range(50, 100).select(F.col("id").alias("k")).coalesce(2)
-    staged = _stage_files(batch, target, None, commits=commits)
+    # size_output=False: this test NEEDS a two-file staging (a partial
+    # bloom map covering one of two added files); the default rebalance
+    # would fuse the tiny batch into one part.
+    staged = _stage_files(batch, target, None, commits=commits, size_output=False)
     assert len(staged) == 2
     pre = _bloom_from(commits)  # source map covering only older files
     partial = {staged[0]: {"k": {"fake": True}}}  # one of the two new
