@@ -35,6 +35,7 @@ def pagerank(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = 10**12,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list. Returns
     (node, rank_scaled) for every node that appears as a src or dst.
@@ -48,7 +49,19 @@ def pagerank(
     edge list with out-degrees attached is materialized once
     (eager localCheckpoint) so the per-iteration plan re-reads a
     compact relation instead of replaying edge derivation — the same
-    discipline as connected_components' closure checkpoint."""
+    discipline as connected_components' closure checkpoint.
+
+    Join strategy (optimization r15, guide §3.1): the rank relation is
+    one row per node — when ``n_nodes`` (already counted for the
+    teleport term) is at most ``broadcast_max_nodes``, the
+    per-iteration edge×ranks join BROADCASTS the rank side, removing
+    the edge list's shuffle+sort from every round (the initial plan
+    was 8 SortMergeJoins each re-exchanging the full edge relation;
+    checkpointed inputs carry no size stats, so neither auto-broadcast
+    nor AQE could make this pick). The 2M-row default is ~50 MB
+    broadcast; above it the shuffle join is the right plan and nothing
+    changes. Join strategy never affects the integer fixed-point
+    values."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     outdeg = e.groupBy("_src").agg(F.count("*").alias("_outd"))
     ew = e.join(outdeg, "_src").localCheckpoint(eager=True)
@@ -69,14 +82,22 @@ def pagerank(
         f"CAST(({damping_num} * rank_scaled) DIV "
         f"({damping_den} * _outd) AS BIGINT)"
     )
+    bcast_ranks = n_nodes <= broadcast_max_nodes
     for i in range(iterations):
+        rank_side = F.broadcast(ranks) if bcast_ranks else ranks
         inflow = (
-            ew.join(ranks, ew["_src"] == ranks["node"])
+            ew.join(rank_side, ew["_src"] == rank_side["node"])
             .select(F.col("_dst").alias("node"), contrib_expr.alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = nodes.join(inflow, "node", "left").select(
+        # inflow is likewise <= n_nodes rows (one per dst) — hint it
+        # too: after the rank-side broadcast above, Catalyst's size
+        # estimate for inflow's subtree inflates past the auto
+        # threshold and this left join would fall back to a
+        # sort-merge of the node relation every round.
+        inflow_side = F.broadcast(inflow) if bcast_ranks else inflow
+        ranks = nodes.join(inflow_side, "node", "left").select(
             "node",
             (
                 F.lit(base).cast("bigint")

@@ -45,22 +45,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Crossover between the two kernel shapes (docs/kernel_dim_bench.py,
+# 2M pairs, min-of-3, integer dot): the literal-indexed unrolled
+# expression stays inside whole-stage codegen + JIT through dim 16
+# (dim 8: 0.30 s vs 0.55 s for the HOF fold; dim 16: 0.43 vs 1.04)
+# and falls off the hugeMethodLimit cliff into interpreted node-walk
+# evaluation by dim 32 (4.71 vs 1.08; dim 64: 11.3 vs 3.7). Both
+# shapes fold strictly left-to-right, so results are bit-identical —
+# the choice is performance-only. PQ subspace kernels run at
+# dsub = dim/M = 8; the full-vector kernels at 64.
+_UNROLL_MAX_DIM = 16
+
+
 def dot_unrolled_int(a: str, b: str, dim: int) -> Column:
     """Σ a[i]·b[i] over BIGINT-element arrays — EXACT and summation-
     order-free (integer addition; the hash-portability requirement of
     the fixed-point similarity queries; see queries_llm.py
-    semantic_dedup). ``dim`` documents the fixed-width contract (the
-    arrays are exactly ``dim`` elements by construction).
-
-    Implementation (optimization r15, re-measured on Spark 4.1): one
-    ``zip_with + aggregate`` pass. The former dim-unrolled literal-
-    indexed expression exceeded ``hugeMethodLimit`` and fell back to
-    INTERPRETED expression-tree evaluation — 2·dim element_at node
-    walks per row; the higher-order functions run a single tight
-    array loop per row instead. Measured at sf0.1 on 249k 64-dim
-    pairs: dot 1.58 s → 0.31 s, sqdist 0.57 s → 0.31 s against a
-    0.23 s scan floor (~20× on kernel cost), identical results."""
-    del dim  # fixed-width contract; the HOF walks the whole array
+    semantic_dedup). The arrays are exactly ``dim`` elements by
+    construction; ``dim`` also picks the kernel shape (see
+    ``_UNROLL_MAX_DIM``): small dims keep the codegen'd literal-
+    indexed sum, large dims use one ``zip_with + aggregate`` pass —
+    the former dim-64 unrolled expression exceeded ``hugeMethodLimit``
+    and ran INTERPRETED (2·dim element_at node walks per row).
+    Measured at sf0.1 on 249k 64-dim pairs: dot 1.58 s → 0.31 s,
+    sqdist 0.57 s → 0.31 s against a 0.23 s scan floor, identical
+    results."""
+    if dim <= _UNROLL_MAX_DIM:
+        terms = " + ".join(
+            f"(element_at({a}, {d + 1}) * element_at({b}, {d + 1}))"
+            for d in range(dim)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -70,8 +85,16 @@ def dot_unrolled_int(a: str, b: str, dim: int) -> Column:
 
 def sqdist_unrolled_int(a: str, b: str, dim: int) -> Column:
     """Σ (a[i]-b[i])² over BIGINT-element arrays, exact (see
-    dot_unrolled_int) — the k-means assignment kernel."""
-    del dim
+    dot_unrolled_int, incl. the dim-based kernel-shape pick) — the
+    k-means assignment kernel; PQ calls it at dsub=8 where the
+    unrolled shape is ~2× faster (codegen + JIT)."""
+    if dim <= _UNROLL_MAX_DIM:
+        terms = " + ".join(
+            f"((element_at({a}, {d + 1}) - element_at({b}, {d + 1}))"
+            f" * (element_at({a}, {d + 1}) - element_at({b}, {d + 1})))"
+            for d in range(dim)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),

@@ -73,13 +73,32 @@ def test_no_python_eval_in_jvm_queries(spark, qmap):
         assert "MapInPandas" not in plan, name
 
 
-def test_knn_scoring_has_no_interpreted_lambdas(spark, qmap):
-    """The ANN scoring paths must use the unrolled codegen expressions —
-    the interpreted array-lambda fold would appear as lambdafunction(...)
-    in the plan (higher-order functions evaluate outside codegen)."""
-    for name in ("knn_embeddings", "embedding_near_dup", "embedding_lsh_buckets"):
+def test_ann_kernel_shapes_follow_dim_contract(spark, qmap):
+    """Optimization r15 reversed the kernel contract with a
+    measurement (docs/kernel_dim_bench.py): at dim 64 the unrolled
+    literal-indexed expression overflows hugeMethodLimit and runs
+    INTERPRETED (11.3 s vs the HOF fold's 3.7 s on 2M pairs), while at
+    the PQ subspace dim (8) the unrolled shape stays codegen'd+JIT'd
+    and wins 2× (0.30 vs 0.55). So: full-dim scoring paths must use
+    the zip_with/aggregate fold (lambdafunction in-plan), and the PQ
+    subspace kernels must stay unrolled (no lambdafunction in the ADC
+    distance-table / assignment expressions)."""
+    # Full-dim (64) scorers: the HOF fold is the fast shape.
+    for name in ("knn_embeddings", "embedding_near_dup"):
         plan = _executed(qmap[name](spark, SF))
-        assert "lambdafunction" not in plan, name
+        assert "lambdafunction" in plan, name
+    # Small-dim (dsub=8) PQ kernels: unrolled stays codegen'd. The PQ
+    # plan still contains HOFs from subvector construction; assert the
+    # specific kernel shape instead — sqdist as element_at arithmetic.
+    from stonkwhisperer_spark.operators.similarity import (
+        _UNROLL_MAX_DIM,
+        sqdist_unrolled_int,
+    )
+
+    small = sqdist_unrolled_int("a", "b", 8)
+    assert "element_at" in str(small) and "lambdafunction" not in str(small)
+    big = sqdist_unrolled_int("a", "b", _UNROLL_MAX_DIM + 1)
+    assert "zip_with" in str(big) or "lambda" in str(big)
 
 
 def test_gate_window_rotation(qmap):
