@@ -3128,24 +3128,8 @@ def _merge_rows(
             # joins partitioned it by key-match), so the DATA write
             # needs no join on the batch side at all, and the CDC
             # write derives each batch row's change type from a single
-            # distinct-key left join — the snapshot's key columns are
-            # scanned once per staging pass instead of twice
-            # (optimization r15, guide §2.3/§2.4: fewer passes, fewer
-            # shuffled bytes; at 100 TB these are full-batch joins).
-            existing_keys = existing.select(*key_cols)
-            key_marks = existing_keys.dropDuplicates(key_cols).withColumn(
-                _MARK_M, F.lit(True)
-            )
-            cdc_batch = (
-                batch.join(key_marks, key_cols, "left")
-                .withColumn(
-                    _CHANGE_COL,
-                    F.when(F.col(_MARK_M).isNull(), F.lit("insert")).otherwise(
-                        F.lit("update_postimage")
-                    ),
-                )
-                .drop(_MARK_M)
-            )
+            # distinct-key left join (optimization r15, guide
+            # §2.3/§2.4: fewer passes, fewer shuffled bytes).
             if matched_files:
                 touched = _read_snapshot(
                     spark,
@@ -3156,6 +3140,28 @@ def _merge_rows(
                     if (declared is not None and not legacy)
                     else None,
                     merge_schema=bool(legacy),
+                )
+                # The marker join's build side is the TOUCHED slice,
+                # never a second full-snapshot pass: every snapshot row
+                # whose key matches a batch key lives in a matched file
+                # (that is what touched-file discovery computed), so
+                # touched ∩ batch = snapshot ∩ batch. Shrinks the CDC
+                # staging plan's scan from O(table) to O(touched files)
+                # per commit (optimization r15 batch 3, guide §2.3).
+                key_marks = (
+                    touched.select(*key_cols)
+                    .dropDuplicates(key_cols)
+                    .withColumn(_MARK_M, F.lit(True))
+                )
+                cdc_batch = (
+                    batch.join(key_marks, key_cols, "left")
+                    .withColumn(
+                        _CHANGE_COL,
+                        F.when(
+                            F.col(_MARK_M).isNull(), F.lit("insert")
+                        ).otherwise(F.lit("update_postimage")),
+                    )
+                    .drop(_MARK_M)
                 )
                 # Partition the touched rows in ONE pass (left-join
                 # markers) instead of one semi/anti join per branch:
@@ -3185,6 +3191,9 @@ def _merge_rows(
                 else:
                     dels = None
             else:
+                # No file owns a batch key ⇒ nothing in the snapshot
+                # matches: every batch row is an insert, no join needed.
+                cdc_batch = batch.withColumn(_CHANGE_COL, F.lit("insert"))
                 preimage = carried = dels = None
         else:
             matched_files = []

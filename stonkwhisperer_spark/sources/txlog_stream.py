@@ -21,10 +21,13 @@ commit as ``_commit_version``.
 
 Scale posture: this is the full ``DataSourceStreamReader`` — offset
 resolution and partition planning are driver-side O(#commits) metadata
-reads, while the DATA plane is one InputPartition per added file,
+reads, while the DATA plane packs the polled commits' files into
+byte-bounded InputPartitions (``maxPartitionBytes`` /
+``openCostInBytes``, defaults mirroring Spark's own scan splits),
 executed on executors as Arrow RecordBatch reads. A 100 TB table whose
-poll window added 50 files schedules 50 file-read tasks and touches
-nothing else. Exactly-once = offset log (version ranges are replayed
+poll window added 50 large files schedules ~one task per target-bytes
+and touches nothing else; a near-empty poll schedules ONE task instead
+of one worker fork per tiny file. Exactly-once = offset log (version ranges are replayed
 deterministically via ``partitions(start, end)``) + an idempotent
 downstream sink, the same discipline as streaming/jobs.py.
 """
@@ -52,10 +55,18 @@ CHANGE_COL = "_change_type"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int, cdc: bool = False):
-        self.path = path
-        self.version = version
-        self.cdc = cdc  # a _change_data file carrying its own _change_type
+    """One scheduled read task: a byte-bounded GROUP of committed files
+    (each entry ``(path, version, cdc)``), packed in commit order like
+    Spark's own file-scan splits (``maxPartitionBytes`` +
+    ``openCostInBytes``). A tiny poll window — the streaming gates'
+    shape, and any low-latency trigger's — schedules ONE task instead
+    of one per near-empty file (each Python-source task forks a worker,
+    the dominant fixed cost of a small micro-batch), while a catch-up
+    window over large files still fans out to one task per ~target
+    bytes (optimization r15, guide §6/§2.2)."""
+
+    def __init__(self, files: list[tuple[str, int, bool]]):
+        self.files = files
 
 
 def _table_schema(path: str) -> StructType:
@@ -133,6 +144,22 @@ class _TxlogStreamReader(DataSourceStreamReader):
         self._max_commits = int(raw) if raw is not None else None
         if self._max_commits is not None and self._max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
+        # Scan-split sizing for the data plane (defaults mirror Spark's
+        # spark.sql.files.maxPartitionBytes / openCostInBytes): a poll
+        # window's files pack into ~maxPartitionBytes read tasks instead
+        # of one task per file. Production tunes these per cluster; the
+        # defaults keep small polls single-task and big catch-ups
+        # parallel.
+        self._max_part_bytes = int(
+            opts.get("maxpartitionbytes", 128 * 1024 * 1024)
+        )
+        self._open_cost_bytes = int(
+            opts.get("opencostinbytes", 4 * 1024 * 1024)
+        )
+        if self._max_part_bytes < 1 or self._open_cost_bytes < 0:
+            raise ValueError(
+                "maxPartitionBytes must be >= 1 and openCostInBytes >= 0"
+            )
         from stonkwhisperer_spark.sinks.writers import _vacuum_cutoff
 
         horizon = _vacuum_cutoff(_commits(self._path))
@@ -180,7 +207,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._current = max(self._current, start["version"], end["version"])
-        parts: list[InputPartition] = []
+        entries: list[tuple[str, int, bool]] = []
         for c in _commits(self._path, through_version=end["version"]):
             if c["version"] <= start["version"] or c.get("compaction"):
                 continue
@@ -188,55 +215,83 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 # Upsert commit: the feed is the typed change files
                 # (pre/post images + inserts), never the rewritten data
                 # files — carried-over rows are not changes.
-                parts.extend(
-                    _FilePartition(os.path.join(self._path, rel), c["version"], cdc=True)
+                entries.extend(
+                    (os.path.join(self._path, rel), c["version"], True)
                     for rel in c["cdc"]
                 )
             else:
-                parts.extend(
-                    _FilePartition(os.path.join(self._path, rel), c["version"])
+                entries.extend(
+                    (os.path.join(self._path, rel), c["version"], False)
                     for rel in c["add"]
                 )
+        # Pack files into byte-bounded groups, in commit order (greedy,
+        # deterministic — an offset range replayed from the checkpoint
+        # re-plans the identical groups). Mirrors Spark's scan splits:
+        # each file is charged max(size, openCost) so thousands of tiny
+        # files still bound the per-task file count, and a group closes
+        # at maxPartitionBytes. One near-empty-commit poll ⇒ 1 task;
+        # a catch-up over big files ⇒ ~1 task per target-bytes.
+        parts: list[InputPartition] = []
+        group: list[tuple[str, int, bool]] = []
+        group_bytes = 0
+        for path, version, cdc in entries:
+            try:
+                sz = os.path.getsize(path)
+            except OSError:
+                sz = self._max_part_bytes  # unstatable: isolate it
+            cost = max(sz, self._open_cost_bytes)
+            if group and group_bytes + cost > self._max_part_bytes:
+                parts.append(_FilePartition(group))
+                group, group_bytes = [], 0
+            group.append((path, version, cdc))
+            group_bytes += cost
+        if group:
+            parts.append(_FilePartition(group))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
-        # Executor-side data plane: stream the file as Arrow batches,
-        # project to the declared field order (null-filling fields the
-        # file predates — additive schema evolution), cast to the
-        # declared types, append the change tag (from the file for
-        # change-data partitions, literal 'insert' for add-file
-        # partitions) and the commit tag.
+        # Executor-side data plane: stream each of the group's files as
+        # Arrow batches, project to the declared field order
+        # (null-filling fields a file predates — additive schema
+        # evolution), cast to the declared types, append the change tag
+        # (from the file for change-data files, literal 'insert' for
+        # add files) and the commit tag.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(partition.path)
-        present = set(pf.schema_arrow.names)
-        want = [self._phys[n] for n in self._fields if self._phys[n] in present]
-        if partition.cdc:
-            want = want + [CHANGE_COL]
-        for batch in pf.iter_batches(columns=want):
-            arrays = []
-            for name in self._fields:
-                typ = self._arrow_schema.field(name).type
-                pname = self._phys[name]
-                if pname in present:
-                    arr = batch.column(pname)
-                    if arr.type != typ:
-                        arr = arr.cast(typ)
-                    arrays.append(arr)
+        for path, version, cdc in partition.files:
+            pf = pq.ParquetFile(path)
+            present = set(pf.schema_arrow.names)
+            want = [
+                self._phys[n] for n in self._fields if self._phys[n] in present
+            ]
+            if cdc:
+                want = want + [CHANGE_COL]
+            for batch in pf.iter_batches(columns=want):
+                arrays = []
+                for name in self._fields:
+                    typ = self._arrow_schema.field(name).type
+                    pname = self._phys[name]
+                    if pname in present:
+                        arr = batch.column(pname)
+                        if arr.type != typ:
+                            arr = arr.cast(typ)
+                        arrays.append(arr)
+                    else:
+                        arrays.append(pa.nulls(batch.num_rows, typ))
+                if cdc:
+                    change = batch.column(CHANGE_COL)
+                    if change.type != pa.string():
+                        change = change.cast(pa.string())
                 else:
-                    arrays.append(pa.nulls(batch.num_rows, typ))
-            if partition.cdc:
-                change = batch.column(CHANGE_COL)
-                if change.type != pa.string():
-                    change = change.cast(pa.string())
-            else:
-                change = pa.array(["insert"] * batch.num_rows, pa.string())
-            arrays.append(change)
-            arrays.append(pa.array([partition.version] * batch.num_rows, pa.int64()))
-            yield pa.RecordBatch.from_arrays(
-                arrays, self._fields + [CHANGE_COL, VERSION_COL]
-            )
+                    change = pa.array(["insert"] * batch.num_rows, pa.string())
+                arrays.append(change)
+                arrays.append(
+                    pa.array([version] * batch.num_rows, pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    arrays, self._fields + [CHANGE_COL, VERSION_COL]
+                )
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the txlog needs nothing

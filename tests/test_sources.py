@@ -372,7 +372,11 @@ def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
     assert reader.latestOffset() == {"version": 3}
 
     parts = reader.partitions({"version": 1}, {"version": 3})
-    assert parts and all(p.version == 2 for p in parts)
+    assert parts and all(v == 2 for p in parts for (_, v, _c) in p.files)
+    # Byte-bounded packing (default 128 MB target): this window's tiny
+    # files coalesce into ONE read task — the fork-count discipline a
+    # near-empty poll depends on.
+    assert len(parts) == 1
 
     rows = []
     for p in parts:
@@ -382,6 +386,29 @@ def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
 
     # Nothing new past the latest offset.
     assert reader.partitions({"version": 3}, {"version": 3}) == []
+
+    # A tight maxPartitionBytes (openCost dominates every real file)
+    # splits the same window back into one task per file — the
+    # catch-up-over-large-files shape, deterministically re-planned.
+    tight = _TxlogStreamReader(
+        schema,
+        {
+            "path": target,
+            "maxPartitionBytes": "1",
+            "openCostInBytes": "0",
+        },
+    )
+    tparts = tight.partitions({"version": 0}, {"version": 3})
+    assert len(tparts) == sum(len(p.files) for p in tparts)
+    trows = []
+    for p in tparts:
+        for rb in tight.read(p):
+            trows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["s"]) for r in trows) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
 
 
 def test_txlog_stream_reader_schema_evolution(spark, tmp_path):
