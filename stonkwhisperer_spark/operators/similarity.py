@@ -413,6 +413,27 @@ def _sq8_code(vec: str, i: int, lo: float, hi: float):
     return F.least(F.lit(255), F.greatest(F.lit(0), F.floor(ratio).cast("bigint")))
 
 
+def _dequant_array(
+    src: str, los: list[float], his: list[float], dim: int
+) -> Column:
+    """Bucket-midpoint dequantized double array of an SQ8-coded vector
+    (reconstruction = lo + (code + 0.5)·(hi - lo)/256), built ONCE per
+    candidate row — the shared ADC candidate side of :func:`sq8_topk`
+    and :func:`ivfsq8_topk`, kept in one place so the documented
+    bit-identical evaluation order cannot drift between them."""
+
+    def _d(i: int) -> Column:
+        lo, hi = los[i], his[i]
+        if not hi > lo:
+            return F.lit(lo)
+        scale = (hi - lo) / 256
+        return F.lit(lo) + (
+            _sq8_code(src, i, lo, hi).cast("double") + F.lit(0.5)
+        ) * F.lit(scale)
+
+    return F.array(*[_d(i) for i in range(dim)])
+
+
 def sq8_codes(
     vec: str, los: list[float], his: list[float], dim: int = 64
 ) -> Column:
@@ -454,36 +475,22 @@ def sq8_topk(
     :func:`knn_bruteforce` but the candidate side reads 1 byte per
     dimension — :func:`ivfsq8_topk` is the composed FAISS-style
     IVF_SQ8: bucket prune first, ADC-scan only the survivors."""
-    def _dequant(i: int):
-        lo, hi = los[i], his[i]
-        if not hi > lo:
-            return F.lit(lo)
-        scale = (hi - lo) / 256
-        return F.lit(lo) + (_sq8_code(vec, i, lo, hi).cast("double") + F.lit(0.5)) * F.lit(scale)
-
     q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
     # Dequantize ONCE per candidate (a 64-element array build), not once
     # per (candidate, query) pair — the former per-pair expression
     # re-ran the quantize+dequantize chain |Q|× per candidate and its
     # ~600-node tree exceeded hugeMethodLimit into interpreted
     # node-walk evaluation (optimization r15, guide §1.2 step 2). The
-    # per-pair work is now one zip_with/aggregate fold in the same
-    # left-to-right order, so scores are bit-identical.
+    # per-pair work is then ONE shared dot fold (dot_unrolled) in the
+    # same left-to-right order, so scores are bit-identical.
     c = candidates.select(
         F.col(c_id),
-        F.array(*[_dequant(i) for i in range(dim)]).alias("_dv"),
-    )
-    score = F.aggregate(
-        F.zip_with(
-            F.col("_qv"), F.col("_dv"), lambda x, y: x.cast("double") * y
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        _dequant_array(vec, los, his, dim).alias("_dv"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, score.alias("score"))
+        .select(q_id, c_id, dot_unrolled("_qv", "_dv", dim).alias("score"))
     )
     w = W.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
     return (
@@ -860,27 +867,18 @@ def ivfsq8_topk(
     the memory lever and the pruning lever at once. Cell skew is the
     knob to watch: assignment shuffles one row per vector, and a hot
     cell bounds per-query work, not per-partition work."""
-    def _dequant(i: int):
-        lo, hi = los[i], his[i]
-        if not hi > lo:
-            return F.lit(lo)
-        scale = (hi - lo) / 256
-        return F.lit(lo) + (
-            _sq8_code("_cv", i, lo, hi).cast("double") + F.lit(0.5)
-        ) * F.lit(scale)
-
     # Dequantize ONCE per assigned candidate row, BEFORE the probe
     # join fans it out to probes·|Q| pairs; the per-pair score is then
-    # one zip_with/aggregate fold in the same left-to-right order as
-    # sq8_topk — bit-identical scores (optimization r15; the former
-    # per-pair ~600-node expression ran interpreted past
+    # the ONE shared dot fold (dot_unrolled) in the same left-to-right
+    # order as sq8_topk — bit-identical scores (optimization r15; the
+    # former per-pair ~600-node expression ran interpreted past
     # hugeMethodLimit).
     assign = ivf_assign(vecs, centroids, id_col=id_col, vec=vec, dim=dim).select(
         F.col(id_col).alias("c_id"), "cell", F.col(vec).alias("_cv")
     ).select(
         "c_id",
         "cell",
-        F.array(*[_dequant(i) for i in range(dim)]).alias("_dv"),
+        _dequant_array("_cv", los, his, dim).alias("_dv"),
     )
     probe = ivf_probe(
         vecs.filter(query_pred).select(F.col(id_col).alias("q_id"), vec),
@@ -890,17 +888,12 @@ def ivfsq8_topk(
         dim=dim,
     ).select("q_id", "_qv", "cell")
 
-    score = F.aggregate(
-        F.zip_with(
-            F.col("_qv"), F.col("_dv"), lambda x, y: x.cast("double") * y
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = (
         assign.join(F.broadcast(probe), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", score.alias("score"))
+        .select(
+            "q_id", "c_id", dot_unrolled("_qv", "_dv", dim).alias("score")
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("score"), F.col("c_id"))
     return (

@@ -87,16 +87,33 @@ def test_ann_kernel_shapes_follow_dim_contract(spark, qmap):
     for name in ("knn_embeddings", "embedding_near_dup"):
         plan = _executed(qmap[name](spark, SF))
         assert "lambdafunction" in plan, name
-    # Small-dim (dsub=8) PQ kernels: unrolled stays codegen'd. The PQ
-    # plan still contains HOFs from subvector construction; assert the
-    # specific kernel shape instead — sqdist as element_at arithmetic.
+    # The LSH bucketing projections are literal-plane element_at
+    # arithmetic — codegen'd, never an interpreted HOF (the per-plane
+    # dot has literal coefficients, not an array-valued operand).
+    lsh = _executed(qmap["embedding_lsh_buckets"](spark, SF))
+    assert "lambdafunction" not in lsh and "element_at" in lsh
+    # Small-dim (dsub=8) PQ kernels: unrolled stays codegen'd. Assert
+    # the shape on the REAL call path — _pq_assign with the dsub the
+    # PQ queries derive (dim // PQ_M = 8) — so a future caller passing
+    # the full dim into the subspace kernel flips this test, not just
+    # the standalone-Column repr.
     from stonkwhisperer_spark.operators.similarity import (
         _UNROLL_MAX_DIM,
+        _pq_assign,
         sqdist_unrolled_int,
     )
 
-    small = sqdist_unrolled_int("a", "b", 8)
-    assert "element_at" in str(small) and "lambdafunction" not in str(small)
+    sub = spark.createDataFrame(
+        [(0, 0, [1] * 8)], "vec_id long, m int, sv array<bigint>"
+    )
+    cents = spark.createDataFrame(
+        [(0, 0, [1] * 8)], "m int, cid int, cv array<bigint>"
+    )
+    assign_plan = (
+        _pq_assign(sub, cents, 8)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "element_at" in assign_plan
+    assert "lambdafunction" not in assign_plan.lower()
     big = sqdist_unrolled_int("a", "b", _UNROLL_MAX_DIM + 1)
     assert "zip_with" in str(big) or "lambda" in str(big)
 
