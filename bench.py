@@ -164,6 +164,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "n": len(timings),
+        # Make the run's parallelism legible in the artifact itself
+        # (round 16): the EFFECTIVE scheduler width as Spark resolved
+        # it, next to what the env requested, so a two-core-count
+        # comparison can verify the wiring from the records alone
+        # instead of inferring it from ratios of overhead-bound
+        # queries.
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_requested": cpus,
     }
     if errors:
         full["errors"] = errors
@@ -191,6 +199,17 @@ def main() -> None:
         "n": len(timings),
         "n_errors": len(errors),
         "drift_vs_ref": full["drift_vs_ref"]["final"],
+        # Fixed fields for the scaling heuristic (round 16): the run's
+        # effective parallelism, and one CPU-BOUND canary (md5-dominated
+        # fuzzy_near_dups — the suite's clearest core-count-sensitive
+        # row) whose time should track the core ratio across the
+        # driver's two-core-count runs, unlike the overhead-bound
+        # stream/commit gates that dominate the top-10 list.
+        "parallelism": full["parallelism"],
+        "cpus_requested": cpus,
+        "canary_cpu_bound": {
+            "fuzzy_near_dups": timings.get("fuzzy_near_dups")
+        },
         "detail": "bench_full.json",
     }
     print(json.dumps(compact))

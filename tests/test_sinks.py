@@ -533,6 +533,40 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     assert {r.k: r.s for r in read_committed(spark, target).collect()} == got
 
 
+def test_counted_cdc_staging_matches_footer_recount(spark, tmp_path):
+    """The observe()-fused change-type counts (r16: CollectMetrics on
+    the CDC staging write) agree with a post-hoc footer recount of the
+    same staged files — the legacy :func:`_cdc_counts` pass they
+    replaced on the writer hot paths."""
+    from stonkwhisperer_spark.sinks.writers import (
+        _CHANGE_COL,
+        _cdc_counts,
+        _stage_cdc_files_counted,
+        merge_append,
+    )
+
+    target = str(tmp_path / "t")
+    merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        ["k"],
+    )
+    cdc = spark.createDataFrame(
+        [
+            (1, "a", "update_preimage"),
+            (1, "A", "update_postimage"),
+            (2, "b", "insert"),
+            (3, "c", "insert"),
+            (4, "d", "delete"),
+        ],
+        f"k long, s string, {_CHANGE_COL} string",
+    )
+    staged, counts = _stage_cdc_files_counted(cdc, target)
+    assert counts == (2, 1, 1)
+    assert counts == _cdc_counts(target, staged)
+
+
 def test_merge_upsert_copy_on_write_scope(spark, tmp_path):
     """File-level copy-on-write: an upsert touching keys in ONE of the
     committed files rewrites only that file — the other file survives

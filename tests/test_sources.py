@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import functions as F
 
 from stonkwhisperer_spark.pipelines import clean_news
@@ -409,6 +412,92 @@ def test_txlog_stream_reader_offsets_and_partitions(spark, tmp_path):
         (2, "b"),
         (3, "c"),
     ]
+
+
+def test_txlog_stream_packs_from_commit_log_sizes(spark, tmp_path, monkeypatch):
+    """Commits record their files' sizes in the manifest (r16), and the
+    streaming source's split packing reads them from the log — ZERO
+    driver stat syscalls on the poll path for size-carrying commits.
+    Legacy commits (no sizes entry) fall back to one stat per file."""
+    from stonkwhisperer_spark.sinks import writers as wr
+    from stonkwhisperer_spark.sources import txlog_stream as ts
+
+    target = str(tmp_path / "t")
+    wr.merge_append(
+        spark,
+        target,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        ["k"],
+    )  # v1: append (add files)
+    wr.merge_upsert(
+        spark,
+        target,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, s string"),
+        ["k"],
+    )  # v2: upsert (cdc files)
+
+    commits = wr._commits(target)
+    for c in commits:
+        recorded = set(c.get("sizes", {}))
+        assert recorded == set(c["add"]) | set(c.get("cdc", []))
+        for rel, sz in c["sizes"].items():
+            assert sz == os.path.getsize(os.path.join(target, rel))
+
+    schema = ts._table_schema(target)
+    reader = ts._TxlogStreamReader(schema, {"path": target})
+
+    def _no_stat(path):
+        raise AssertionError(f"poll path statted {path}")
+
+    monkeypatch.setattr(ts.os.path, "getsize", _no_stat)
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert parts  # packed purely from log metadata
+    rows = []
+    for p in parts:
+        for rb in reader.read(p):
+            rows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["s"], r["_change_type"]) for r in rows) == [
+        (1, "a", "insert"),
+        (2, "B", "update_postimage"),
+        (2, "b", "insert"),
+        (2, "b", "update_preimage"),
+        (3, "c", "insert"),
+    ]
+
+    # Legacy manifests (pre-r16, no sizes) still plan via the stat
+    # fallback rather than failing.
+    monkeypatch.undo()
+    for c in wr._commits(target):
+        mf = os.path.join(target, "_txlog", f"{c['version']:08d}.json")
+        body = json.load(open(mf))
+        body.pop("sizes", None)
+        with open(mf, "w") as fh:
+            json.dump(body, fh)
+    legacy = ts._TxlogStreamReader(schema, {"path": target})
+    lparts = legacy.partitions({"version": 0}, {"version": 2})
+    lrows = []
+    for p in lparts:
+        for rb in legacy.read(p):
+            lrows.extend(rb.to_pylist())
+    assert sorted((r["k"], r["s"]) for r in lrows) == sorted(
+        (r["k"], r["s"]) for r in rows
+    )
+
+
+def test_txlog_stream_size_option_parsing():
+    """maxPartitionBytes/openCostInBytes accept Spark-style size-suffix
+    strings; junk raises a message naming the option (ADVICE r15)."""
+    import pytest
+
+    from stonkwhisperer_spark.sources.txlog_stream import _parse_bytes
+
+    assert _parse_bytes("128m", "maxPartitionBytes") == 128 * 1024**2
+    assert _parse_bytes("4mb", "openCostInBytes") == 4 * 1024**2
+    assert _parse_bytes("1g", "maxPartitionBytes") == 1024**3
+    assert _parse_bytes("2048", "maxPartitionBytes") == 2048
+    assert _parse_bytes(7, "maxPartitionBytes") == 7
+    with pytest.raises(ValueError, match="maxPartitionBytes"):
+        _parse_bytes("huge", "maxPartitionBytes")
 
 
 def test_txlog_stream_reader_schema_evolution(spark, tmp_path):
