@@ -65,6 +65,7 @@ def main() -> None:
     for name in (
         "_stage_files",
         "_stage_cdc_files",
+        "_stage_cdc_files_counted",
         "_matched_rel_files",
         "_commits",
         "_read_snapshot",

@@ -73,83 +73,73 @@ def oracle_map() -> dict[str, str]:
 # accumulates a recorded green row.
 # ---------------------------------------------------------------------------
 _GATE_ORDER: list[str] = [
-    # ======================= ROUND-15 WINDOW =======================
-    # -- new in round 15 (VERDICT r14 tasks 3 + 4): the two r14
-    #    pytest-pinned seams promoted to driver rows — the retention-
-    #    maintenance pass (compact + bounded-window vacuum on a
-    #    stream-churned index, time-travel window and below-horizon
-    #    refusal asserted in-query) and the CDC→index incremental
-    #    materialized view (one change-feed poll refreshes a postings
-    #    index in one scoped merge_sync commit, gated against the
-    #    from-scratch head rebuild) --
-    "index_retention_maintenance",
-    "cdc_index_incremental_mv",
-    # -- VERDICT r14 task 1: the flagged query, re-gated in the same
-    #    round its mechanism was instrumented (trace_progress hook in
-    #    streaming/jobs.py — default-off, shared by the whole
-    #    foreachBatch-MERGE drain family) --
-    "txlog_stream_upsert",
-    # -- the full r11-stale cohort (43 queries; newest recorded green
-    #    row round 11 for all — VERDICT r14 task 2). After this window
-    #    closes the newest-green floor moves to r12. --
-    "bigram_familiarity",
-    "bm25_index_upsert",
-    "bm25_topk_docs",
-    "corpus_shuffle",
-    "curation_e2e",
-    "doc_chunks",
-    "doc_keywords",
-    "dsir_sample",
-    "histogram_quantiles",
-    "leakage_safe_split",
-    "lineitem_status_cube",
-    "lm_perplexity_scores",
-    "near_dup_jaccard_prefix",
-    "ohlcv_1min",
-    "pagerank_part_supplier",
-    "pricing_summary",
-    "revenue_rollup",
-    "rrf_hybrid_retrieval",
-    "semantic_clusters",
-    "semantic_dedup",
-    "sentiment_closed_form",
-    "span_dedup",
-    "sq8_topk_embeddings",
-    "topk_newest_events",
-    "txlog_cdc_delete_replay",
-    "txlog_cdc_replay",
-    "txlog_cdc_update_replay",
-    "txlog_checkpoint_replay",
-    "txlog_constraints",
-    "txlog_dv_replay",
-    "txlog_generated",
-    "txlog_rename_replay",
-    "txlog_replace_where",
-    "txlog_restore_replay",
-    "txlog_schema_evolution",
-    "txlog_skipping",
-    "txlog_skipping_2d",
-    "txlog_stream_cdc",
-    "txlog_stream_sink",
-    "txlog_type_widening",
-    "txlog_update_replay",
-    "user_event_pivot",
-    "zip_docs_embeddings",
-    # -- 4 fillers rotated ahead from the r12-stale cohort: the
-    #    BENCH_r14-observed sub-second outlier, the merge_sync family
-    #    twin of cdc_index_incremental_mv, and two heavy family
-    #    representatives --
-    "value_outliers",
-    "txlog_merge_sync_replay",
-    "bm25_index_forget",
-    "flows_e2e_state",
-    # (the distribution going INTO this round, computed from the
-    #  CORRECTNESS_r*.json artifacts themselves — not predicted:
-    #  r14=50, r13=49, r12=46, r11=43, floor r11. After this window
-    #  records, the floor moves r11→r12; the never-recorded set stays
-    #  exactly the three no-oracle side-effecting surfaces, each with
-    #  a hash-gated companion. Round 16's window should rotate the
-    #  remaining r12-stale cohort plus whatever round 15 changed.)
+    # ======================= ROUND-16 WINDOW =======================
+    # -- 8 leads: one representative per engine path round 16 changed
+    #    (VERDICT r15 task 6: "lead with whatever r16 touches — merge
+    #    engine and stream-source families first"). The merge engine's
+    #    touched-slice materialization + observe-counted CDC staging
+    #    sit under every one of these; the CDC stream source's
+    #    log-size split packing under the three stream consumers. --
+    "txlog_stream_upsert",       # CDC-consumer drain (source + pin dedup)
+    "txlog_stream_cdc",          # raw change-feed subscription
+    "txlog_stream_sink",         # feed → txn append sink
+    "bm25_index_upsert",         # merge engine, batch-shaped MERGE
+    "txlog_merge_sync_replay",   # WHEN NOT MATCHED BY SOURCE branch
+    "txlog_dv_replay",           # DV writers (counted CDC staging)
+    "txlog_cdc_update_replay",   # update_where path
+    "txlog_replace_where",       # overwrite_where path
+    # -- the full r12-stale cohort (42 queries; newest recorded green
+    #    row round 12 for all, computed from CORRECTNESS_r*.json).
+    #    After this window closes the newest-green floor moves to r13
+    #    (r13=48, r14=50, r15=50 remain). --
+    "benchmark_contamination",
+    "big_order_customers",
+    "click_surplus_multiset",
+    "clickers_and_buyers",
+    "cust_order_dist",
+    "customer_order_ranks",
+    "disjunctive_promo_revenue",
+    "doc_constraints",
+    "doc_split_assign",
+    "doc_token_positions_udtf",
+    "event_prop_keys",
+    "event_sessions",
+    "gapfill_events",
+    "kmv_distinct_estimate",
+    "media_manifest",
+    "minhash_index_forget",
+    "minhash_index_upsert",
+    "mixture_sample",
+    "order_deciles",
+    "order_price_quantiles",
+    "order_relative_ranks",
+    "orders_monthly",
+    "pii_scrub",
+    "price_qty_correlation",
+    "purchase_funnel",
+    "quality_filter",
+    "region_revenue",
+    "simhash_signatures",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_ohlcv",
+    "streaming_sessions",
+    "streaming_sketch",
+    "text_quality",
+    "token_stats",
+    "trailing_30d_spend",
+    "txlog_bloom_lookup",
+    "txlog_clone_replay",
+    "txlog_e2e_state",
+    "txlog_merge_evolve",
+    "vwap_1min",
+    "weekly_cohort_retention",
+    # (distribution going INTO this round, from the artifacts:
+    #  r15=50, r14=50, r13=48, r12=42, floor r12. This window = 8
+    #  r16-touched leads + the whole r12 cohort; the never-recorded
+    #  set stays exactly the three no-oracle side-effecting surfaces,
+    #  each with a hash-gated companion. Round 17's window should
+    #  rotate the r13-stale cohort plus whatever round 16 changed.)
 ]
 
 

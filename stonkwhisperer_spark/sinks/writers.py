@@ -294,6 +294,20 @@ def _stats_from(commits: list[dict]) -> dict[str, dict]:
     return stats
 
 
+def _sizes_from(commits: list[dict]) -> dict[str, int]:
+    """File-size replay from the commit manifests (``sizes`` entries,
+    recorded at write time since r16): {rel_path: bytes} for the files
+    still live at the head. Files from pre-r16 commits are absent —
+    callers treat unknown as large (the safe direction for
+    cost-of-recompute decisions)."""
+    sizes: dict[str, int] = {}
+    for c in commits:
+        for rel in c.get("remove", []):
+            sizes.pop(rel, None)
+        sizes.update(c.get("sizes", {}))
+    return sizes
+
+
 def _dv_from(commits: list[dict]) -> dict[str, list[str]]:
     """Deletion-vector state replay: {data_rel_path: [dv_rel_paths that
     apply to it]}, add/remove applied in version order — the
@@ -737,8 +751,12 @@ def table_detail(target_path: str) -> dict:
     row count; no data files opened)."""
     commits = _commits(target_path)
     files = _files_from(commits)
+    sizes = _sizes_from(commits)  # log-recorded (r16); stat the rest
     size = 0
     for f in files:
+        if f in sizes:
+            size += sizes[f]
+            continue
         try:
             size += os.path.getsize(os.path.join(target_path, f))
         except FileNotFoundError:
@@ -2771,29 +2789,27 @@ def _stage_cdc_files(
 def _stage_cdc_files_counted(
     cdc: DataFrame, target_path: str, commits: list[dict] | None = None
 ) -> tuple[list[str], tuple[int, int, int]]:
-    """:func:`_stage_cdc_files` with the (inserted, updated, deleted)
-    change-type counts OBSERVED inside the staging write itself
-    (``df.observe`` → CollectMetrics piggybacks on the write action),
-    replacing the former post-hoc :func:`_cdc_counts` pass that
-    re-opened every staged change file and pulled the whole
-    ``_change_type`` column to the driver — O(changed rows) driver I/O
-    per commit, per poll, on every maintained index (optimization r16,
-    VERDICT r15 item 1a; guide §1.4/§5: don't re-read what the action
-    already computed)."""
-    from pyspark.sql import Observation
+    """:func:`_stage_cdc_files` plus the (inserted, updated, deleted)
+    change-type counts of what was staged — ONE vectorized
+    dictionary-column read per staged file, bounded by changed rows
+    per commit (never table size).
 
-    obs = Observation()
-    cdc = cdc.observe(
-        obs,
-        F.count(F.when(F.col(_CHANGE_COL) == "insert", 1)).alias("ins"),
-        F.count(F.when(F.col(_CHANGE_COL) == "update_postimage", 1)).alias("upd"),
-        F.count(F.when(F.col(_CHANGE_COL) == "delete", 1)).alias("del"),
-    )
+    Measured and REJECTED (r16): fusing the counts into the staging
+    write with ``df.observe``/CollectMetrics. It works, and it removes
+    this post-hoc pass — but PySpark's ``Observation`` initializes the
+    session's lazy ``ObservationManager`` (Spark 4.1), which is NOT
+    java-serializable, and from that point on ANY closure that captures
+    the SparkSession fails with Task not serializable. MLlib does
+    exactly that (a fitted model's training summary holds the session;
+    scoring serializes it into the task closure), so one observed merge
+    broke ``sentiment_scores`` for the rest of the session — a
+    session-wide landmine, not a local trade-off. The named-observation
+    form avoids the manager but leaves no handle to read the metrics
+    of a writer's internal QueryExecution."""
     staged = _stage_aux_files(
         cdc, target_path, _CDC_DIR, "cdc", commits=commits, translate=True
     )
-    got = obs.get
-    return staged, (int(got["ins"]), int(got["upd"]), int(got["del"]))
+    return staged, _cdc_counts(target_path, staged)
 
 
 def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
@@ -2804,22 +2820,21 @@ def _stage_dv_files(kill: DataFrame, target_path: str) -> list[str]:
 
 def _cdc_counts(target_path: str, cdc_staged: list[str]) -> tuple[int, int, int]:
     """(inserted, updated, deleted) row counts from the staged change
-    files — a single-column read of ``_change_type``, no Spark job."""
+    files — a single-column read of ``_change_type``, no Spark job.
+    Vectorized (pyarrow value_counts over the dictionary column, r16)
+    instead of a per-row Python loop."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    inserted = updated = deleted = 0
+    counts = {"insert": 0, "update_postimage": 0, "delete": 0}
     for rel in cdc_staged:
         t = pq.read_table(
             os.path.join(target_path, rel), columns=[_CHANGE_COL]
         )
-        for v in t.column(0).to_pylist():
-            if v == "insert":
-                inserted += 1
-            elif v == "update_postimage":
-                updated += 1
-            elif v == "delete":
-                deleted += 1
-    return inserted, updated, deleted
+        for entry in pc.value_counts(t.column(0)).to_pylist():
+            if entry["values"] in counts:
+                counts[entry["values"]] += entry["counts"]
+    return counts["insert"], counts["update_postimage"], counts["delete"]
 
 
 def merge_upsert(
@@ -3216,14 +3231,21 @@ def _merge_rows(
                     )
                 else:
                     t2 = t2.withColumn(_MARK_MD, F.lit(None).cast("boolean"))
-                # Materialize the marked touched slice ONCE: the data
-                # and CDC staging writes both branch from it, and
-                # without the checkpoint each write re-ran the touched
-                # parquet scan and the marker joins — 2× O(touched)
-                # work per commit (optimization r16, guide §2.4/§5:
-                # don't recompute a shared subtree across actions; the
+                # Materialize the marked touched slice ONCE (lazy
+                # localCheckpoint — the first staging action computes
+                # it, the second reads the blocks): the data and CDC
+                # staging writes both branch from it, and without the
+                # checkpoint each write re-ran the touched parquet
+                # scan and the marker joins — 2× O(touched) work per
+                # commit (optimization r16, guide §2.4/§5: don't
+                # recompute a shared subtree across actions; the
                 # blocks are O(touched files), the same bound as the
-                # rewrite itself).
+                # rewrite itself). Measured r16 (min-of-N phase
+                # benches): −0.5 s on the ~30k-row index merges,
+                # ~+0.1-0.3 s on few-KB stream micro-batch merges
+                # (block-lock serialization of the overlapped writes);
+                # suite-level net positive, and the duplicated touched
+                # scan is exactly what must not happen at 100 TB.
                 t2 = t2.localCheckpoint(eager=False)
                 in_batch = F.col(_MARK_MB).isNotNull()
                 is_del = F.col(_MARK_MD).isNotNull()
