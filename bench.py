@@ -171,7 +171,7 @@ def main() -> None:
         # instead of inferring it from ratios of overhead-bound
         # queries.
         "parallelism": spark.sparkContext.defaultParallelism,
-        "cpus_requested": cpus,
+        "cpus_requested": int(cpus),
     }
     if errors:
         full["errors"] = errors
@@ -206,7 +206,7 @@ def main() -> None:
         # driver's two-core-count runs, unlike the overhead-bound
         # stream/commit gates that dominate the top-10 list.
         "parallelism": full["parallelism"],
-        "cpus_requested": cpus,
+        "cpus_requested": int(cpus),
         "canary_cpu_bound": {
             "fuzzy_near_dups": timings.get("fuzzy_near_dups")
         },

@@ -2806,9 +2806,7 @@ def _stage_cdc_files_counted(
     session-wide landmine, not a local trade-off. The named-observation
     form avoids the manager but leaves no handle to read the metrics
     of a writer's internal QueryExecution."""
-    staged = _stage_aux_files(
-        cdc, target_path, _CDC_DIR, "cdc", commits=commits, translate=True
-    )
+    staged = _stage_cdc_files(cdc, target_path, commits=commits)
     return staged, _cdc_counts(target_path, staged)
 
 
@@ -3416,9 +3414,12 @@ def delete_where(
         )
         if not matched_files:
             return 0
+        # Materialize the touched slice once — both pooled staging
+        # actions branch from it (same r16 rationale as the merge
+        # engine's t2: don't re-run the touched scan per action).
         touched = _read_snapshot(
             spark, target_path, commits, files=matched_files, schema=declared
-        )
+        ).localCheckpoint(eager=False)
         carried = touched.filter(~condition)
         deleted = touched.filter(condition)
 
@@ -3545,10 +3546,11 @@ def overwrite_where(
                 "overwrite_where",
             )
             if matched_files:
+                # Shared by the data + CDC staging actions (r16).
                 touched = _read_snapshot(
                     spark, target_path, commits, files=matched_files,
                     schema=declared,
-                )
+                ).localCheckpoint(eager=False)
                 cond_true = F.coalesce(condition, F.lit(False))
                 carried = touched.filter(~cond_true)
                 dels = touched.filter(cond_true)
@@ -3672,9 +3674,10 @@ def update_where(
         )
         if not matched_files:
             return 0
+        # Shared by the data + CDC staging actions (r16).
         touched = _read_snapshot(
             spark, target_path, commits, files=matched_files, schema=declared
-        )
+        ).localCheckpoint(eager=False)
         changed = touched.filter(cond_true)
         carried = touched.filter(~cond_true)
         updated = _updated_frame(changed, set_exprs, commits, target_path)
@@ -3764,7 +3767,12 @@ def update_where_dv(
             spark, target_path, commits, files=committed,
             schema=declared, keep_lineage=True,
         )
-        matched = existing.filter(condition)
+        # The matched rows feed THREE pooled staging actions (kill
+        # list, post-image data, CDC) — materialize them once so the
+        # full-snapshot predicate scan runs once, not per action (r16,
+        # same rationale as the merge engine's t2; the blocks are
+        # O(matched rows), the DV path's own bound).
+        matched = existing.filter(condition).localCheckpoint(eager=False)
         uri_map = spark.createDataFrame(
             [(_file_uri(target_path, f), f) for f in committed],
             "file_uri string, file string",
@@ -3893,7 +3901,9 @@ def delete_where_dv(
             schema=declared,
             keep_lineage=True,
         )
-        matched = existing.filter(condition)
+        # Shared by the kill-list and CDC staging actions (r16): the
+        # full-snapshot predicate scan runs once, not per action.
+        matched = existing.filter(condition).localCheckpoint(eager=False)
         uri_map = spark.createDataFrame(
             [(_file_uri(target_path, f), f) for f in committed],
             "file_uri string, file string",

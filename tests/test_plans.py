@@ -128,11 +128,11 @@ def test_gate_window_rotation(qmap):
 
     names = list(qmap)
     window = set(names[:50])
-    # r15 window: the archived-green re-confirmation section starts at
-    # the r11-stale cohort ("bigram_familiarity"); everything before it
-    # is new, never-gated, or changed this round and MUST be
+    # r16 window: the archived-green re-confirmation section starts at
+    # the r12-stale cohort ("benchmark_contamination"); everything
+    # before it is an engine path changed this round and MUST be
     # driver-checked.
-    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("bigram_familiarity")]
+    must_be_gated = _GATE_ORDER[: _GATE_ORDER.index("benchmark_contamination")]
     assert set(must_be_gated) <= window
     assert len(_GATE_ORDER) == len(set(_GATE_ORDER))  # no dup rows wasted
     # ADVICE r7: the r7 list held 51 names, silently dropping the 51st

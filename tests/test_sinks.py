@@ -533,14 +533,18 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
     assert {r.k: r.s for r in read_committed(spark, target).collect()} == got
 
 
-def test_counted_cdc_staging_matches_footer_recount(spark, tmp_path):
-    """The observe()-fused change-type counts (r16: CollectMetrics on
-    the CDC staging write) agree with a post-hoc footer recount of the
-    same staged files — the legacy :func:`_cdc_counts` pass they
-    replaced on the writer hot paths."""
+def test_counted_cdc_staging_matches_independent_recount(spark, tmp_path):
+    """The counted CDC staging helper (r16: one vectorized change-type
+    column read per staged file) reports exactly the change-type
+    populations present in the files it staged — cross-checked against
+    an INDEPENDENT per-row recount of the staged parquet, not against
+    the helper's own counting path."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
     from stonkwhisperer_spark.sinks.writers import (
         _CHANGE_COL,
-        _cdc_counts,
         _stage_cdc_files_counted,
         merge_append,
     )
@@ -564,7 +568,17 @@ def test_counted_cdc_staging_matches_footer_recount(spark, tmp_path):
     )
     staged, counts = _stage_cdc_files_counted(cdc, target)
     assert counts == (2, 1, 1)
-    assert counts == _cdc_counts(target, staged)
+    recount = {"insert": 0, "update_postimage": 0, "delete": 0, "update_preimage": 0}
+    for rel in staged:
+        col = _pq.read_table(
+            _os.path.join(target, rel), columns=[_CHANGE_COL]
+        ).column(0)
+        for v in col.to_pylist():
+            recount[v] += 1
+    assert counts == (
+        recount["insert"], recount["update_postimage"], recount["delete"]
+    )
+    assert recount["update_preimage"] == 1  # staged but uncounted, by design
 
 
 def test_merge_upsert_copy_on_write_scope(spark, tmp_path):
